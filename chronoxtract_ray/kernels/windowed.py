@@ -1,0 +1,280 @@
+"""Fused per-window feature computation over many tumbling windows at once.
+
+This is the hot-path kernel of the rollup stage: one call computes features for
+EVERY window of one (conv_id, bucket) group, vectorized across windows with
+cumsum/reduceat segment reductions. Only the genuinely holistic kernels
+(entropy family, FFT bands) loop per window, and those loops call the
+vectorized single-series kernels.
+
+Semantics per window match the reference single-series kernels (see sibling
+modules for file:line citations into /root/reference). Where the reference
+raises on short input (e.g. Hjorth needs n>=3), the windowed engine emits
+null (NaN) instead — a window is data, not an argument error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from chronoxtract_ray.kernels import entropy as kentropy
+from chronoxtract_ray.kernels import fda as kfda
+
+__all__ = ["FeatureSpec", "compute_windowed_features", "FEATURE_COLUMNS"]
+
+_STD_EPS = 1e-9  # reference sigma-gate, src/stats/mod.rs:49
+
+
+@dataclass(frozen=True)
+class FeatureSpec:
+    """Which feature families to compute and their parameters."""
+
+    order_stats: bool = True  # median/quantiles/mode (needs per-window value sort)
+    entropy: bool = True  # sample/approximate/permutation entropy
+    fft: bool = True  # FFT band energies
+    shape: bool = True  # zcr / slopes / turning points
+    hjorth: bool = True
+    entropy_m: int = 2
+    entropy_r_factor: float = 0.2  # r = factor * window std
+    perm_m: int = 3
+    perm_delay: int = 1
+    n_fft_bands: int = 4
+    # O(n^2) guard: entropy kernels see at most this many points per window
+    # (evenly strided subsample beyond it; documented divergence for
+    # pathologically hot windows).
+    entropy_max_points: int = 512
+
+    def feature_columns(self) -> list[str]:
+        cols = list(_MOMENT_COLS)
+        if self.order_stats:
+            cols += _ORDER_COLS
+        if self.hjorth:
+            cols += _HJORTH_COLS
+        if self.shape:
+            cols += _SHAPE_COLS
+        if self.entropy:
+            cols += _ENTROPY_COLS
+        if self.fft:
+            cols += [f"fft_band_energy_{b}" for b in range(self.n_fft_bands)]
+        return cols
+
+
+_MOMENT_COLS = ["mean", "variance", "std", "skewness", "kurtosis", "min", "max", "range", "sum", "energy"]
+_ORDER_COLS = ["median", "q05", "q25", "q75", "q95", "mode"]
+_HJORTH_COLS = ["hjorth_activity", "hjorth_mobility", "hjorth_complexity"]
+_SHAPE_COLS = ["zero_crossing_rate", "mean_slope", "slope_variance", "max_slope_abs", "turning_points", "turning_point_rate"]
+_ENTROPY_COLS = ["sample_entropy", "approx_entropy", "permutation_entropy"]
+
+FEATURE_COLUMNS = FeatureSpec().feature_columns()
+
+
+def _seg_sums(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Exact per-segment sums over arbitrary [start, end) ranges via a
+    0-prefixed cumsum. Empty ranges sum to 0."""
+    c = np.concatenate(([0.0], np.cumsum(arr)))
+    return c[ends] - c[starts]
+
+
+def _seg_max(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray, neutral: float = -np.inf) -> np.ndarray:
+    """Per-segment max over [start, end) ranges; ``neutral`` for empty ranges.
+
+    Requires the ranges to be non-overlapping and in order; positions between
+    ranges are neutralized before one maximum.reduceat pass."""
+    n_seg = starts.size
+    if arr.size == 0:
+        return np.full(n_seg, neutral)
+    a = np.full(arr.size, neutral)
+    for_mask = np.zeros(arr.size + 1, dtype=np.int64)
+    np.add.at(for_mask, starts, 1)
+    np.add.at(for_mask, ends, -1)
+    inside = np.cumsum(for_mask[:-1]) > 0
+    a[inside] = arr[inside]
+    rs = np.minimum(starts, arr.size - 1)
+    res = np.maximum.reduceat(a, rs)
+    return np.where(ends > starts, res, neutral)
+
+
+def compute_windowed_features(
+    ts_us: np.ndarray,
+    value: np.ndarray,
+    width_us: int,
+    spec: FeatureSpec = FeatureSpec(),
+) -> dict[str, np.ndarray]:
+    """Features for every tumbling window of one series.
+
+    ``ts_us`` int64 microseconds, ``value`` float64, both sorted by
+    (ts, turn order). Returns dict of equal-length arrays, one row per window
+    present in the data (no gap-fill here), including ``window_start`` (int64
+    us) and ``n_turns``.
+    """
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    v = np.asarray(value, dtype=np.float64)
+    n = ts_us.size
+    if n == 0:
+        out = {"window_start": np.empty(0, np.int64), "n_turns": np.empty(0, np.int64)}
+        for c in spec.feature_columns():
+            out[c] = np.empty(0, np.float64)
+        return out
+    win = (ts_us // width_us) * width_us
+    boundaries = np.flatnonzero(win[1:] != win[:-1]) + 1  # ts-sorted → win non-decreasing
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [n]))
+    counts = ends - starts
+    n_win = starts.size
+
+    out: dict[str, np.ndarray] = {
+        "window_start": win[starts].astype(np.int64),
+        "n_turns": counts.astype(np.int64),
+    }
+
+    # ---- mergeable raw moments (src/stats/mod.rs:21-79 semantics) ----
+    v2 = v * v
+    s1 = _seg_sums(v, starts, ends)
+    s2 = _seg_sums(v2, starts, ends)
+    s3 = _seg_sums(v2 * v, starts, ends)
+    s4 = _seg_sums(v2 * v2, starts, ends)
+    fn = counts.astype(np.float64)
+    m1, m2, m3, m4 = s1 / fn, s2 / fn, s3 / fn, s4 / fn
+    variance = m2 - m1 * m1
+    with np.errstate(invalid="ignore"):
+        std = np.sqrt(variance)
+    gate = ~(std > _STD_EPS)  # True also when std is NaN
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu3 = m3 - 3.0 * m1 * m2 + 2.0 * m1**3
+        mu4 = m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1**4
+        skew = np.where(gate, np.nan, mu3 / variance**1.5)
+        kurt = np.where(gate, np.nan, mu4 / (variance * variance) - 3.0)
+    mn = np.minimum.reduceat(v, starts)
+    mx = np.maximum.reduceat(v, starts)
+    out.update(
+        mean=m1, variance=variance, std=std, skewness=skew, kurtosis=kurt,
+        min=mn, max=mx, range=mx - mn, sum=s1, energy=s2,
+    )
+
+    # ---- order statistics via one within-segment value sort ----
+    if spec.order_stats:
+        seg_id = np.repeat(np.arange(n_win), counts)
+        order = np.lexsort((v, seg_id))
+        sv = v[order]  # ascending within each segment
+        sseg = seg_id  # seg_id is already sorted; lexsort keeps segment blocks
+        L, off = counts, starts
+        half = off + L // 2
+        even = L % 2 == 0
+        median = np.where(even, (sv[np.maximum(half - 1, off)] + sv[np.minimum(half, n - 1)]) / 2.0, sv[np.minimum(half, n - 1)])
+        out["median"] = median
+        for name, q in (("q05", 0.05), ("q25", 0.25), ("q75", 0.75), ("q95", 0.95)):
+            pos = q * (L - 1).astype(np.float64)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            out[name] = sv[off + lo] * (1.0 - frac) + sv[off + hi] * frac
+        # mode: run-length encode within-segment sorted values; the first
+        # max-count run per segment is the smallest tied value (deterministic
+        # tie-break; reference HashMap order is non-deterministic,
+        # src/stats/mod.rs:116-130)
+        is_run_start = np.ones(n, dtype=bool)
+        is_run_start[1:] = (sv[1:] != sv[:-1]) | (sseg[1:] != sseg[:-1])
+        run_starts = np.flatnonzero(is_run_start)
+        run_seg = sseg[run_starts]
+        run_val = sv[run_starts]
+        run_len = np.diff(np.concatenate((run_starts, [n])))
+        seg_run_starts = np.flatnonzero(np.concatenate(([True], run_seg[1:] != run_seg[:-1])))
+        runs_per_seg = np.diff(np.concatenate((seg_run_starts, [run_seg.size])))
+        max_len = np.maximum.reduceat(run_len, seg_run_starts)
+        is_max = run_len == np.repeat(max_len, runs_per_seg)
+        idx_max = np.flatnonzero(is_max)
+        seg_of_max = run_seg[idx_max]
+        seg_first = np.flatnonzero(np.concatenate(([True], seg_of_max[1:] != seg_of_max[:-1])))
+        out["mode"] = run_val[idx_max[seg_first]]
+
+    # ---- first/second differences: hjorth / slopes / zcr / turning points ----
+    if spec.hjorth or spec.shape:
+        d = np.diff(v) if n > 1 else np.empty(0)
+        # d-space: segment i owns [starts[i], ends[i]-1)
+        d_starts = np.minimum(starts, max(n - 1, 0))
+        d_ends = np.maximum(ends - 1, d_starts)
+        ds1 = _seg_sums(d, d_starts, d_ends)
+        ds2 = _seg_sums(d * d, d_starts, d_ends)
+        nd = (counts - 1).astype(np.float64)
+        ok1 = counts >= 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d_mean = np.where(ok1, ds1 / nd, np.nan)
+            d_var = np.where(ok1, ds2 / nd - d_mean * d_mean, np.nan)
+
+    if spec.hjorth:
+        # activity = population variance (src/higherorder/mod.rs:115-118);
+        # mobility/complexity fallbacks per src/higherorder/mod.rs:120-173
+        d2 = np.diff(v, n=2) if n > 2 else np.empty(0)
+        dd_starts = np.minimum(starts, max(n - 2, 0))
+        dd_ends = np.maximum(ends - 2, dd_starts)
+        dds1 = _seg_sums(d2, dd_starts, dd_ends)
+        dds2 = _seg_sums(d2 * d2, dd_starts, dd_ends)
+        ndd = (counts - 2).astype(np.float64)
+        ok2 = counts >= 3
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dd_mean = np.where(ok2, dds1 / ndd, np.nan)
+            dd_var = np.where(ok2, dds2 / ndd - dd_mean * dd_mean, np.nan)
+            mobility = np.where(variance > 0.0, np.sqrt(np.maximum(d_var, 0.0) / variance), 0.0)
+            mob_d = np.sqrt(np.maximum(dd_var, 0.0) / d_var)
+            complexity = np.where((d_var > 0.0) & (mobility > 0.0), mob_d / mobility, 1.0)
+        out["hjorth_activity"] = np.where(ok1, variance, np.nan)
+        out["hjorth_mobility"] = np.where(ok1, mobility, np.nan)
+        out["hjorth_complexity"] = np.where(ok2, complexity, np.nan)
+
+    if spec.shape:
+        msl = _seg_max(np.abs(d), d_starts, d_ends, neutral=-np.inf)
+        with np.errstate(invalid="ignore"):
+            out["mean_slope"] = d_mean
+            out["slope_variance"] = d_var
+            out["max_slope_abs"] = np.where(ok1, np.maximum(msl, 0.0), np.nan)
+        # zero crossings on the >=0 convention (src/shape/mod.rs:180-194)
+        nonneg = v >= 0.0
+        flips = (nonneg[1:] != nonneg[:-1]).astype(np.float64) if n > 1 else np.empty(0)
+        zc = _seg_sums(flips, d_starts, d_ends)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["zero_crossing_rate"] = np.where(ok1, zc / nd, np.nan)
+        # turning points: strict interior extrema (src/shape/mod.rs:439-459)
+        if n > 2:
+            mid, left, right = v[1:-1], v[:-2], v[2:]
+            is_tp = ((mid > left) & (mid > right)) | ((mid < left) & (mid < right))
+            seg_of = np.repeat(np.arange(n_win), counts)
+            interior = seg_of[2:] == seg_of[:-2]
+            tp_counts = np.bincount(seg_of[1:-1][interior & is_tp], minlength=n_win).astype(np.float64)
+        else:
+            tp_counts = np.zeros(n_win)
+        ok3 = counts >= 3
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["turning_points"] = np.where(ok3, tp_counts, np.nan)
+            out["turning_point_rate"] = np.where(ok3, tp_counts / (counts - 2), np.nan)
+
+    # ---- holistic loops: entropy + FFT bands ----
+    if spec.entropy:
+        samp = np.full(n_win, np.nan)
+        apen = np.full(n_win, np.nan)
+        perm = np.full(n_win, np.nan)
+        m, pm, pd = spec.entropy_m, spec.perm_m, spec.perm_delay
+        cap = spec.entropy_max_points
+        for i in range(n_win):
+            seg = v[starts[i] : ends[i]]
+            if seg.size > cap:
+                seg = seg[:: int(np.ceil(seg.size / cap))]
+            r = spec.entropy_r_factor * (std[i] if np.isfinite(std[i]) else 0.0)
+            if seg.size >= m + 1 and r > 0.0:
+                samp[i] = kentropy.sample_entropy(seg, m, r)
+                apen[i] = kentropy.approximate_entropy(seg, m, r)
+            if seg.size >= pm * pd and pm >= 2 and pd >= 1:
+                perm[i] = kentropy.permutation_entropy(seg, pm, pd)
+        out["sample_entropy"] = samp
+        out["approx_entropy"] = apen
+        out["permutation_entropy"] = perm
+    if spec.fft:
+        nb = spec.n_fft_bands
+        bands = np.full((n_win, nb), np.nan)
+        for i in range(n_win):
+            seg = v[starts[i] : ends[i]]
+            if seg.size:
+                bands[i] = kfda.fft_band_energies(seg, nb)
+        for b in range(nb):
+            out[f"fft_band_energy_{b}"] = bands[:, b]
+    return out
