@@ -60,7 +60,7 @@ class FeatureSpec:
         return cols
 
 
-_MOMENT_COLS = ["mean", "variance", "std", "skewness", "kurtosis", "min", "max", "range", "sum", "energy"]
+_MOMENT_COLS = ["mean", "variance", "std", "skewness", "kurtosis", "min", "max", "range", "sum", "energy", "sum3", "sum4"]
 _ORDER_COLS = ["median", "q05", "q25", "q75", "q95", "mode"]
 _HJORTH_COLS = ["hjorth_activity", "hjorth_mobility", "hjorth_complexity"]
 _SHAPE_COLS = ["zero_crossing_rate", "mean_slope", "slope_variance", "max_slope_abs", "turning_points", "turning_point_rate"]
@@ -147,9 +147,11 @@ def compute_windowed_features(
         kurt = np.where(gate, np.nan, mu4 / (variance * variance) - 3.0)
     mn = np.minimum.reduceat(v, starts)
     mx = np.maximum.reduceat(v, starts)
+    # sum3/sum4 are the raw power sums kept so coarser tiers can recombine
+    # moments EXACTLY (mergeable cascade, SURVEY.md §4.3)
     out.update(
         mean=m1, variance=variance, std=std, skewness=skew, kurtosis=kurt,
-        min=mn, max=mx, range=mx - mn, sum=s1, energy=s2,
+        min=mn, max=mx, range=mx - mn, sum=s1, energy=s2, sum3=s3, sum4=s4,
     )
 
     # ---- order statistics via one within-segment value sort ----

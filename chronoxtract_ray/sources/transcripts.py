@@ -1,0 +1,123 @@
+"""Deterministic synthetic transcript table (FIXTURES.md §1) + readers.
+
+Schema (BASELINE.json input_hint): conv_id:string, turn_idx:int32,
+role:string, text:string, tool:string, ts:timestamp[us].
+
+Every cell is a pure integer function of (conv index, turn index) — no RNG —
+so any subset of conversations regenerates identically regardless of
+partitioning, and tests can recompute expected values row-by-row.
+
+Generation is Ray-parallel for bench-scale tables (``ray.data.range`` over
+conv indices → ``map_batches`` expansion) and direct for tiny test tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "conv_turn_count",
+    "generate_conv_arrays",
+    "generate_table",
+    "transcripts_dataset",
+    "write_transcripts",
+    "read_transcripts",
+    "TRANSCRIPT_SCHEMA",
+]
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+_BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+_ROLES = ("user", "assistant", "tool")
+_TOOLS = ("", "search", "python", "browser")
+_MIX = 2654435761  # Knuth multiplicative hash constant (public domain)
+
+
+def conv_turn_count(i: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100) -> int:
+    """Zipf-ish skew: every ``hot_every``-th conversation is ``hot_factor``x
+    longer (exercises salting); others vary 50%-150% of base."""
+    if hot_every and i % hot_every == 0:
+        return base_turns * hot_factor
+    return base_turns // 2 + (i * _MIX) % base_turns
+
+
+def generate_conv_arrays(i: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100):
+    """All columns of conversation ``i`` as numpy/python arrays."""
+    n = conv_turn_count(i, base_turns, hot_every, hot_factor)
+    t = np.arange(n, dtype=np.int64)
+    conv_id = f"conv-{i:08d}"
+    # text lengths: deterministic 0..179 pattern per (conv, turn)
+    lengths = (i * _MIX + t * 40503) % 180
+    # timestamps: per-conv start stagger + mostly ~20s gaps, with deliberate
+    # holes (every 17th turn jumps 2h → spans whole 1m/1h windows) and bursts
+    # (every 11th turn lands 1s after its predecessor)
+    gaps = 20_000_000 + (t * 7_919) % 10_000_000  # 20-30s
+    gaps = np.where(t % 11 == 0, 1_000_000, gaps)
+    gaps = np.where((t % 17 == 0) & (t > 0), 7_200_000_000, gaps)
+    ts = _BASE_TS_US + (i % 1440) * 60_000_000 + np.cumsum(gaps) - gaps[0]
+    roles = [_ROLES[int(x)] for x in (t % 3)]
+    tools = [_TOOLS[int(x) % 4] if x % 7 == 0 else "" for x in t]
+    texts = [f"{conv_id}:{k}:" + "x" * int(lengths[k]) for k in range(n)]
+    return {
+        "conv_id": [conv_id] * n,
+        "turn_idx": t.astype(np.int32),
+        "role": roles,
+        "text": texts,
+        "tool": tools,
+        "ts": ts,
+    }
+
+
+def _convs_to_table(conv_indices, base_turns: int, hot_every: int, hot_factor: int) -> pa.Table:
+    cols: dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    for i in conv_indices:
+        arrs = generate_conv_arrays(int(i), base_turns, hot_every, hot_factor)
+        for k in cols:
+            cols[k].extend(arrs[k] if isinstance(arrs[k], list) else arrs[k].tolist())
+    return pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array(cols["tool"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        }
+    )
+
+
+def generate_table(n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100) -> pa.Table:
+    """Small tables for tests — direct, no Ray."""
+    return _convs_to_table(range(n_convs), base_turns, hot_every, hot_factor)
+
+
+def transcripts_dataset(n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100):
+    """Bench-scale tables — Ray-parallel expansion of conv indices."""
+    import ray.data as rd
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return _convs_to_table(batch["id"].to_pylist(), base_turns, hot_every, hot_factor)
+
+    n_blocks = max(1, min(n_convs // 8, 512))
+    return rd.range(n_convs, override_num_blocks=n_blocks).map_batches(expand, batch_format="pyarrow")
+
+
+def write_transcripts(path: str, n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100) -> None:
+    transcripts_dataset(n_convs, base_turns, hot_every, hot_factor).write_parquet(path)
+
+
+def read_transcripts(path: str):
+    """Column-complete streaming read of a transcripts directory/file."""
+    import ray.data as rd
+
+    return rd.read_parquet(path)

@@ -1,0 +1,297 @@
+"""Gorilla-style compression for rolled-up points (pure NumPy, no Ray).
+
+Implements the two stream codecs from Pelkonen et al., "Gorilla: A Fast,
+Scalable, In-Memory Time Series Database" (VLDB 2015, public paper):
+
+- values: XOR float compression — per point, XOR with the previous value;
+  '0' when identical, '10' + meaningful bits when the leading/trailing-zero
+  window of the previous XOR still covers it, '11' + 6-bit leading-zero count
+  + 6-bit length + meaningful bits otherwise.
+- timestamps: delta-of-delta int compression — '0' for dod == 0, then
+  widening ranges ('10' 7 bits / '110' 9 bits / '1110' 12 bits / '1111' 64
+  bits raw) chosen to fit microsecond-resolution transcript data.
+
+Encoding is vectorized: classification, control bits and payloads are
+computed with NumPy and packed via a bitwise_or.at scatter into 64-bit words.
+Decoding is a sequential bit reader (used by tests / the query path on small
+chunks); round-trip is bit-exact, asserted in tests.
+
+The reference (amanasci/ChronoXtract) has no compression at all — this is an
+engine-side requirement from BASELINE.json's north rule ("Gorilla XOR /
+delta-of-delta timestamp compression of the rolled-up points").
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_values",
+    "decode_values",
+    "encode_timestamps",
+    "decode_timestamps",
+]
+
+_MAGIC_V = b"GXV1"
+_MAGIC_T = b"GDT1"
+
+
+def _pack_bits(bits: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack a token stream into a big-endian-within-word bitstream.
+
+    ``bits[i]`` holds the token payload in its low ``nbits[i]`` bits
+    (nbits <= 64). Tokens are laid out MSB-first inside consecutive uint64
+    words. Returns the packed words as little-endian bytes plus the total bit
+    count prefix is left to the caller.
+    """
+    nbits = nbits.astype(np.int64)
+    if nbits.size == 0:
+        return b""
+    offsets = np.concatenate(([0], np.cumsum(nbits)))[:-1]
+    total = int(offsets[-1] + nbits[-1])
+    n_words = (total + 63) // 64
+    words = np.zeros(n_words + 1, dtype=np.uint64)  # +1 pad for straddle
+    word_idx = offsets >> 6
+    bit_in = offsets & 63  # int64
+    b = bits.astype(np.uint64)
+    # place MSB-first: token occupies bits [bit_in, bit_in+nb) from the top
+    shift1 = 64 - bit_in - nbits  # int64; negative → straddles into next word
+    fits = shift1 >= 0
+    s_left = np.where(fits, shift1, 0).astype(np.uint64)
+    s_right = np.where(fits, 0, -shift1).astype(np.uint64)
+    first = np.where(fits, b << s_left, b >> s_right)
+    np.bitwise_or.at(words, word_idx, first.astype(np.uint64))
+    if (~fits).any():
+        sel = ~fits
+        rem = (-shift1[sel]).astype(np.uint64)  # bits spilling into next word
+        second = (b[sel] << (np.uint64(64) - rem)).astype(np.uint64)
+        np.bitwise_or.at(words, word_idx[sel] + 1, second)
+    return words[:n_words].astype(">u8").tobytes()
+
+
+class _BitReader:
+    def __init__(self, data: bytes, total_bits: int):
+        self.words = np.frombuffer(data, dtype=">u8").astype(np.uint64)
+        self.pos = 0
+        self.total = total_bits
+
+    def read(self, n: int) -> int:
+        out = 0
+        pos = self.pos
+        remaining = n
+        while remaining > 0:
+            w = int(self.words[pos >> 6])
+            avail = 64 - (pos & 63)
+            take = min(avail, remaining)
+            chunk = (w >> (avail - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            pos += take
+            remaining -= take
+        self.pos = pos
+        return out
+
+
+def encode_values(values: np.ndarray) -> bytes:
+    """Gorilla XOR-compress a float64 array. Layout:
+    magic | u32 count | f64 first | u64 total_bits | packed tokens."""
+    v = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
+    n = v.size
+    if n == 0:
+        return _MAGIC_V + struct.pack("<I", 0)
+    bits_v = v.view(np.uint64)
+    header = _MAGIC_V + struct.pack("<I", n) + struct.pack("<d", float(v[0]))
+    if n == 1:
+        return header + struct.pack("<Q", 0)
+    xor = bits_v[1:] ^ bits_v[:-1]
+
+    # leading zeros: exponent trick with power-of-two rounding correction
+    def _clz64(x: np.ndarray) -> np.ndarray:
+        lz = np.full(x.shape, 64, dtype=np.int64)
+        nzm = x != 0
+        xf = x[nzm].astype(np.float64)
+        e = ((xf.view(np.uint64) >> np.uint64(52)) & np.uint64(0x7FF)).astype(np.int64) - 1023
+        # float rounding can push x just past 2^e; correct where 2^e > x
+        too_big = (e >= 64) | ((e < 64) & ((np.uint64(1) << np.minimum(e, 63).astype(np.uint64)) > x[nzm]))
+        e = e - too_big.astype(np.int64)
+        lz[nzm] = 63 - e
+        return lz
+
+    def _ctz64(x: np.ndarray) -> np.ndarray:
+        tz = np.full(x.shape, 64, dtype=np.int64)
+        nzm = x != 0
+        lowbit = x[nzm] & (np.uint64(0) - x[nzm])
+        # lowbit is an exact power of two → exponent is exact
+        e = ((lowbit.astype(np.float64).view(np.uint64) >> np.uint64(52)) & np.uint64(0x7FF)).astype(np.int64) - 1023
+        tz[nzm] = e
+        return tz
+
+    lz = np.minimum(_clz64(xor), 31)  # clamp so 5/6-bit fields always fit
+    tz = _ctz64(xor)
+    # sequential window-reuse decision (prev meaningful-bit window), per paper
+    m = xor.size
+    ctrl = np.empty(m, dtype=np.uint8)  # 0:'0' 1:'10' 2:'11'
+    use_lz = np.empty(m, dtype=np.int64)
+    use_len = np.empty(m, dtype=np.int64)
+    prev_lz, prev_tz = -1, -1
+    lz_l, tz_l, xz = lz.tolist(), tz.tolist(), (xor != 0).tolist()
+    for i in range(m):
+        if not xz[i]:
+            ctrl[i] = 0
+            use_lz[i] = 0
+            use_len[i] = 0
+            continue
+        if prev_lz >= 0 and lz_l[i] >= prev_lz and tz_l[i] >= prev_tz:
+            ctrl[i] = 1
+            use_lz[i] = prev_lz
+            use_len[i] = 64 - prev_lz - prev_tz
+        else:
+            ctrl[i] = 2
+            prev_lz, prev_tz = lz_l[i], tz_l[i]
+            use_lz[i] = prev_lz
+            use_len[i] = 64 - prev_lz - prev_tz
+    # token stream: control token then (for ctrl==2) meta token then payload
+    is0, is10, is11 = ctrl == 0, ctrl == 1, ctrl == 2
+    n_tok = m + is11.sum() + (is10 | is11).sum()
+    tok_bits = np.zeros(n_tok, dtype=np.uint64)
+    tok_n = np.zeros(n_tok, dtype=np.int64)
+    # interleave: for each i: ctrl token; [meta]; [payload]
+    tok_per = 1 + (is11).astype(np.int64) + (is10 | is11).astype(np.int64)
+    tok_off = np.concatenate(([0], np.cumsum(tok_per)))[:-1]
+    # ctrl tokens
+    tok_bits[tok_off] = np.where(is0, 0, np.where(is10, 0b10, 0b11)).astype(np.uint64)
+    tok_n[tok_off] = np.where(is0, 1, 2)
+    # meta tokens for ctrl==2: 5-bit lz + 6-bit len (len 64 stored as 0)
+    meta_pos = tok_off[is11] + 1
+    stored_len = np.where(use_len[is11] == 64, 0, use_len[is11])
+    tok_bits[meta_pos] = ((use_lz[is11].astype(np.uint64)) << np.uint64(6)) | stored_len.astype(np.uint64)
+    tok_n[meta_pos] = 11
+    # payload tokens: xor >> window_tz where window_tz = 64 - lz - len
+    pay_sel = is10 | is11
+    pay_pos = tok_off[pay_sel] + 1 + is11[pay_sel].astype(np.int64)
+    win_tz = (64 - use_lz[pay_sel] - use_len[pay_sel]).astype(np.uint64)  # int64 math, then cast
+    tok_bits[pay_pos] = xor[pay_sel] >> win_tz
+    tok_n[pay_pos] = use_len[pay_sel]
+    total_bits = int(tok_n.sum())
+    return header + struct.pack("<Q", total_bits) + _pack_bits(tok_bits, tok_n)
+
+
+def decode_values(data: bytes) -> np.ndarray:
+    """Inverse of encode_values (sequential bit reader)."""
+    assert data[:4] == _MAGIC_V, "bad value-stream magic"
+    (n,) = struct.unpack_from("<I", data, 4)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    (first,) = struct.unpack_from("<d", data, 8)
+    (total_bits,) = struct.unpack_from("<Q", data, 16)
+    out = np.empty(n, dtype=np.float64)
+    out[0] = first
+    if n == 1:
+        return out
+    rdr = _BitReader(data[24:], total_bits)
+    prev = int(np.array([first], dtype=np.float64).view(np.uint64)[0])  # python int: no overflow traps
+    bits_out = np.empty(n, dtype=np.uint64)
+    bits_out[0] = prev
+    lz = length = 0
+    for i in range(1, n):
+        if rdr.read(1) == 0:
+            bits_out[i] = prev
+            continue
+        if rdr.read(1) == 1:  # '11': new window
+            meta = rdr.read(11)
+            lz = meta >> 6
+            length = meta & 0x3F or 64
+        payload = rdr.read(length)
+        prev ^= (payload << (64 - lz - length)) & 0xFFFFFFFFFFFFFFFF
+        bits_out[i] = prev
+    return bits_out.view(np.float64)
+
+
+_T_RANGES = (
+    (0b10, 2, 7),  # dod in [-63, 64)
+    (0b110, 3, 9),  # [-255, 256)
+    (0b1110, 4, 12),  # [-2047, 2048)
+)
+
+
+def encode_timestamps(ts_us: np.ndarray) -> bytes:
+    """Delta-of-delta compress an int64 microsecond array. Layout:
+    magic | u32 count | i64 first | i64 first_delta | u64 total_bits | tokens."""
+    t = np.ascontiguousarray(np.asarray(ts_us, dtype=np.int64))
+    n = t.size
+    if n == 0:
+        return _MAGIC_T + struct.pack("<I", 0)
+    header = _MAGIC_T + struct.pack("<Iq", n, int(t[0]))
+    if n == 1:
+        return header + struct.pack("<qQ", 0, 0)
+    deltas = np.diff(t)
+    header = _MAGIC_T + struct.pack("<Iqq", n, int(t[0]), int(deltas[0]))
+    if n == 2:
+        return header + struct.pack("<Q", 0)
+    dod = np.diff(deltas)
+    m = dod.size
+    ctrl = np.full(m, 4, dtype=np.int64)  # index into cases; 4 = raw64
+    ctrl[(dod >= -2047) & (dod < 2048)] = 3
+    ctrl[(dod >= -255) & (dod < 256)] = 2
+    ctrl[(dod >= -63) & (dod < 64)] = 1
+    ctrl[dod == 0] = 0
+    ctrl_bits = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)[ctrl]
+    ctrl_n = np.array([1, 2, 3, 4, 4], dtype=np.int64)[ctrl]
+    pay_n = np.array([0, 7, 9, 12, 64], dtype=np.int64)[ctrl]
+    # two tokens per element (payload token absent when dod == 0)
+    has_pay = ctrl > 0
+    tok_per = 1 + has_pay.astype(np.int64)
+    tok_off = np.concatenate(([0], np.cumsum(tok_per)))[:-1]
+    n_tok = int(tok_per.sum())
+    tok_bits = np.zeros(n_tok, dtype=np.uint64)
+    tok_n = np.zeros(n_tok, dtype=np.int64)
+    tok_bits[tok_off] = ctrl_bits
+    tok_n[tok_off] = ctrl_n
+    pos = tok_off[has_pay] + 1
+    pn = pay_n[has_pay]
+    safe_pn = np.minimum(pn, 63).astype(np.uint64)
+    mask = np.where(pn >= 64, np.uint64(0xFFFFFFFFFFFFFFFF), (np.uint64(1) << safe_pn) - np.uint64(1))
+    tok_bits[pos] = np.ascontiguousarray(dod[has_pay]).view(np.uint64) & mask
+    tok_n[pos] = pn
+    total_bits = int(tok_n.sum())
+    return header + struct.pack("<Q", total_bits) + _pack_bits(tok_bits, tok_n)
+
+
+def decode_timestamps(data: bytes) -> np.ndarray:
+    """Inverse of encode_timestamps."""
+    assert data[:4] == _MAGIC_T, "bad timestamp-stream magic"
+    (n,) = struct.unpack_from("<I", data, 4)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    (first,) = struct.unpack_from("<q", data, 8)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    if n == 1:
+        return out
+    (first_delta,) = struct.unpack_from("<q", data, 16)
+    (total_bits,) = struct.unpack_from("<Q", data, 24)
+    out[1] = first + first_delta
+    rdr = _BitReader(data[32:], total_bits)
+    delta = first_delta
+    cur = out[1]
+    widths = {0b10: 7, 0b110: 9, 0b1110: 12}
+    for i in range(2, n):
+        prefix = 0
+        for _ in range(4):
+            prefix = (prefix << 1) | rdr.read(1)
+            if prefix & 1 == 0:
+                break
+        if prefix == 0b0:
+            dod = 0
+        elif prefix in widths:
+            w = widths[prefix]
+            raw = rdr.read(w)
+            dod = raw - (1 << w) if raw >= (1 << (w - 1)) else raw
+        else:  # 0b1111 raw 64
+            raw = rdr.read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        cur += delta
+        out[i] = cur
+    return out
