@@ -1,0 +1,218 @@
+"""End-to-end tier tests: pipeline output vs an independent NumPy oracle.
+
+The oracle path is deliberately different from the engine path: pandas
+groupby over the raw input + single-series kernels per window, versus the
+engine's salted Ray groupby + fused vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from chronoxtract_ray import kernels as k
+from chronoxtract_ray.kernels.windowed import FeatureSpec
+from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline, tier_table
+from chronoxtract_ray.sources.transcripts import generate_table
+from chronoxtract_ray.stages.derive import text_crc
+from chronoxtract_ray.stages.gorilla_stage import decode_chunks
+from chronoxtract_ray.stages.rollup import MINUTE_US, HOUR_US
+
+OUT = "/tmp/ctx_test_e2e"
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(ray_session):
+    import ray.data as rd
+
+    tbl = generate_table(10, base_turns=30, hot_every=5, hot_factor=15)
+    shutil.rmtree(OUT, ignore_errors=True)
+    metrics = run_rollup_pipeline(rd.from_arrow(tbl), OUT, PipelineConfig(num_parts=4))
+    return tbl, metrics
+
+
+def _oracle_windows(tbl: pa.Table, width_us: int) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["value"] = df["text"].str.len().astype(float)
+    df = df.sort_values(["conv_id", "ts_us", "turn_idx"], kind="stable")
+    df["window_start"] = (df["ts_us"] // width_us) * width_us
+    return df
+
+
+def test_tier1m_matches_oracle(pipeline_run):
+    tbl, _ = pipeline_run
+    t1m = tier_table(OUT, "1m").to_pandas()
+    df = _oracle_windows(tbl, MINUTE_US)
+    groups = dict(tuple(df.groupby(["conv_id", "window_start"], sort=True)))
+    assert len(groups) == len(t1m)
+    checked = 0
+    for row in t1m.itertuples():
+        seg = groups[(row.conv_id, row.window_start)]["value"].to_numpy()
+        st = k.summary_statistics(seg)
+        med, qs = k.median_and_quantiles(seg)
+        assert row.n_turns == seg.size
+        assert np.isclose(row.mean, st["mean"])
+        assert np.isclose(row.variance, st["variance"], atol=1e-12)
+        assert np.isclose(row.sum, st["sum"]) and np.isclose(row.energy, st["energy"])
+        assert row.min == st["min"] and row.max == st["max"]
+        assert np.isclose(row.median, med) and np.isclose(row.q95, qs[3])
+        assert row.mode == k.calculate_mode(seg)
+        if st["skewness"] is None:
+            assert np.isnan(row.skewness)
+        else:
+            assert np.isclose(row.skewness, st["skewness"], atol=1e-9)
+        if seg.size >= 3:
+            a, m, c = k.hjorth_parameters(seg)
+            assert np.isclose(row.hjorth_activity, a, atol=1e-12)
+            assert np.isclose(row.hjorth_mobility, m)
+            assert np.isclose(row.hjorth_complexity, c)
+        r = 0.2 * st["std_dev"]
+        if seg.size >= 3 and r > 0 and seg.size <= 512:
+            assert np.isclose(row.sample_entropy, k.sample_entropy(seg, 2, r), equal_nan=True)
+        bands = k.fft_band_energies(seg, 4)
+        assert np.isclose(row.fft_band_energy_0, bands[0])
+        checked += 1
+    assert checked == len(t1m)
+
+
+def test_turn_ordering_checksum_invariant(pipeline_run):
+    """The order-sensitive digest proves per-turn text equality under stable
+    turn ordering survived the distributed shuffle (north-rule invariant)."""
+    tbl, _ = pipeline_run
+    t1m = tier_table(OUT, "1m").to_pandas()
+    df = _oracle_windows(tbl, MINUTE_US)
+    df["crc"] = text_crc(df["text"].to_numpy(), df["turn_idx"].to_numpy())
+    oracle = {}
+    for (conv, w), g in df.groupby(["conv_id", "window_start"], sort=True):
+        c = g["crc"].to_numpy().astype(np.uint64)
+        pos = np.arange(1, c.size + 1, dtype=np.uint64)
+        oracle[(conv, w)] = int((c * pos).sum(dtype=np.uint64))
+    for row in t1m.itertuples():
+        assert int(row.text_checksum) == oracle[(row.conv_id, row.window_start)], (
+            row.conv_id,
+            row.window_start,
+        )
+
+
+def test_reference_golden_vector_through_pipeline(ray_session):
+    """A window whose derived value series is exactly [1,2,2,3,4,5] must
+    reproduce the reference's published summary oracle values
+    (/root/reference/tests/test_stats.py:5-20)."""
+    import ray.data as rd
+
+    base = 1_700_000_000_000_000
+    rows = {
+        "conv_id": ["golden"] * 6,
+        "turn_idx": pa.array(range(6), pa.int32()),
+        "role": ["user"] * 6,
+        "text": ["x" * n for n in (1, 2, 2, 3, 4, 5)],
+        "tool": [""] * 6,
+        "ts": pa.array([base + i * 1_000_000 for i in range(6)], pa.timestamp("us")),
+    }
+    out = "/tmp/ctx_test_golden"
+    shutil.rmtree(out, ignore_errors=True)
+    run_rollup_pipeline(rd.from_arrow(pa.table(rows)), out, PipelineConfig(num_parts=2, with_gorilla=False))
+    t = tier_table(out, "1m").to_pandas()
+    assert len(t) == 1
+    r = t.iloc[0]
+    assert np.isclose(r["mean"], 2.8333333333333335)
+    assert np.isclose(r["median"], 2.5)
+    assert r["mode"] == 2.0
+    assert np.isclose(r["variance"], 1.8055555555555556)
+    assert np.isclose(r["std"], 1.343709624584882)
+    assert np.isclose(r["skewness"], 0.3053162697580514)
+    assert np.isclose(r["kurtosis"], -1.151715976331361)
+    assert r["min"] == 1 and r["max"] == 5 and r["range"] == 4
+    assert r["sum"] == 17 and r["energy"] == 59
+
+
+def test_cascade_merged_moments_exact(pipeline_run):
+    """1h merged_* columns must equal a direct rollup of raw turns over 1h
+    windows (mergeable cascade, SURVEY.md §4.3)."""
+    tbl, _ = pipeline_run
+    t1h = tier_table(OUT, "1h").to_pandas()
+    df = _oracle_windows(tbl, HOUR_US)
+    direct = {}
+    for (conv, w), g in df.groupby(["conv_id", "window_start"], sort=True):
+        direct[(conv, w)] = k.summary_statistics(g["value"].to_numpy())
+    present = t1h[t1h["n_turns"] > 0]
+    assert len(present) == len(direct)
+    for row in present.itertuples():
+        st = direct[(row.conv_id, row.window_start)]
+        assert np.isclose(row.merged_mean, st["mean"])
+        assert np.isclose(row.merged_variance, st["variance"], atol=1e-9)
+        assert row.merged_min == st["min"] and row.merged_max == st["max"]
+        assert np.isclose(row.merged_sum, st["sum"]) and np.isclose(row.merged_energy, st["energy"])
+        if st["skewness"] is not None:
+            assert np.isclose(row.merged_skewness, st["skewness"], atol=1e-6)
+
+
+def test_gap_fill_interpolation(pipeline_run):
+    """Synthetic holes span whole 1m windows; the 1h tier must contain
+    gap-filled fine points (n_gap_filled > 0) and every present 1h window of a
+    conv between first and last must exist."""
+    _, _ = pipeline_run
+    t1h = tier_table(OUT, "1h").to_pandas()
+    assert (t1h["n_gap_filled"] > 0).any()
+    for conv, g in t1h.groupby("conv_id"):
+        w = np.sort(g["window_start"].to_numpy())
+        assert np.array_equal(w, np.arange(w[0], w[-1] + HOUR_US, HOUR_US))
+
+
+def test_gap_fill_linear_values(ray_session):
+    """mean of a filled gap window equals linear interpolation of neighbors."""
+    import ray.data as rd
+
+    base = 1_700_000_000_000_000
+    # three 1-minute windows with a hole at minute 1: means 10, (gap), 30
+    rows = {
+        "conv_id": ["gap"] * 2,
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["user"] * 2,
+        "text": ["x" * 10, "x" * 30],
+        "tool": [""] * 2,
+        "ts": pa.array([base, base + 2 * MINUTE_US], pa.timestamp("us")),
+    }
+    out = "/tmp/ctx_test_gap"
+    shutil.rmtree(out, ignore_errors=True)
+    run_rollup_pipeline(rd.from_arrow(pa.table(rows)), out, PipelineConfig(num_parts=2, with_gorilla=False))
+    t1h = tier_table(out, "1h").to_pandas()
+    row = t1h.iloc[0]
+    # point series after gap-fill: [10, 20, 30] → mean 20, median 20
+    assert np.isclose(row["mean"], 20.0)
+    assert np.isclose(row["median"], 20.0)
+    assert row["n_gap_filled"] == 1
+    assert row["n_turns"] == 2  # merged count excludes the synthetic point
+    assert np.isclose(row["merged_mean"], 20.0)  # (10+30)/2
+
+
+def test_gorilla_chunks_decode_to_tier_points(pipeline_run):
+    tbl, _ = pipeline_run
+    for tier in ("1m", "1h", "1d"):
+        t = tier_table(OUT, tier)
+        ch = tier_table(os.path.join(OUT, "chunks"), tier)
+        drop = [c for c in ("tier", "part") if c in ch.column_names]
+        pts = decode_chunks(ch.drop_columns(drop) if drop else ch)
+        pts = pts.sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
+        assert pts.num_rows == t.num_rows
+        assert np.array_equal(pts["window_start"].to_numpy(), t["window_start"].to_numpy())
+        assert np.array_equal(pts["value"].to_numpy(), t["mean"].to_numpy())
+
+
+def test_hot_conversation_salted_consistency(pipeline_run):
+    """Hot convs (hot_every=5) cross bucket boundaries; their windows must
+    still be complete and correct — checked implicitly by the oracle test, and
+    here: window count equals oracle count per hot conv."""
+    tbl, _ = pipeline_run
+    t1m = tier_table(OUT, "1m").to_pandas()
+    df = _oracle_windows(tbl, MINUTE_US)
+    for conv in ("conv-00000000", "conv-00000005"):
+        eng = t1m[t1m["conv_id"] == conv]
+        orc = df[df["conv_id"] == conv].groupby("window_start").size()
+        assert len(eng) == len(orc)

@@ -1,0 +1,91 @@
+"""Checkpoint/resume: a killed run resumes without recomputing completed
+partitions and converges to the same output as an uninterrupted run
+(FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline, tier_table
+from chronoxtract_ray.sources.transcripts import generate_table
+from chronoxtract_ray.state import checkpoint as ckpt
+
+FULL = "/tmp/ctx_resume_full"
+PART = "/tmp/ctx_resume_partial"
+
+
+@pytest.fixture(scope="module")
+def runs(ray_session):
+    import ray.data as rd
+
+    tbl = generate_table(8, base_turns=25, hot_every=4, hot_factor=10)
+    for d in (FULL, PART):
+        shutil.rmtree(d, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=4)
+    run_rollup_pipeline(rd.from_arrow(tbl), FULL, cfg)
+
+    # simulated kill: run the full pipeline, then delete the artifacts of two
+    # partitions everywhere (as if the job died before writing them)
+    run_rollup_pipeline(rd.from_arrow(tbl), PART, cfg)
+    killed = [2, 3]
+    for tier in ("1m", "1h", "1d"):
+        for p in killed:
+            for root in (PART, os.path.join(PART, "chunks")):
+                shutil.rmtree(os.path.join(root, f"tier={tier}", f"part={p:04d}"), ignore_errors=True)
+                mp = ckpt.manifest_path(root, tier, p)
+                if os.path.exists(mp):
+                    os.remove(mp)
+    surviving_mtimes = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(PART, "**", "*.parquet"), recursive=True)
+    }
+    metrics = run_rollup_pipeline(rd.from_arrow(tbl), PART, cfg)  # resume
+    return tbl, killed, surviving_mtimes, metrics
+
+
+def test_resume_skips_completed_partitions(runs):
+    _, killed, _, metrics = runs
+    skipped = set(metrics["resumed_parts_skipped"])
+    expected = set(range(4)) - set(killed)
+    assert skipped == expected
+
+
+def test_resume_does_not_rewrite_survivors(runs):
+    _, _, mtimes, _ = runs
+    for f, old in mtimes.items():
+        assert os.path.getmtime(f) == old, f"recomputed completed partition file: {f}"
+
+
+def test_resumed_output_identical_to_uninterrupted(runs):
+    for tier in ("1m", "1h", "1d"):
+        a = tier_table(FULL, tier)
+        b = tier_table(PART, tier)
+        assert a.num_rows == b.num_rows, tier
+        for col in a.column_names:
+            if col in ("tier", "part"):
+                continue
+            av = a[col].to_numpy(zero_copy_only=False)
+            bv = b[col].to_numpy(zero_copy_only=False)
+            if av.dtype.kind == "f":
+                assert np.array_equal(av, bv, equal_nan=True), (tier, col)
+            else:
+                assert np.array_equal(av, bv), (tier, col)
+
+
+def test_resumed_chunks_identical(runs):
+    for tier in ("1m", "1h", "1d"):
+        a = tier_table(os.path.join(FULL, "chunks"), tier)
+        b = tier_table(os.path.join(PART, "chunks"), tier)
+        assert a["gorilla_values"].to_pylist() == b["gorilla_values"].to_pylist(), tier
+        assert a["gorilla_timestamps"].to_pylist() == b["gorilla_timestamps"].to_pylist(), tier
+
+
+def test_watermarks_recorded(runs):
+    mans = ckpt.load_manifests(FULL, "1m", 4)
+    assert len(mans) == 4
+    for m in mans.values():
+        assert m["complete"] and m["watermark_us"] is not None and m["rows"] > 0
