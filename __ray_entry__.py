@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript rollup pipeline on sf0.001 (events
+adapted to the transcript schema). ``queries()``/``oracle_sql()`` expose one
+entry per implemented operator family from SURVEY.md §2 + the training-data
+extensions; SQL oracles are provided for everything ANSI-SQL can express,
+and the remaining entries (entropy/FFT/sketches/LSH) are rows-only.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,118 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from chronoxtract_ray.pipelines import queries_docs as qd
+from chronoxtract_ray.pipelines import queries_events as qe
+from chronoxtract_ray.pipelines import queries_vec as qv
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: events → transcript schema → derive →
+    salted windowed rollup → 1m/1h/1d cascade with gap-fill → Gorilla chunks
+    → partitioned parquet; returns the 1m tier."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import (
+        PipelineConfig,
+        run_rollup_pipeline,
+        tier_table,
+    )
+
+    def as_transcripts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = t["user_id"].to_pylist()
+        return pa.table(
+            {
+                "conv_id": pa.array([f"user-{u:05d}" for u in uid], pa.string()),
+                "turn_idx": t["event_id"].cast(pa.int32()),
+                "role": t["event_type"],
+                "text": t["props"],
+                "tool": pc.replace_substring_regex(t["event_type"], ".*", ""),
+                "ts": t["ts"],
+            }
+        )
+
+    ds = rd.read_parquet(f"{SF0001}/events.parquet").map_batches(as_transcripts, batch_format="pyarrow")
+    out = "/tmp/ctx_entry_out"
+    shutil.rmtree(out, ignore_errors=True)
+    run_rollup_pipeline(ds, out, PipelineConfig(num_parts=4))
+    return tier_table(out, "1m").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ---- windowed feature rollups over events (time-series core) ----
+        "window_moments": qe.q_window_moments,
+        "window_skew_kurt": qe.q_window_skew_kurt,
+        "window_quantiles": qe.q_window_quantiles,
+        "window_mode": qe.q_window_mode,
+        "slope_features": qe.q_slope_features,
+        "hjorth": qe.q_hjorth,
+        "turning_points": qe.q_turning_points,
+        # ---- rolling / expanding scans ----
+        "rolling_mean": qe.q_rolling_mean,
+        "expanding_sum": qe.q_expanding_sum,
+        "ema": qe.q_ema,
+        # ---- tiers / gap-fill / compression ----
+        "gap_filled_hourly": qe.q_gap_filled_hourly,
+        "tier_cascade_1h": qe.q_tier_cascade_1h,
+        "gorilla_roundtrip": qe.q_gorilla_roundtrip,
+        # ---- whole-series / astronomy ----
+        "fvar_per_user": qe.q_fvar_per_user,
+        "lomb_scargle": qe.q_lomb_scargle,
+        # ---- entropy / spectral (non-SQL) ----
+        "entropy_features": qe.q_entropy_features,
+        "fft_bands": qe.q_fft_bands,
+        # ---- sort/limit + plain aggregates ----
+        "top_energy_windows": qe.q_top_energy_windows,
+        "event_type_stats": qe.q_event_type_stats,
+        # ---- dedup + text analysis over documents ----
+        "dedup_exact": qd.q_dedup_exact,
+        "doc_fingerprint": qd.q_doc_fingerprint,
+        "token_stats": qd.q_token_stats,
+        "quality_score": qd.q_quality_score,
+        "minhash_neardup": qd.q_minhash_neardup,
+        "simhash": qd.q_simhash,
+        "lang_id": qd.q_lang_id,
+        "ngram_jaccard_pairs": qd.q_ngram_jaccard_pairs,
+        # ---- similarity search over embeddings ----
+        "knn_bruteforce": qv.q_knn_bruteforce,
+        "embedding_neardup": qv.q_embedding_neardup,
+        "knn_lsh": qv.q_knn_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "window_moments": qe.SQL_WINDOW_MOMENTS,
+        "window_skew_kurt": qe.SQL_WINDOW_SKEW_KURT,
+        "window_quantiles": qe.SQL_WINDOW_QUANTILES,
+        "window_mode": qe.SQL_WINDOW_MODE,
+        "slope_features": qe.SQL_SLOPE_FEATURES,
+        "hjorth": qe.SQL_HJORTH,
+        "turning_points": qe.SQL_TURNING_POINTS,
+        "rolling_mean": qe.SQL_ROLLING_MEAN,
+        "expanding_sum": qe.SQL_EXPANDING_SUM,
+        "gap_filled_hourly": qe.SQL_GAP_FILLED_HOURLY,
+        "tier_cascade_1h": qe.SQL_TIER_CASCADE_1H,
+        "gorilla_roundtrip": qe.SQL_GORILLA_ROUNDTRIP,
+        "fvar_per_user": qe.SQL_FVAR_PER_USER,
+        "top_energy_windows": qe.SQL_TOP_ENERGY_WINDOWS,
+        "event_type_stats": qe.SQL_EVENT_TYPE_STATS,
+        "dedup_exact": qd.SQL_DEDUP_EXACT,
+        "doc_fingerprint": qd.SQL_DOC_FINGERPRINT,
+        "token_stats": qd.SQL_TOKEN_STATS,
+        "quality_score": qd.SQL_QUALITY_SCORE,
+        "knn_bruteforce": qv.SQL_KNN_BRUTEFORCE,
+        "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,
+        # ema / lomb_scargle / entropy_features / fft_bands / minhash_neardup /
+        # simhash / lang_id / ngram_jaccard_pairs / knn_lsh: rows-only
+        # (sequential scans, O(n^2) template matching, sketches, LSH — not
+        # ANSI-SQL expressible)
+    }

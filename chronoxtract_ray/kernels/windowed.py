@@ -69,11 +69,33 @@ _ENTROPY_COLS = ["sample_entropy", "approx_entropy", "permutation_entropy"]
 FEATURE_COLUMNS = FeatureSpec().feature_columns()
 
 
-def _seg_sums(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """Exact per-segment sums over arbitrary [start, end) ranges via a
-    0-prefixed cumsum. Empty ranges sum to 0."""
-    c = np.concatenate(([0.0], np.cumsum(arr)))
-    return c[ends] - c[starts]
+def _seg_sums_contig(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment sums over contiguous segments [starts[i], starts[i+1]).
+
+    np.add.reduceat keeps each segment's accumulation independent — no
+    cross-window cancellation noise (a cumsum-difference approach leaks the
+    running total's rounding error into small windows)."""
+    if arr.size == 0:
+        return np.zeros(starts.size)
+    return np.add.reduceat(arr, starts)
+
+
+def _seg_sums_ranges(arr: np.ndarray, starts: np.ndarray, ends_excl: np.ndarray, boundary_width: int) -> np.ndarray:
+    """Per-segment sums over [starts[i], ends_excl[i]) in an offset space
+    (diff arrays) where ``boundary_width`` trailing positions before each next
+    segment belong to no segment. Those positions are zeroed, then one exact
+    reduceat pass; empty ranges sum to 0."""
+    n_seg = starts.size
+    if arr.size == 0:
+        return np.zeros(n_seg)
+    a = arr.copy()
+    for k in range(1, boundary_width + 1):
+        zp = ends_excl[:-1] + (boundary_width - k)
+        zp = zp[(zp >= 0) & (zp < a.size)]
+        a[zp] = 0.0
+    rs = np.minimum(starts, a.size - 1)
+    res = np.add.reduceat(a, rs)
+    return np.where(ends_excl > starts, res, 0.0)
 
 
 def _seg_max(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray, neutral: float = -np.inf) -> np.ndarray:
@@ -130,10 +152,10 @@ def compute_windowed_features(
 
     # ---- mergeable raw moments (src/stats/mod.rs:21-79 semantics) ----
     v2 = v * v
-    s1 = _seg_sums(v, starts, ends)
-    s2 = _seg_sums(v2, starts, ends)
-    s3 = _seg_sums(v2 * v, starts, ends)
-    s4 = _seg_sums(v2 * v2, starts, ends)
+    s1 = _seg_sums_contig(v, starts)
+    s2 = _seg_sums_contig(v2, starts)
+    s3 = _seg_sums_contig(v2 * v, starts)
+    s4 = _seg_sums_contig(v2 * v2, starts)
     fn = counts.astype(np.float64)
     m1, m2, m3, m4 = s1 / fn, s2 / fn, s3 / fn, s4 / fn
     variance = m2 - m1 * m1
@@ -196,8 +218,8 @@ def compute_windowed_features(
         # d-space: segment i owns [starts[i], ends[i]-1)
         d_starts = np.minimum(starts, max(n - 1, 0))
         d_ends = np.maximum(ends - 1, d_starts)
-        ds1 = _seg_sums(d, d_starts, d_ends)
-        ds2 = _seg_sums(d * d, d_starts, d_ends)
+        ds1 = _seg_sums_ranges(d, starts, ends - 1, 1)
+        ds2 = _seg_sums_ranges(d * d, starts, ends - 1, 1)
         nd = (counts - 1).astype(np.float64)
         ok1 = counts >= 2
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -208,10 +230,8 @@ def compute_windowed_features(
         # activity = population variance (src/higherorder/mod.rs:115-118);
         # mobility/complexity fallbacks per src/higherorder/mod.rs:120-173
         d2 = np.diff(v, n=2) if n > 2 else np.empty(0)
-        dd_starts = np.minimum(starts, max(n - 2, 0))
-        dd_ends = np.maximum(ends - 2, dd_starts)
-        dds1 = _seg_sums(d2, dd_starts, dd_ends)
-        dds2 = _seg_sums(d2 * d2, dd_starts, dd_ends)
+        dds1 = _seg_sums_ranges(d2, starts, ends - 2, 2)
+        dds2 = _seg_sums_ranges(d2 * d2, starts, ends - 2, 2)
         ndd = (counts - 2).astype(np.float64)
         ok2 = counts >= 3
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -233,7 +253,7 @@ def compute_windowed_features(
         # zero crossings on the >=0 convention (src/shape/mod.rs:180-194)
         nonneg = v >= 0.0
         flips = (nonneg[1:] != nonneg[:-1]).astype(np.float64) if n > 1 else np.empty(0)
-        zc = _seg_sums(flips, d_starts, d_ends)
+        zc = _seg_sums_ranges(flips, starts, ends - 1, 1)
         with np.errstate(invalid="ignore", divide="ignore"):
             out["zero_crossing_rate"] = np.where(ok1, zc / nd, np.nan)
         # turning points: strict interior extrema (src/shape/mod.rs:439-459)

@@ -1,0 +1,334 @@
+"""Training-data-pipeline queries over the ``documents`` table:
+deduplication + text analysis. SQL oracles where expressible; MinHash/LSH,
+SimHash and language-ID are rows-only (sketching isn't ANSI SQL).
+
+All stages are map_batches over Arrow with vectorized/cython bodies; the
+shuffle steps are groupbys on hash/band columns (ray_guide.md dedup recipe).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+ROUND = 6
+
+
+def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
+    scale = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---- exact dedup: content hash → hash-partitioned first ----
+
+
+def q_dedup_exact(sf_dir: str):
+    """One keeper (min doc_id) per distinct text + duplicate count.
+
+    Pattern: vectorized md5 per batch → groupby(content) → per-group min —
+    the hash-partition + per-group-first exact dedup from SURVEY.md §2.12."""
+    ds = _docs(sf_dir)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "content_hash": pa.array(h, pa.string())})
+
+    def first(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "content_hash": pa.array([group["content_hash"][0].as_py()], pa.string()),
+                "keeper_doc_id": pa.array([int(ids.min())], pa.int64()),
+                "n_copies": pa.array([ids.size], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(add_hash, batch_format="pyarrow").groupby("content_hash").map_groups(first, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all())
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+  count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Per-doc fingerprint (md5) — document fingerprinting with an exact SQL
+    oracle."""
+    ds = _docs(sf_dir)
+
+    def fp(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h, pa.string())})
+
+    return pa.Table.from_pylist(ds.map_batches(fp, batch_format="pyarrow").take_all())
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+# ---- text analysis ----
+
+_WORD_RE = re.compile(r"\S+")
+
+
+def q_token_stats(sf_dir: str):
+    """Whitespace token counting + length stats per doc (vectorized pandas
+    string kernels inside map_batches)."""
+    ds = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        toks = s.str.split()
+        n_tokens = toks.str.len().fillna(0).astype(np.int64)
+        total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_len = np.where(n_tokens > 0, total_len / np.maximum(n_tokens, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(s.str.len().to_numpy(np.int64), pa.int64()),
+                "n_tokens": pa.array(n_tokens.to_numpy(), pa.int64()),
+                "mean_token_len": pa.array(_round(mean_len), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.map_batches(stats, batch_format="pyarrow").take_all())
+
+
+SQL_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(replace(trim(text), ' ', '')) END AS tok_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  ROUND(CASE WHEN n_tokens > 0 THEN tok_chars::DOUBLE / n_tokens ELSE 0 END, 6) AS mean_token_len
+FROM t
+"""
+
+
+def q_quality_score(sf_dir: str):
+    """Quality heuristics: mean word length band, stopword ratio, alpha ratio
+    → scalar score. SQL-checkable (pure arithmetic on counts)."""
+    stop = "the a and of to in is for on with"
+
+    ds = _docs(sf_dir)
+    stopset = frozenset(stop.split())
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        toks = s.str.lower().str.split()
+        n_tokens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        n_stop = toks.map(lambda ws: sum(w in stopset for w in ws) if ws else 0).to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+        # score: documents with some stopwords and 3..50 tokens look "natural"
+        score = np.where((n_tokens >= 3) & (n_tokens <= 1000), 0.5, 0.0) + np.minimum(stop_ratio * 2.0, 0.5)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "stop_ratio": pa.array(_round(stop_ratio), pa.float64()),
+                "quality": pa.array(_round(score), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.map_batches(score, batch_format="pyarrow").take_all())
+
+
+SQL_QUALITY_SCORE = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+              w -> list_contains(['the','a','and','of','to','in','is','for','on','with'], w))) END AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END, 6) AS stop_ratio,
+  ROUND(CASE WHEN n_tokens BETWEEN 3 AND 1000 THEN 0.5 ELSE 0.0 END
+        + least((CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 2.0, 0.5), 6) AS quality
+FROM t
+"""
+
+
+# ---- rows-only: sketch-based near-dup + language id ----
+
+_SHINGLE_K = 5
+_N_HASHES = 64
+_N_BANDS = 16  # 4 rows per band
+
+
+def _minhash_batch(texts: list[str], seed: int = 7) -> np.ndarray:
+    """(n_docs, N_HASHES) MinHash signatures over k-character shingles,
+    vectorized per doc with one polynomial hash family."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**61 - 1, _N_HASHES, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 2**61 - 1, _N_HASHES, dtype=np.int64).astype(np.uint64)
+    sigs = np.full((len(texts), _N_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, text in enumerate(texts):
+        if len(text) < _SHINGLE_K:
+            sh = np.array([hash(text) & 0xFFFFFFFFFFFF], dtype=np.uint64)
+        else:
+            view = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+            if view.size < _SHINGLE_K:
+                sh = np.array([0], dtype=np.uint64)
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(view, _SHINGLE_K).astype(np.uint64)
+                weights = np.uint64(257) ** np.arange(_SHINGLE_K, dtype=np.uint64)
+                sh = np.unique((w * weights).sum(axis=1))
+        hv = (sh[:, None] * a[None, :] + b[None, :])  # wrapping uint64
+        sigs[i] = hv.min(axis=0)
+    return sigs
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-duplicate candidate pairs verified by signature
+    Jaccard >= 0.5. Shape: shingle→minhash per batch (map_batches) → explode
+    to (band, band_hash, doc_id) → groupby(band, band_hash) → pairs →
+    verify. Rows-only oracle (sketches aren't SQL)."""
+    import ray.data as rd
+
+    ds = _docs(sf_dir)
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        sigs = _minhash_batch(t["text"].to_pylist())
+        n = sigs.shape[0]
+        rows_per_band = _N_HASHES // _N_BANDS
+        band_view = sigs.reshape(n, _N_BANDS, rows_per_band)
+        mix = np.uint64(0x9E3779B97F4A7C15) ** np.arange(1, rows_per_band + 1, dtype=np.uint64)
+        band_hash = (band_view * mix[None, None, :]).sum(axis=2, dtype=np.uint64)  # (n, B)
+        band_hash ^= np.arange(_N_BANDS, dtype=np.uint64)[None, :]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), _N_BANDS), pa.int64()),
+                "band": pa.array(np.tile(np.arange(_N_BANDS), n), pa.int64()),
+                "band_hash": pa.array(band_hash.ravel(), pa.uint64()),
+                "sig": pa.array(list(np.repeat(sigs, _N_BANDS, axis=0))),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        if ids.size < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "sig_jaccard": pa.array([], pa.float64())})
+        sigs = np.stack([np.asarray(s) for s in group["sig"].to_pylist()])
+        uniq, idx = np.unique(ids, return_index=True)
+        out_a, out_b, out_j = [], [], []
+        for x in range(uniq.size):
+            for y in range(x + 1, uniq.size):
+                j = float((sigs[idx[x]] == sigs[idx[y]]).mean())
+                if j >= 0.5:
+                    out_a.append(int(uniq[x]))
+                    out_b.append(int(uniq[y]))
+                    out_j.append(j)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()), "sig_jaccard": pa.array(out_j, pa.float64())})
+
+    pairs = (
+        ds.map_batches(sig_batch, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    ).take_all()
+    if not pairs:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "sig_jaccard": pa.array([], pa.float64())})
+    t = pa.Table.from_pylist(pairs)
+    df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    df["sig_jaccard"] = _round(df["sig_jaccard"].to_numpy())
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document over whitespace tokens (rows-only)."""
+    ds = _docs(sf_dir)
+
+    def sim(t: pa.Table) -> pa.Table:
+        out = np.zeros(t.num_rows, dtype=np.uint64)
+        for i, text in enumerate(t["text"].to_pylist()):
+            toks = text.split()
+            if not toks:
+                continue
+            h = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            out[i] = np.uint64(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        # signed view: survives list-of-dicts / parquet round-trips losslessly
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out.view(np.int64), pa.int64())})
+
+    return pa.Table.from_pylist(ds.map_batches(sim, batch_format="pyarrow").take_all())
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword/character-heuristic language ID (rows-only; the table carries
+    a ``lang`` column but the heuristic is the deliverable)."""
+    markers = {
+        "en": {"the", "and", "of", "to", "a", "in", "is"},
+        "de": {"der", "die", "das", "und", "ist", "nicht"},
+        "fr": {"le", "la", "les", "et", "est", "une"},
+        "es": {"el", "los", "las", "es", "una"},
+    }
+    ds = _docs(sf_dir)
+
+    def lang(t: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for text in t["text"].to_pylist():
+            toks = set(text.lower().split())
+            best, best_n = "unknown", 0
+            for code, ms in markers.items():
+                n = len(toks & ms)
+                if n > best_n:
+                    best, best_n = code, n
+            preds.append(best)
+            scores.append(best_n)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "predicted_lang": pa.array(preds, pa.string()),
+                "marker_hits": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.map_batches(lang, batch_format="pyarrow").take_all())
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact 5-gram Jaccard for the MinHash candidate pairs (verification
+    stage of the near-dup pipeline; rows-only)."""
+    cands = q_minhash_neardup(sf_dir)
+    if cands.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+
+    def shingles(s: str) -> set:
+        return {s[i : i + _SHINGLE_K] for i in range(max(len(s) - _SHINGLE_K + 1, 1))}
+
+    ja = []
+    for a, b in zip(cands["doc_a"].to_pylist(), cands["doc_b"].to_pylist()):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        ja.append(len(sa & sb) / max(len(sa | sb), 1))
+    return pa.table(
+        {
+            "doc_a": cands["doc_a"],
+            "doc_b": cands["doc_b"],
+            "jaccard": pa.array(_round(np.asarray(ja)), pa.float64()),
+        }
+    )

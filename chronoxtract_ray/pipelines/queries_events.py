@@ -1,0 +1,686 @@
+"""Driver-checkable queries over the ``events`` table (time-series family).
+
+Each entry pairs a Ray Data implementation with an ANSI-SQL oracle DuckDB can
+run on the same parquet (views pre-registered by the driver). Column names
+and float rounding (6 dp, half-away-from-zero — DuckDB ROUND semantics) match
+exactly between the two sides; rows that would be NULL/NaN (too-short
+windows) are filtered on BOTH sides so the order-insensitive value hash is
+well-defined.
+
+conv_id ≡ user_id here: the events stream is the transcript stand-in the
+driver ships (TESTDATA.md); the engine's own transcript pipeline is exercised
+by tests/ and bench.py on the deterministic synthetic table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from chronoxtract_ray.kernels.windowed import FeatureSpec, compute_windowed_features
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+ROUND = 6
+
+_WS = "((epoch_us(ts) // 3600000000) * 3600000000)"
+_WD = "((epoch_us(ts) // 86400000000) * 86400000000)"
+
+
+def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
+    """Half-away-from-zero rounding (DuckDB ROUND semantics)."""
+    scale = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _events(sf_dir: str, columns=("user_id", "ts", "value", "event_id")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+
+
+def _prep(batch: pa.Table) -> pa.Table:
+    """events → (user_id, ts_us, value, turn int64) map_batches prep."""
+    return pa.table(
+        {
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+            "turn": batch["event_id"],
+        }
+    )
+
+
+def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
+    """groupby(user).map_groups over prepped events with the fused kernel.
+
+    At sf scale one group per user is fine (≤ thousands of rows); the
+    transcript pipeline uses the salted (conv, bucket) variant."""
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        val = group["value"].to_numpy()
+        turn = group["turn"].to_numpy()
+        order = np.lexsort((turn, ts))
+        out = compute_windowed_features(ts[order], val[order], width_us, spec)
+        n = out["window_start"].size
+        cols = {"user_id": pa.array(np.repeat(group["user_id"][0].as_py(), n), pa.int64())}
+        for key, arr in out.items():
+            cols[key] = pa.array(arr)
+        return pa.table(cols)
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pyarrow")
+
+
+_MOMENT_SPEC = FeatureSpec(order_stats=True, entropy=False, fft=False, shape=True, hjorth=True)
+
+
+def q_window_moments(sf_dir: str):
+    t = _windowed(sf_dir, _MOMENT_SPEC).take_all()
+    tbl = pa.Table.from_pylist(t)
+    out = {
+        "user_id": tbl["user_id"].to_numpy(),
+        "window_start": tbl["window_start"].to_numpy(),
+        "n": tbl["n_turns"].to_numpy(),
+    }
+    for name, col in (
+        ("mean", "mean"),
+        ("variance", "variance"),
+        ("vmin", "min"),
+        ("vmax", "max"),
+        ("vrange", "range"),
+        ("vsum", "sum"),
+        ("energy", "energy"),
+    ):
+        out[name] = _round(tbl[col].to_numpy())
+    return pa.table(out)
+
+
+SQL_WINDOW_MOMENTS = f"""
+SELECT user_id, {_WS} AS window_start, count(*) AS n,
+  ROUND(avg(value), 6) AS mean,
+  ROUND(avg(value*value) - avg(value)*avg(value), 6) AS variance,
+  ROUND(min(value), 6) AS vmin, ROUND(max(value), 6) AS vmax,
+  ROUND(max(value) - min(value), 6) AS vrange,
+  ROUND(sum(value), 6) AS vsum, ROUND(sum(value*value), 6) AS energy
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_skew_kurt(sf_dir: str):
+    """Skewness/kurtosis per window. Restricted to windows with n >= 8 and
+    variance > 1e-6: below that the raw-moment cancellation noise differs
+    between engines (the reference's own sigma-gate behavior at
+    src/stats/mod.rs:49 is as arithmetic-order-sensitive) so there is no
+    well-defined cross-engine value to compare."""
+    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    skew = t["skewness"].to_numpy()
+    keep = (~np.isnan(skew)) & (t["variance"].to_numpy() > 1e-6) & (t["n_turns"].to_numpy() >= 8)
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy()[keep],
+            "window_start": t["window_start"].to_numpy()[keep],
+            "skewness": _round(skew[keep]),
+            "kurtosis": _round(t["kurtosis"].to_numpy()[keep]),
+        }
+    )
+
+
+SQL_WINDOW_SKEW_KURT = f"""
+WITH m AS (
+  SELECT user_id, {_WD} AS window_start, count(*) AS n,
+    avg(value) m1, avg(value*value) m2, avg(value*value*value) m3,
+    avg(value*value*value*value) m4
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, window_start,
+  ROUND((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 6) AS skewness,
+  ROUND((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / pow(m2 - m1*m1, 2) - 3, 6) AS kurtosis
+FROM m WHERE m2 - m1*m1 > 1e-6 AND n >= 8
+"""
+
+
+def q_window_quantiles(sf_dir: str):
+    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC).take_all())
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy(),
+            "window_start": t["window_start"].to_numpy(),
+            "median": _round(t["median"].to_numpy()),
+            "q05": _round(t["q05"].to_numpy()),
+            "q25": _round(t["q25"].to_numpy()),
+            "q75": _round(t["q75"].to_numpy()),
+            "q95": _round(t["q95"].to_numpy()),
+        }
+    )
+
+
+SQL_WINDOW_QUANTILES = f"""
+SELECT user_id, {_WS} AS window_start,
+  ROUND(quantile_cont(value, 0.5), 6) AS median,
+  ROUND(quantile_cont(value, 0.05), 6) AS q05,
+  ROUND(quantile_cont(value, 0.25), 6) AS q25,
+  ROUND(quantile_cont(value, 0.75), 6) AS q75,
+  ROUND(quantile_cont(value, 0.95), 6) AS q95
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_mode(sf_dir: str):
+    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC).take_all())
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy(),
+            "window_start": t["window_start"].to_numpy(),
+            "mode": _round(t["mode"].to_numpy()),
+        }
+    )
+
+
+SQL_WINDOW_MODE = f"""
+WITH c AS (
+  SELECT user_id, {_WS} AS window_start, value, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, window_start
+            ORDER BY cnt DESC, value ASC) AS rn
+  FROM c
+)
+SELECT user_id, window_start, ROUND(value, 6) AS mode FROM r WHERE rn = 1
+"""
+
+
+def q_slope_features(sf_dir: str):
+    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    keep = t["n_turns"].to_numpy() >= 2
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy()[keep],
+            "window_start": t["window_start"].to_numpy()[keep],
+            "mean_slope": _round(t["mean_slope"].to_numpy()[keep]),
+            "slope_variance": _round(t["slope_variance"].to_numpy()[keep]),
+            "max_slope_abs": _round(t["max_slope_abs"].to_numpy()[keep]),
+        }
+    )
+
+
+SQL_SLOPE_FEATURES = f"""
+WITH d AS (
+  SELECT user_id, {_WD} AS window_start,
+    value - lag(value) OVER (PARTITION BY user_id, {_WD}
+                             ORDER BY ts, event_id) AS dv
+  FROM events
+)
+SELECT user_id, window_start,
+  ROUND(avg(dv), 6) AS mean_slope,
+  ROUND(avg(dv*dv) - avg(dv)*avg(dv), 6) AS slope_variance,
+  ROUND(max(abs(dv)), 6) AS max_slope_abs
+FROM d WHERE dv IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_hjorth(sf_dir: str):
+    """Hjorth parameters per daily window. Restricted to windows whose signal
+    and first-difference variances clear 1e-6: below that, E[x^2]-E[x]^2
+    cancellation noise differs between engines and the mobility/complexity
+    ratios have no well-defined cross-engine value."""
+    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    keep = (
+        (t["n_turns"].to_numpy() >= 3)
+        & (t["hjorth_activity"].to_numpy() > 1e-6)
+        & (t["slope_variance"].to_numpy() > 1e-6)  # = var of first differences
+    )
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy()[keep],
+            "window_start": t["window_start"].to_numpy()[keep],
+            "activity": _round(t["hjorth_activity"].to_numpy()[keep]),
+            "mobility": _round(t["hjorth_mobility"].to_numpy()[keep]),
+            "complexity": _round(t["hjorth_complexity"].to_numpy()[keep]),
+        }
+    )
+
+
+SQL_HJORTH = f"""
+WITH base AS (
+  SELECT user_id, {_WD} AS window_start, value,
+    row_number() OVER (PARTITION BY user_id, {_WD} ORDER BY ts, event_id) AS rn
+  FROM events
+), d1 AS (
+  SELECT *, value - lag(value) OVER (PARTITION BY user_id, window_start ORDER BY rn) AS dv
+  FROM base
+), d2 AS (
+  SELECT *, dv - lag(dv) OVER (PARTITION BY user_id, window_start ORDER BY rn) AS ddv
+  FROM d1
+), agg AS (
+  SELECT user_id, window_start,
+    count(value) AS n,
+    avg(value*value) - avg(value)*avg(value) AS act,
+    avg(dv*dv) FILTER (WHERE dv IS NOT NULL)
+      - avg(dv) FILTER (WHERE dv IS NOT NULL) * avg(dv) FILTER (WHERE dv IS NOT NULL) AS dvar,
+    avg(ddv*ddv) FILTER (WHERE ddv IS NOT NULL)
+      - avg(ddv) FILTER (WHERE ddv IS NOT NULL) * avg(ddv) FILTER (WHERE ddv IS NOT NULL) AS ddvar
+  FROM d2 GROUP BY 1, 2
+)
+SELECT user_id, window_start,
+  ROUND(act, 6) AS activity,
+  ROUND(CASE WHEN act > 0 THEN sqrt(greatest(dvar, 0)/act) ELSE 0 END, 6) AS mobility,
+  ROUND(CASE WHEN dvar > 0 AND (CASE WHEN act > 0 THEN sqrt(greatest(dvar,0)/act) ELSE 0 END) > 0
+        THEN sqrt(greatest(ddvar, 0)/dvar) / sqrt(greatest(dvar,0)/act)
+        ELSE 1.0 END, 6) AS complexity
+FROM agg WHERE n >= 3 AND act > 1e-6 AND dvar > 1e-6
+"""
+
+
+def q_rolling_mean(sf_dir: str):
+    """Rolling mean window=5 per user, full windows only (reference
+    rolling_mean semantics: output length n-w+1, src/rollingstats/mod.rs:6-19)."""
+    import pyarrow as pa
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        turn = group["turn"].to_numpy()
+        val = group["value"].to_numpy()
+        order = np.lexsort((turn, ts))
+        val, turn_s = val[order], turn[order]
+        w = 5
+        if val.size < w:
+            return pa.table({"user_id": pa.array([], pa.int64()), "event_id": pa.array([], pa.int64()), "rmean": pa.array([], pa.float64())})
+        c = np.concatenate(([0.0], np.cumsum(val)))
+        rm = (c[w:] - c[:-w]) / w
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(group["user_id"][0].as_py(), rm.size), pa.int64()),
+                "event_id": pa.array(turn_s[w - 1 :], pa.int64()),
+                "rmean": pa.array(_round(rm), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+SQL_ROLLING_MEAN = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rmean
+  FROM events
+)
+SELECT user_id, event_id, ROUND(rmean, 6) AS rmean FROM o WHERE rn >= 5
+"""
+
+
+def q_expanding_sum(sf_dir: str):
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        turn = group["turn"].to_numpy()
+        val = group["value"].to_numpy()
+        order = np.lexsort((turn, ts))
+        es = np.cumsum(val[order])
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(group["user_id"][0].as_py(), es.size), pa.int64()),
+                "event_id": pa.array(turn[order], pa.int64()),
+                "esum": pa.array(_round(es), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+SQL_EXPANDING_SUM = """
+SELECT user_id, event_id,
+  ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS esum
+FROM events
+"""
+
+
+def q_turning_points(sf_dir: str):
+    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    keep = t["n_turns"].to_numpy() >= 3
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy()[keep],
+            "window_start": t["window_start"].to_numpy()[keep],
+            "tp": t["turning_points"].to_numpy()[keep].astype(np.int64),
+            "tp_rate": _round(t["turning_point_rate"].to_numpy()[keep]),
+        }
+    )
+
+
+SQL_TURNING_POINTS = f"""
+WITH o AS (
+  SELECT user_id, {_WD} AS window_start, value,
+    lag(value)  OVER (PARTITION BY user_id, {_WD} ORDER BY ts, event_id) AS pv,
+    lead(value) OVER (PARTITION BY user_id, {_WD} ORDER BY ts, event_id) AS nv
+  FROM events
+), agg AS (
+  SELECT user_id, window_start, count(*) AS n,
+    count(*) FILTER (WHERE (value > pv AND value > nv) OR (value < pv AND value < nv)) AS tp
+  FROM o GROUP BY 1, 2
+)
+SELECT user_id, window_start, tp, ROUND(tp::DOUBLE / (n - 2), 6) AS tp_rate
+FROM agg WHERE n >= 3
+"""
+
+
+def q_gap_filled_hourly(sf_dir: str):
+    """Hourly mean series per user, gaps linearly interpolated — the engine's
+    gap-fill stage over events (oracle: generate_series + IGNORE NULLS)."""
+    from chronoxtract_ray.stages.cascade import gap_fill_group
+
+    t = pa.Table.from_pylist(_windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)).take_all())
+    out_users, out_ws, out_mean, out_gap = [], [], [], []
+    df = t.to_pandas()
+    for uid, g in df.groupby("user_id"):
+        sub = pa.table(
+            {
+                "conv_id": pa.array([str(uid)] * len(g), pa.string()),
+                "window_start": pa.array(g["window_start"].to_numpy(), pa.int64()),
+                "mean": pa.array(g["mean"].to_numpy(), pa.float64()),
+                "n_turns": pa.array(g["n_turns"].to_numpy(), pa.int64()),
+                "min": pa.array(g["min"].to_numpy(), pa.float64()),
+            }
+        )
+        filled = gap_fill_group(sub, HOUR_US)
+        out_users.extend([uid] * filled.num_rows)
+        out_ws.append(filled["window_start"].to_numpy())
+        out_mean.append(filled["mean"].to_numpy())
+        out_gap.append(filled["gap_filled"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "user_id": pa.array(out_users, pa.int64()),
+            "window_start": pa.array(np.concatenate(out_ws), pa.int64()),
+            "mean_filled": pa.array(_round(np.concatenate(out_mean)), pa.float64()),
+            "gap_filled": pa.array(np.concatenate(out_gap).astype(bool)),
+        }
+    )
+
+
+SQL_GAP_FILLED_HOURLY = f"""
+WITH hw AS (
+  SELECT user_id, {_WS} AS ws, avg(value) AS mean FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(ws) AS lo, max(ws) AS hi FROM hw GROUP BY 1
+), grid AS (
+  SELECT b.user_id, unnest(generate_series(b.lo, b.hi, 3600000000)) AS ws FROM bounds b
+), j AS (
+  SELECT g.user_id, g.ws, h.mean FROM grid g LEFT JOIN hw h ON g.user_id = h.user_id AND g.ws = h.ws
+), ctx AS (
+  SELECT user_id, ws, mean,
+    last_value(mean IGNORE NULLS) OVER w1 AS pm,
+    last_value(CASE WHEN mean IS NOT NULL THEN ws END IGNORE NULLS) OVER w1 AS pw,
+    first_value(mean IGNORE NULLS) OVER w2 AS nm,
+    first_value(CASE WHEN mean IS NOT NULL THEN ws END IGNORE NULLS) OVER w2 AS nw
+  FROM j
+  WINDOW w1 AS (PARTITION BY user_id ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY ws ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ws AS window_start,
+  ROUND(CASE WHEN mean IS NOT NULL THEN mean
+        ELSE pm + (nm - pm) * (ws - pw)::DOUBLE / (nw - pw) END, 6) AS mean_filled,
+  (mean IS NULL) AS gap_filled
+FROM ctx
+"""
+
+
+def q_tier_cascade_1h(sf_dir: str):
+    """1m rollup then 1h re-aggregate: point-series mean-of-means AND exact
+    merged mean — the cascade semantics, SQL-checkable."""
+    minute = 60_000_000
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+    spec = FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        val = group["value"].to_numpy()
+        turn = group["turn"].to_numpy()
+        order = np.lexsort((turn, ts))
+        out = compute_windowed_features(ts[order], val[order], minute, spec)
+        # cascade to 1h in-group (events per user are small; the transcript
+        # pipeline uses the distributed cascade stage)
+        ws = out["window_start"]
+        hw = (ws // HOUR_US) * HOUR_US
+        b = np.flatnonzero(hw[1:] != hw[:-1]) + 1
+        st = np.concatenate(([0], b))
+        en = np.concatenate((b, [ws.size]))
+        cs = np.concatenate(([0.0], np.cumsum(out["mean"])))
+        pts_mean = (cs[en] - cs[st]) / (en - st)
+        csum = np.concatenate(([0.0], np.cumsum(out["sum"])))
+        cn = np.concatenate(([0.0], np.cumsum(out["n_turns"].astype(np.float64))))
+        merged_mean = (csum[en] - csum[st]) / (cn[en] - cn[st])
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(group["user_id"][0].as_py(), st.size), pa.int64()),
+                "window_start": pa.array(hw[st], pa.int64()),
+                "mean_of_minute_means": pa.array(_round(pts_mean), pa.float64()),
+                "merged_mean": pa.array(_round(merged_mean), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+SQL_TIER_CASCADE_1H = """
+WITH m AS (
+  SELECT user_id,
+    (epoch_us(ts) // 60000000) * 60000000 AS mw,
+    avg(value) AS mmean, sum(value) AS msum, count(*) AS mn
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, (mw // 3600000000) * 3600000000 AS window_start,
+  ROUND(avg(mmean), 6) AS mean_of_minute_means,
+  ROUND(sum(msum) / sum(mn), 6) AS merged_mean
+FROM m GROUP BY 1, 2
+"""
+
+
+def q_fvar_per_user(sf_dir: str):
+    """Fractional variability per user with unit errors (kernel parity:
+    src/misc/frac.rs:12-47; sample variance, <err^2> = 1)."""
+    from chronoxtract_ray.kernels.variability import fractional_variability, fractional_variability_error
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        val = np.abs(group["value"].to_numpy())  # flux must be non-negative
+        err = np.ones_like(val)
+        if val.size < 2:
+            return pa.table({"user_id": pa.array([], pa.int64()), "fvar": pa.array([], pa.float64()), "fvar_err": pa.array([], pa.float64())})
+        fv = fractional_variability(val, err)
+        fe = fractional_variability_error(val, err)
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "fvar": pa.array(_round(np.array([fv])), pa.float64()),
+                "fvar_err": pa.array(_round(np.array([fe])), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+SQL_FVAR_PER_USER = """
+WITH s AS (
+  SELECT user_id, count(*) AS n, avg(abs(value)) AS mf,
+    var_samp(abs(value)) AS v
+  FROM events GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT user_id,
+  ROUND(CASE WHEN v <= 1.0 THEN 0.0 ELSE sqrt(v - 1.0) / mf END, 6) AS fvar,
+  ROUND(CASE WHEN v <= 1.0 THEN 0.0 ELSE
+    sqrt( pow(sqrt(1.0/(2*n)) * 1.0 / (mf*mf*(sqrt(v - 1.0)/mf)), 2)
+        + pow(sqrt(1.0/n) / mf, 2) ) END, 6) AS fvar_err
+FROM s
+"""
+
+
+def q_top_energy_windows(sf_dir: str):
+    """Global top-20 (user, hour) windows by energy — sort/limit family."""
+    t = pa.Table.from_pylist(_windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)).take_all())
+    df = t.to_pandas().sort_values(["energy", "user_id", "window_start"], ascending=[False, True, True]).head(20)
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "window_start": pa.array(df["window_start"].to_numpy(), pa.int64()),
+            "energy": pa.array(_round(df["energy"].to_numpy()), pa.float64()),
+        }
+    )
+
+
+SQL_TOP_ENERGY_WINDOWS = f"""
+SELECT user_id, {_WS} AS window_start, ROUND(sum(value*value), 6) AS energy
+FROM events GROUP BY 1, 2
+ORDER BY sum(value*value) DESC, user_id ASC, window_start ASC LIMIT 20
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    """Plain grouped aggregate (warm-up sanity query)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Mean, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="vsum"), Mean("value", alias_name="vmean"), Max("value", alias_name="vmax"))
+        .take_all()
+    )
+    t = pa.Table.from_pylist(out)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "n": t["n"].cast(pa.int64()),
+            "vsum": pa.array(_round(t["vsum"].to_numpy()), pa.float64()),
+            "vmean": pa.array(_round(t["vmean"].to_numpy()), pa.float64()),
+            "vmax": pa.array(_round(t["vmax"].to_numpy()), pa.float64()),
+        }
+    )
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n, ROUND(sum(value), 6) AS vsum,
+  ROUND(avg(value), 6) AS vmean, ROUND(max(value), 6) AS vmax
+FROM events GROUP BY 1
+"""
+
+
+def q_gorilla_roundtrip(sf_dir: str):
+    """Encode each user's hourly means with Gorilla, decode, return points —
+    the oracle is the plain hourly means (codec is bit-exact)."""
+    from chronoxtract_ray.state import gorilla
+
+    t = pa.Table.from_pylist(_windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)).take_all())
+    df = t.to_pandas().sort_values(["user_id", "window_start"])
+    users, ws, vals = [], [], []
+    for uid, g in df.groupby("user_id"):
+        w = g["window_start"].to_numpy()
+        m = g["mean"].to_numpy()
+        dec_w = gorilla.decode_timestamps(gorilla.encode_timestamps(w))
+        dec_v = gorilla.decode_values(gorilla.encode_values(m))
+        users.extend([uid] * len(g))
+        ws.append(dec_w)
+        vals.append(dec_v)
+    return pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "window_start": pa.array(np.concatenate(ws), pa.int64()),
+            "mean": pa.array(_round(np.concatenate(vals)), pa.float64()),
+        }
+    )
+
+
+SQL_GORILLA_ROUNDTRIP = f"""
+SELECT user_id, {_WS} AS window_start, ROUND(avg(value), 6) AS mean
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---- rows-only queries (no SQL-expressible oracle) ----
+
+
+def q_entropy_features(sf_dir: str):
+    """Sample/approximate/permutation entropy per (user, hour) window —
+    O(n^2) template matching isn't SQL-expressible; driver records rows-only."""
+    spec = FeatureSpec(order_stats=False, fft=False, shape=False, hjorth=False, entropy=True)
+    t = pa.Table.from_pylist(_windowed(sf_dir, spec, DAY_US).take_all())
+    keep = ~np.isnan(t["sample_entropy"].to_numpy())
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy()[keep],
+            "window_start": t["window_start"].to_numpy()[keep],
+            "sample_entropy": _round(t["sample_entropy"].to_numpy()[keep]),
+            "approx_entropy": _round(t["approx_entropy"].to_numpy()[keep]),
+            "permutation_entropy": _round(t["permutation_entropy"].to_numpy()[keep]),
+        }
+    )
+
+
+def q_fft_bands(sf_dir: str):
+    spec = FeatureSpec(order_stats=False, fft=True, shape=False, hjorth=False, entropy=False)
+    t = pa.Table.from_pylist(_windowed(sf_dir, spec, DAY_US).take_all())
+    return pa.table(
+        {
+            "user_id": t["user_id"].to_numpy(),
+            "window_start": t["window_start"].to_numpy(),
+            "band0": _round(t["fft_band_energy_0"].to_numpy()),
+            "band1": _round(t["fft_band_energy_1"].to_numpy()),
+            "band2": _round(t["fft_band_energy_2"].to_numpy()),
+            "band3": _round(t["fft_band_energy_3"].to_numpy()),
+        }
+    )
+
+
+def q_ema(sf_dir: str):
+    """EMA(alpha=0.3) per user (order-dependent scan; rows-only check)."""
+    from chronoxtract_ray.kernels.rolling import exponential_moving_average
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        turn = group["turn"].to_numpy()
+        val = group["value"].to_numpy()
+        order = np.lexsort((turn, ts))
+        ema = exponential_moving_average(val[order], 0.3)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(group["user_id"][0].as_py(), ema.size), pa.int64()),
+                "event_id": pa.array(turn[order], pa.int64()),
+                "ema": pa.array(_round(ema), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+def q_lomb_scargle(sf_dir: str):
+    """Peak Lomb-Scargle frequency per user over the irregular event series."""
+    from chronoxtract_ray.kernels.fda import lomb_scargle
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+    freqs = np.linspace(1e-6, 5e-5, 64)  # cycles per second over ~day spans
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy() / 1e6
+        val = group["value"].to_numpy()
+        order = np.argsort(ts, kind="stable")
+        if ts.size < 4:
+            return pa.table({"user_id": pa.array([], pa.int64()), "peak_freq": pa.array([], pa.float64()), "peak_power": pa.array([], pa.float64())})
+        p = lomb_scargle(ts[order], val[order] - val.mean(), freqs)
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "peak_freq": pa.array(_round(np.array([freqs[int(np.argmax(p))]]), 9), pa.float64()),
+                "peak_power": pa.array(_round(np.array([float(p.max())])), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())

@@ -1,0 +1,208 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+Brute-force cosine top-k is the baseline and SQL-checkable (DuckDB
+``list_cosine_similarity`` on DOUBLE[]); the LSH-bucketed variant is the
+scale path (rows-only). Query vectors are broadcast once with ``ray.put``
+and read inside every map_batches task — no shuffle (ray_guide.md joins
+section)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+ROUND = 6
+
+
+def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
+    scale = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy()
+    # list<float> → (n, d) float64; combine_chunks for a contiguous view
+    col = t["embedding"].combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    d = flat.size // ids.size
+    return ids, flat.reshape(ids.size, d)
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-5 neighbors (excluding self) for query vectors
+    vec_id < N_QUERIES: per-batch matmul against the broadcast query matrix,
+    then a tiny driver-side merge of per-batch partial top-ks."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pa.compute.less(qt["vec_id"], N_QUERIES))
+    q_ids, Q = _to_matrix(qt)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        qids, qn = ray.get(q_ref)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ qn.T  # (n, q)
+        k = min(TOP_K + 1, ids.size)  # +1 in case self is in this batch
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
+        rows = []
+        for j in range(qids.size):
+            for i in top[:, j]:
+                rows.append((int(qids[j]), int(ids[i]), float(sims[i, j])))
+        arr = np.array(rows, dtype=np.float64).reshape(-1, 3)
+        return pa.table(
+            {
+                "query_id": pa.array(arr[:, 0].astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(arr[:, 1].astype(np.int64), pa.int64()),
+                "cosine": pa.array(arr[:, 2], pa.float64()),
+            }
+        )
+
+    partial = pa.Table.from_pylist(_emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all())
+    df = partial.to_pandas()
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(TOP_K)
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
+            "neighbor_id": pa.array(df["neighbor_id"].to_numpy(), pa.int64()),
+            "cosine": pa.array(_round(df["cosine"].to_numpy()), pa.float64()),
+        }
+    )
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cosine
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM r WHERE rn <= {TOP_K}
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """All pairs with cosine > 0.93 (embedding near-dup detection). Exact
+    per-batch matmul vs the broadcast full matrix — O(n^2/batch) but
+    embarrassingly parallel; SQL oracle via cross join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids, A = _to_matrix(full)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    ref = ray.put((all_ids, An))
+    thresh = 0.40  # the synthetic embeddings top out near 0.5 cosine
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        aids, an = ray.get(ref)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ an.T
+        ii, jj = np.nonzero(sims > thresh)
+        keep = ids[ii] < aids[jj]  # each unordered pair once
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii][keep], pa.int64()),
+                "vec_b": pa.array(aids[jj][keep], pa.int64()),
+                "cosine": pa.array(_round(sims[ii, jj][keep]), pa.float64()),
+            }
+        )
+
+    rows = _emb(sf_dir).map_batches(pairs, batch_format="pyarrow").take_all()
+    if not rows:
+        return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+    return pa.Table.from_pylist(rows)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.40
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    """Approximate top-5 via random-hyperplane LSH buckets (6 planes, probe
+    own bucket + all Hamming<=2 neighbors → ~1/3 of the corpus scanned).
+    Rows-only — approximate by design; recall vs brute force is asserted in
+    tests (>=0.5 at this parameterization)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    import ray
+
+    n_planes = 6
+    rng = np.random.default_rng(42)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qfil = qt.filter(pa.compute.less(qt["vec_id"], N_QUERIES))
+    q_ids, Q = _to_matrix(qfil)
+    dim = Q.shape[1]
+    planes = rng.standard_normal((dim, n_planes))
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_codes = ((Qn @ planes) > 0).astype(np.uint32) @ (1 << np.arange(n_planes, dtype=np.uint32))
+    probe = {}
+    for i, q in enumerate(q_ids):
+        ps = {int(q_codes[i])}
+        for r in (1, 2):
+            for bits in itertools.combinations(range(n_planes), r):
+                x = int(q_codes[i])
+                for b in bits:
+                    x ^= 1 << b
+                ps.add(x)
+        probe[int(q)] = ps
+    ref = ray.put((q_ids, Qn, planes, probe))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        qids, qn, pl, pr = ray.get(ref)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        codes = ((Mn @ pl) > 0).astype(np.uint32) @ (1 << np.arange(pl.shape[1], dtype=np.uint32))
+        rows = []
+        for j, q in enumerate(qids):
+            cand = np.isin(codes, np.fromiter(pr[int(q)], dtype=np.uint32))
+            if not cand.any():
+                continue
+            sims = Mn[cand] @ qn[j]
+            cids = ids[cand]
+            k = min(TOP_K + 1, sims.size)
+            top = np.argpartition(-sims, k - 1)[:k]
+            for i in top:
+                rows.append((int(q), int(cids[i]), float(sims[i])))
+        if not rows:
+            return pa.table({"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+        arr = np.array(rows)
+        return pa.table(
+            {
+                "query_id": pa.array(arr[:, 0].astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(arr[:, 1].astype(np.int64), pa.int64()),
+                "cosine": pa.array(arr[:, 2], pa.float64()),
+            }
+        )
+
+    partial = pa.Table.from_pylist(_emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all())
+    df = partial.to_pandas()
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(TOP_K)
+    df["cosine"] = _round(df["cosine"].to_numpy())
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare against its oracle_sql() via DuckDB — row count,
+column names, and order-insensitive value equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any():
+            df[c] = df[c].map(lambda b: b.hex() if isinstance(b, (bytes, bytearray)) else b)
+        if str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _compare(name, ray_result, sql, con):
+    got = ray_result.to_pandas() if not isinstance(ray_result, pd.DataFrame) else ray_result
+    exp = con.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        gv, ev = g[c].to_numpy(), e[c].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            ok = np.isclose(gv.astype(float), ev.astype(float), rtol=0, atol=2e-6, equal_nan=True)
+        else:
+            ok = gv == ev
+        assert ok.all() if hasattr(ok, "all") else ok, (
+            f"{name}.{c}: first mismatch at {np.argmin(ok)}: "
+            f"{gv[np.argmin(ok)]} vs {ev[np.argmin(ok)]}"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "window_moments",
+        "window_skew_kurt",
+        "window_quantiles",
+        "window_mode",
+        "slope_features",
+        "hjorth",
+        "turning_points",
+        "rolling_mean",
+        "expanding_sum",
+        "gap_filled_hourly",
+        "tier_cascade_1h",
+        "gorilla_roundtrip",
+        "fvar_per_user",
+        "top_energy_windows",
+        "event_type_stats",
+        "dedup_exact",
+        "doc_fingerprint",
+        "token_stats",
+        "quality_score",
+        "knn_bruteforce",
+        "embedding_neardup",
+    ],
+)
+def test_query_matches_oracle(entrymod, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    _compare(name, q(SF), sql, duck)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ema", "lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash", "lang_id", "ngram_jaccard_pairs", "knn_lsh"],
+)
+def test_rows_only_queries_run(entrymod, name):
+    res = entrymod.queries()[name](SF)
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    assert df.shape[1] >= 2
+
+
+def test_knn_lsh_recall_vs_bruteforce(entrymod):
+    exact = entrymod.queries()["knn_bruteforce"](SF).to_pandas()
+    approx = entrymod.queries()["knn_lsh"](SF).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_entry_smoke(entrymod):
+    df = entrymod.entry()
+    assert len(df) > 0
+    assert "mean" in df.columns and "conv_id" in df.columns
