@@ -1,0 +1,156 @@
+"""Benchmark driver: headline transcript rollup + representative queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": T, "throughput_turns_per_s": ...}
+
+Headline = the flagship pipeline: deterministic synthetic transcript table
+(FIXTURES.md §1; cached under /tmp, generation untimed) → derive → salted
+windowed rollup (full feature set) → 1m → 1h → 1d cascade with gap-fill →
+Gorilla chunk encode → partitioned checkpointed Parquet.
+
+`--scaling`: runs the same headline in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (sandbox stand-in for N vs 4N nodes) and reports
+both throughputs + scaling efficiency.
+
+Owns its Ray session (bench is a standalone script, per driver contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# ~40 turns/conv mean with 100x hot convs every 200 → ≈ 60k turns per 1k convs
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "22000"))  # ≈ 1.3M turns
+SCALING_CPUS = (8, 32)
+
+
+def _cached_transcripts(n_convs: int) -> str:
+    path = f"/tmp/ctx_bench_transcripts_{n_convs}"
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        from chronoxtract_ray.sources.transcripts import write_transcripts
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_transcripts(path, n_convs)
+        open(os.path.join(path, "_DONE"), "w").write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline
+
+    src = _cached_transcripts(N_CONVS)
+
+    # warm the page cache with one untimed pass over the input files
+    import glob
+
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    out = "/tmp/ctx_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    metrics = run_rollup_pipeline(
+        src,
+        out,
+        PipelineConfig(num_parts=max(NUM_CPUS, 16), resume=False),
+    )
+    headline = time.time() - t0
+
+    # count turns from the 1m manifests (no extra pass over the input)
+    from chronoxtract_ray.state import checkpoint as ckpt
+
+    turns = sum(m.get("n_turns", 0) for m in ckpt.load_manifests(out, "1m", max(NUM_CPUS, 16)).values())
+
+    # representative query set over the driver-provided sf tables
+    import __ray_entry__ as entrymod
+
+    queries = {}
+    qs = entrymod.queries()
+    for name in ("window_moments", "window_quantiles", "gap_filled_hourly", "tier_cascade_1h",
+                 "gorilla_roundtrip", "entropy_features", "dedup_exact", "minhash_neardup",
+                 "knn_bruteforce", "token_stats"):
+        t0 = time.time()
+        qs[name](SF_DIR)
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "transcript rollup raw->1m->1h->1d + gorilla, full feature set",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "num_cpus": NUM_CPUS,
+        "turns": int(turns),
+        "throughput_turns_per_s": round(turns / headline, 1) if headline > 0 else None,
+        "tier_walls": {k: round(v.get("wall_s", 0), 2) for k, v in metrics["tiers"].items()},
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    results = {}
+    for ncpu in SCALING_CPUS:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    lo, hi = SCALING_CPUS
+    tp_lo = results[lo]["throughput_turns_per_s"]
+    tp_hi = results[hi]["throughput_turns_per_s"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling: headline rollup at two parallelism levels",
+                f"sec_{lo}": results[lo]["value"],
+                f"sec_{hi}": results[hi]["value"],
+                f"turns_per_s_{lo}": tp_lo,
+                f"turns_per_s_{hi}": tp_hi,
+                "turns": results[hi]["turns"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

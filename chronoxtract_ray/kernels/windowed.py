@@ -122,24 +122,37 @@ def compute_windowed_features(
     value: np.ndarray,
     width_us: int,
     spec: FeatureSpec = FeatureSpec(),
+    series_ids: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
-    """Features for every tumbling window of one series.
+    """Features for every tumbling window of one series — or of MANY series
+    at once when ``series_ids`` (integer codes, contiguous runs aligned with
+    the sort order) is given: a window then breaks on any change of series or
+    of tumbling window. The multi-series form lets one map_batches block
+    containing thousands of (conv, bucket) groups run through a single
+    vectorized call (no per-group Python dispatch).
 
     ``ts_us`` int64 microseconds, ``value`` float64, both sorted by
-    (ts, turn order). Returns dict of equal-length arrays, one row per window
-    present in the data (no gap-fill here), including ``window_start`` (int64
-    us) and ``n_turns``.
+    (series, ts, turn order). Returns dict of equal-length arrays, one row
+    per window present in the data (no gap-fill here), including
+    ``window_start`` (int64 us), ``n_turns`` and — in multi-series mode —
+    ``row_index`` (index into the sorted input of each window's first row,
+    for recovering per-series keys).
     """
     ts_us = np.asarray(ts_us, dtype=np.int64)
     v = np.asarray(value, dtype=np.float64)
     n = ts_us.size
     if n == 0:
         out = {"window_start": np.empty(0, np.int64), "n_turns": np.empty(0, np.int64)}
+        if series_ids is not None:
+            out["row_index"] = np.empty(0, np.int64)
         for c in spec.feature_columns():
             out[c] = np.empty(0, np.float64)
         return out
     win = (ts_us // width_us) * width_us
-    boundaries = np.flatnonzero(win[1:] != win[:-1]) + 1  # ts-sorted → win non-decreasing
+    changed = win[1:] != win[:-1]  # sorted by ts within series → non-decreasing
+    if series_ids is not None:
+        changed = changed | (series_ids[1:] != series_ids[:-1])
+    boundaries = np.flatnonzero(changed) + 1
     starts = np.concatenate(([0], boundaries))
     ends = np.concatenate((boundaries, [n]))
     counts = ends - starts
@@ -149,6 +162,8 @@ def compute_windowed_features(
         "window_start": win[starts].astype(np.int64),
         "n_turns": counts.astype(np.int64),
     }
+    if series_ids is not None:
+        out["row_index"] = starts.astype(np.int64)
 
     # ---- mergeable raw moments (src/stats/mod.rs:21-79 semantics) ----
     v2 = v * v
@@ -270,33 +285,64 @@ def compute_windowed_features(
             out["turning_points"] = np.where(ok3, tp_counts, np.nan)
             out["turning_point_rate"] = np.where(ok3, tp_counts / (counts - 2), np.nan)
 
-    # ---- holistic loops: entropy + FFT bands ----
-    if spec.entropy:
-        samp = np.full(n_win, np.nan)
-        apen = np.full(n_win, np.nan)
-        perm = np.full(n_win, np.nan)
+    # ---- holistic kernels, batched by window length ----
+    # windows are bucketed by exact length; each bucket evaluates as one
+    # (k, L) matrix through the batched kernels (kernels/batched.py) —
+    # no per-window Python dispatch. Oversize windows (> entropy_max_points)
+    # fall back to the strided-subsample single-series path (rare by design).
+    if spec.entropy or spec.fft:
+        from chronoxtract_ray.kernels import batched as kbatched
+
         m, pm, pd = spec.entropy_m, spec.perm_m, spec.perm_delay
         cap = spec.entropy_max_points
-        for i in range(n_win):
-            seg = v[starts[i] : ends[i]]
-            if seg.size > cap:
-                seg = seg[:: int(np.ceil(seg.size / cap))]
-            r = spec.entropy_r_factor * (std[i] if np.isfinite(std[i]) else 0.0)
-            if seg.size >= m + 1 and r > 0.0:
-                samp[i] = kentropy.sample_entropy(seg, m, r)
-                apen[i] = kentropy.approximate_entropy(seg, m, r)
-            if seg.size >= pm * pd and pm >= 2 and pd >= 1:
-                perm[i] = kentropy.permutation_entropy(seg, pm, pd)
-        out["sample_entropy"] = samp
-        out["approx_entropy"] = apen
-        out["permutation_entropy"] = perm
-    if spec.fft:
         nb = spec.n_fft_bands
-        bands = np.full((n_win, nb), np.nan)
-        for i in range(n_win):
-            seg = v[starts[i] : ends[i]]
-            if seg.size:
-                bands[i] = kfda.fft_band_energies(seg, nb)
-        for b in range(nb):
-            out[f"fft_band_energy_{b}"] = bands[:, b]
+        if spec.entropy:
+            samp = np.full(n_win, np.nan)
+            apen = np.full(n_win, np.nan)
+            perm = np.full(n_win, np.nan)
+            r_all = np.where(np.isfinite(std), spec.entropy_r_factor * std, 0.0)
+        if spec.fft:
+            bands = np.full((n_win, nb), np.nan)
+        uniq_lens = np.unique(counts)
+        for L in uniq_lens:
+            L = int(L)
+            sel = np.flatnonzero(counts == L)
+            if L > cap:
+                # rare pathological windows: per-window subsampled fallback
+                for i in sel:
+                    seg = v[starts[i] : ends[i]][:: int(np.ceil((ends[i] - starts[i]) / cap))]
+                    if spec.entropy and seg.size >= m + 1 and r_all[i] > 0.0:
+                        samp[i] = kentropy.sample_entropy(seg, m, r_all[i])
+                        apen[i] = kentropy.approximate_entropy(seg, m, r_all[i])
+                    if spec.entropy and seg.size >= pm * pd:
+                        perm[i] = kentropy.permutation_entropy(seg, pm, pd)
+                    if spec.fft:
+                        bands[i] = kfda.fft_band_energies(v[starts[i] : ends[i]], nb)
+                continue
+            gidx = starts[sel][:, None] + np.arange(L)[None, :]
+            W = v[gidx]  # (k, L)
+            if spec.fft:
+                bands[sel] = kbatched.batched_fft_band_energies(W, nb)
+            if spec.entropy and L >= pm * pd and pm >= 2 and pd >= 1:
+                perm[sel] = kbatched.batched_permutation_entropy(W, pm, pd)
+            if spec.entropy and L >= m + 1:
+                ok_r = r_all[sel] > 0.0
+                if ok_r.any():
+                    # chunk so the (k, L, L) pairwise tensor stays small
+                    chunk = max(1, int(4_000_000 // max(L * L, 1)))
+                    sub = np.flatnonzero(ok_r)
+                    for c0 in range(0, sub.size, chunk):
+                        part = sel[sub[c0 : c0 + chunk]]
+                        se, ae = kbatched.batched_sample_approx_entropy(
+                            W[sub[c0 : c0 + chunk]], m, r_all[part]
+                        )
+                        samp[part] = se
+                        apen[part] = ae
+        if spec.entropy:
+            out["sample_entropy"] = samp
+            out["approx_entropy"] = apen
+            out["permutation_entropy"] = perm
+        if spec.fft:
+            for b in range(nb):
+                out[f"fft_band_energy_{b}"] = bands[:, b]
     return out

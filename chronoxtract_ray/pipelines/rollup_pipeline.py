@@ -69,16 +69,20 @@ def _filter_done(ds, done: frozenset[int]):
 
 def _write_tier(ds, root: str, tier: str, num_parts: int, done: frozenset[int]) -> int:
     """Partition rows by conv hash and write each partition atomically.
-    Returns rows written (completed partitions excluded)."""
+    Returns rows written (completed partitions excluded). Plain-function
+    map_groups (stateless writer → tasks, no actor-pool spin-up)."""
+    from chronoxtract_ray.stages.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
     ds = _filter_done(_add_part(ds, num_parts), done)
+    writer = ckpt.PartitionWriter(root, tier, num_parts)
+
+    def write_parts(block):
+        return writer(block)
+
     results = (
-        ds.groupby("part")
-        .map_groups(
-            ckpt.PartitionWriter,
-            fn_constructor_args=(root, tier, num_parts),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        ds.repartition(num_parts, keys=["part"], sort=False)
+        .map_batches(write_parts, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )
     return int(sum(r["rows"] for r in results))
@@ -115,6 +119,9 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     """``source``: a transcripts Dataset or a parquet path. Returns metrics."""
     import ray.data as rd
 
+    from chronoxtract_ray.stages.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
     cfg = cfg or PipelineConfig()
     P = cfg.num_parts
     os.makedirs(out_root, exist_ok=True)

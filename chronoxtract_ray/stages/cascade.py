@@ -4,10 +4,9 @@ Semantics (SURVEY.md §4.3, FIXTURES.md §3):
 
 - gap-fill: per conversation, every missing fine window between the first and
   last present window gets a synthetic point with ``mean`` linearly
-  interpolated between its present neighbors, ``n_turns = 0`` and
-  ``gap_filled = true``; all other feature columns are null. Gap-filled
-  points participate in the coarser tier's POINT-SERIES features but not in
-  its exact merged aggregates.
+  interpolated between its present neighbors, ``n_turns = 0``; gap points
+  participate in the coarser tier's POINT-SERIES features but not in its
+  exact merged aggregates.
 - coarser tier rows carry two families:
   * point-series features (``mean``, ``median``, entropy, ... of the fine
     tier's mean series) — the north star's "continuous aggregates ...
@@ -16,9 +15,15 @@ Semantics (SURVEY.md §4.3, FIXTURES.md §3):
     power sums (s1..s4, min, max, n) — identical to a direct rollup of the
     raw turns over the coarse window, asserted in tests.
 
-Ray Data shape: ``groupby("conv_id").map_groups`` over tier points. Tier
-points are ~width-ratio smaller than their input, so this group is bounded by
-time span, not turn count — no salting needed above 1m (SURVEY.md §7.1).
+Ray Data shape (same pattern as the rollup stage):
+
+    tier.repartition(B, keys=["conv_id"], sort=True)
+        .map_batches(cascade_block, batch_size=None, batch_format="pyarrow")
+
+One hash shuffle per tier; the block function gap-fills and re-aggregates
+EVERY conversation in the block with vectorized scatter/interpolate/reduceat
+— no per-conversation Python dispatch. Tier points are ~width-ratio smaller
+than their input, so this is cheap relative to raw→1m.
 """
 
 from __future__ import annotations
@@ -27,22 +32,20 @@ import numpy as np
 import pyarrow as pa
 
 from chronoxtract_ray.kernels.windowed import FeatureSpec, compute_windowed_features
-from chronoxtract_ray.stages.rollup import RollupConfig
 
-__all__ = ["gap_fill_group", "cascade_group", "cascade", "gap_fill"]
-
-_MERGE_COLS = ["n_turns", "sum", "energy", "sum3", "sum4", "min", "max"]
+__all__ = ["gap_fill_group", "cascade_block", "cascade", "gap_fill"]
 
 
 def gap_fill_group(tbl: pa.Table, width_us: int) -> pa.Table:
-    """Insert interpolated rows for missing windows of one conversation."""
+    """Insert interpolated rows for missing windows of ONE conversation
+    (single-group helper used by queries and tests; the pipeline path is the
+    vectorized cascade_block)."""
     win = tbl["window_start"].to_numpy()
     order = np.argsort(win, kind="stable")
     win = win[order]
     mean = tbl["mean"].to_numpy()[order]
     if win.size == 0:
-        out = tbl.append_column("gap_filled", pa.array(np.empty(0, dtype=bool)))
-        return out
+        return tbl.append_column("gap_filled", pa.array(np.empty(0, dtype=bool)))
     full = np.arange(win[0], win[-1] + width_us, width_us, dtype=np.int64)
     present = np.isin(full, win)
     filled_mean = np.interp(full.astype(np.float64), win.astype(np.float64), mean)
@@ -73,32 +76,83 @@ def gap_fill_group(tbl: pa.Table, width_us: int) -> pa.Table:
     return pa.table(cols)
 
 
-def cascade_group(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec: FeatureSpec) -> pa.Table:
-    """One conversation's fine-tier points → coarse-tier rows."""
-    filled = gap_fill_group(tbl, fine_width_us)
-    win = filled["window_start"].to_numpy()
-    mean = filled["mean"].to_numpy()
-    conv = filled["conv_id"].to_numpy(zero_copy_only=False)
-    # point-series features over (window_start, mean) — already sorted
-    out = compute_windowed_features(win, mean, coarse_width_us, spec)
-    n_win = out["window_start"].size
-    cw = (win // coarse_width_us) * coarse_width_us
-    b = np.flatnonzero(cw[1:] != cw[:-1]) + 1
-    starts = np.concatenate(([0], b))
-    ends = np.concatenate((b, [win.size]))
-    # exact merged aggregates from raw power sums (gap rows contribute 0)
-    merged: dict[str, np.ndarray] = {}
-    npts = filled["n_turns"].to_numpy().astype(np.float64)
-    c = np.concatenate(([0.0], np.cumsum(npts)))
-    merged_n = c[ends] - c[starts]
-    for col in ("sum", "energy", "sum3", "sum4"):
-        v = np.nan_to_num(filled[col].to_numpy(), nan=0.0)
-        cc = np.concatenate(([0.0], np.cumsum(v)))
-        merged[col] = cc[ends] - cc[starts]
-    mn_f = np.nan_to_num(filled["min"].to_numpy(), nan=np.inf)
-    mx_f = np.nan_to_num(filled["max"].to_numpy(), nan=-np.inf)
-    merged_min = np.minimum.reduceat(mn_f, starts)
-    merged_max = np.maximum.reduceat(mx_f, starts)
+def _gap_fill_block(tbl: pa.Table, width_us: int):
+    """Vectorized gap-fill of a whole sorted block of tier points.
+
+    Returns (filled dict of arrays, codes, conv_names, present mask)."""
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
+    conv = tbl["conv_id"].to_numpy(zero_copy_only=False)
+    change = np.concatenate(([False], conv[1:] != conv[:-1]))
+    codes_s = np.cumsum(change)
+    win_s = tbl["window_start"].to_numpy()
+    order = np.arange(win_s.size)  # already fully sorted
+    conv_starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
+    conv_ends = np.concatenate((conv_starts[1:], [codes_s.size]))
+    conv_names = conv[order][conv_starts]
+    firsts = win_s[conv_starts]
+    lasts = win_s[conv_ends - 1]
+    lens = (lasts - firsts) // width_us + 1
+    total = int(lens.sum())
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    f_codes = np.repeat(np.arange(lens.size), lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets, lens)
+    f_win = np.repeat(firsts, lens) + within * width_us
+    pos = offsets[codes_s] + (win_s - firsts[codes_s]) // width_us
+    present = np.zeros(total, dtype=bool)
+    present[pos] = True
+
+    def scatter(src: np.ndarray, default, dtype=np.float64) -> np.ndarray:
+        out = np.full(total, default, dtype=dtype)
+        out[pos] = src
+        return out
+
+    mean_f = scatter(tbl["mean"].to_numpy()[order], np.nan)
+    # linear interpolation of the gaps: prev/next present slot (gap slots lie
+    # strictly between two present points of the SAME conv because conv
+    # first/last are always present)
+    gaps = ~present
+    if gaps.any():
+        idx = np.where(present, np.arange(total), -1)
+        prev = np.maximum.accumulate(idx)
+        ridx = np.where(present[::-1], np.arange(total), -1)
+        nxt = total - 1 - np.maximum.accumulate(ridx)[::-1]
+        g = np.flatnonzero(gaps)
+        x0, x1 = f_win[prev[g]].astype(np.float64), f_win[nxt[g]].astype(np.float64)
+        frac = (f_win[g] - x0) / (x1 - x0)
+        y0, y1 = mean_f[prev[g]], mean_f[nxt[g]]
+        mean_f[g] = y0 + (y1 - y0) * frac
+    filled = {
+        "mean": mean_f,
+        "n_turns": scatter(tbl["n_turns"].to_numpy()[order].astype(np.float64), 0.0),
+        "sum": scatter(np.nan_to_num(tbl["sum"].to_numpy()[order]), 0.0),
+        "energy": scatter(np.nan_to_num(tbl["energy"].to_numpy()[order]), 0.0),
+        "sum3": scatter(np.nan_to_num(tbl["sum3"].to_numpy()[order]), 0.0),
+        "sum4": scatter(np.nan_to_num(tbl["sum4"].to_numpy()[order]), 0.0),
+        "min": scatter(np.nan_to_num(tbl["min"].to_numpy()[order], nan=np.inf), np.inf),
+        "max": scatter(np.nan_to_num(tbl["max"].to_numpy()[order], nan=-np.inf), -np.inf),
+    }
+    if "text_checksum" in tbl.column_names:
+        chk = np.zeros(total, dtype=np.uint64)
+        chk[pos] = tbl["text_checksum"].to_numpy()[order]
+        filled["text_checksum"] = chk
+    return filled, f_codes, conv_names, f_win, present
+
+
+def cascade_block(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec: FeatureSpec) -> pa.Table:
+    """A whole block of fine-tier points (conversations contiguous) →
+    coarse-tier rows, fully vectorized."""
+    if tbl.num_rows == 0:
+        return _empty_cascade_out(spec)
+    filled, f_codes, conv_names, f_win, present = _gap_fill_block(tbl, fine_width_us)
+    out = compute_windowed_features(f_win, filled["mean"], coarse_width_us, spec, series_ids=f_codes)
+    starts = out.pop("row_index")
+    n_win = starts.size
+    # exact merged aggregates (reduceat over contiguous coarse segments; gap
+    # rows contribute 0 to sums and +/-inf to min/max)
+    merged = {c: np.add.reduceat(filled[c], starts) for c in ("sum", "energy", "sum3", "sum4")}
+    merged_n = np.add.reduceat(filled["n_turns"], starts)
+    merged_min = np.minimum.reduceat(filled["min"], starts)
+    merged_max = np.maximum.reduceat(filled["max"], starts)
     with np.errstate(invalid="ignore", divide="ignore"):
         N = merged_n
         m1 = merged["sum"] / N
@@ -113,7 +167,7 @@ def cascade_group(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec:
         mskew = np.where(gate, np.nan, mu3 / var**1.5)
         mkurt = np.where(gate, np.nan, mu4 / (var * var) - 3.0)
     empty = N == 0
-    arrays: dict[str, pa.Array] = {"conv_id": pa.array(np.repeat(conv[0], n_win), pa.string())}
+    arrays: dict[str, pa.Array] = {"conv_id": pa.array(conv_names[f_codes[starts]], pa.string())}
     for k, v in out.items():
         if k == "window_start":
             arrays[k] = pa.array(v, pa.int64())
@@ -138,15 +192,27 @@ def cascade_group(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec:
     arrays["sum4"] = pa.array(merged["sum4"], pa.float64())
     arrays["min"] = pa.array(np.where(empty, np.nan, merged_min), pa.float64())
     arrays["max"] = pa.array(np.where(empty, np.nan, merged_max), pa.float64())
-    if "text_checksum" in filled.column_names:
-        chk = filled["text_checksum"].to_numpy()
-        cc = np.concatenate(([np.uint64(0)], np.cumsum(chk, dtype=np.uint64)))
-        arrays["text_checksum"] = pa.array(cc[ends] - cc[starts], pa.uint64())
-    # gap statistics of the fine tier inside each coarse window
-    gap = filled["gap_filled"].to_numpy(zero_copy_only=False).astype(np.float64)
-    cg = np.concatenate(([0.0], np.cumsum(gap)))
-    arrays["n_gap_filled"] = pa.array((cg[ends] - cg[starts]).astype(np.int64), pa.int64())
+    if "text_checksum" in filled:
+        arrays["text_checksum"] = pa.array(np.add.reduceat(filled["text_checksum"], starts), pa.uint64())
+    gap_f = (~present).astype(np.float64)
+    arrays["n_gap_filled"] = pa.array(np.add.reduceat(gap_f, starts).astype(np.int64), pa.int64())
     return pa.table(arrays)
+
+
+def _empty_cascade_out(spec: FeatureSpec) -> pa.Table:
+    cols: dict[str, pa.Array] = {
+        "conv_id": pa.array([], pa.string()),
+        "window_start": pa.array([], pa.int64()),
+        "n_points": pa.array([], pa.int64()),
+        "n_turns": pa.array([], pa.int64()),
+        "n_gap_filled": pa.array([], pa.int64()),
+        "text_checksum": pa.array([], pa.uint64()),
+    }
+    for c in spec.feature_columns():
+        cols[c] = pa.array([], pa.float64())
+    for c in ("merged_mean", "merged_variance", "merged_std", "merged_skewness", "merged_kurtosis", "merged_min", "merged_max", "merged_sum", "merged_energy"):
+        cols[c] = pa.array([], pa.float64())
+    return pa.table(cols)
 
 
 def gap_fill(tier_ds, width_us: int):
@@ -156,11 +222,17 @@ def gap_fill(tier_ds, width_us: int):
     )
 
 
-def cascade(tier_ds, fine_width_us: int, coarse_width_us: int, spec: FeatureSpec | None = None):
-    """fine tier points → coarse tier rows (one shuffle by conv_id)."""
+def cascade(tier_ds, fine_width_us: int, coarse_width_us: int, spec: FeatureSpec | None = None, num_blocks: int | None = None):
+    """fine tier points → coarse tier rows (one hash shuffle by conv_id)."""
+    from chronoxtract_ray.stages.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle(tier_ds)
     spec = spec or FeatureSpec()
 
     def fn(t: pa.Table) -> pa.Table:
-        return cascade_group(t, fine_width_us, coarse_width_us, spec)
+        return cascade_block(t, fine_width_us, coarse_width_us, spec)
 
-    return tier_ds.groupby("conv_id").map_groups(fn, batch_format="pyarrow")
+    from chronoxtract_ray.stages.util import default_shuffle_blocks
+
+    ds = tier_ds.repartition(num_blocks or default_shuffle_blocks(), keys=["conv_id"], sort=False)
+    return ds.map_batches(fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)

