@@ -51,11 +51,19 @@ def _prep(batch: pa.Table) -> pa.Table:
     )
 
 
+_WINDOWED_CACHE: dict[tuple, object] = {}
+
+
 def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
     """groupby(user).map_groups over prepped events with the fused kernel.
 
     At sf scale one group per user is fine (≤ thousands of rows); the
-    transcript pipeline uses the salted (conv, bucket) variant."""
+    transcript pipeline uses the salted (conv, bucket) variant. Results are
+    memoized per (sf_dir, spec, width) — several queries project different
+    columns of the same windowed feature table."""
+    key = (sf_dir, spec, width_us)
+    if key in _WINDOWED_CACHE:
+        return _WINDOWED_CACHE[key]
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
 
     def fn(group: pa.Table) -> pa.Table:
@@ -66,19 +74,20 @@ def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
         out = compute_windowed_features(ts[order], val[order], width_us, spec)
         n = out["window_start"].size
         cols = {"user_id": pa.array(np.repeat(group["user_id"][0].as_py(), n), pa.int64())}
-        for key, arr in out.items():
-            cols[key] = pa.array(arr)
+        for name, arr in out.items():
+            cols[name] = pa.array(arr)
         return pa.table(cols)
 
-    return ds.groupby("user_id").map_groups(fn, batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    _WINDOWED_CACHE[key] = tbl
+    return tbl
 
 
 _MOMENT_SPEC = FeatureSpec(order_stats=True, entropy=False, fft=False, shape=True, hjorth=True)
 
 
 def q_window_moments(sf_dir: str):
-    t = _windowed(sf_dir, _MOMENT_SPEC).take_all()
-    tbl = pa.Table.from_pylist(t)
+    tbl = _windowed(sf_dir, _MOMENT_SPEC)
     out = {
         "user_id": tbl["user_id"].to_numpy(),
         "window_start": tbl["window_start"].to_numpy(),
@@ -114,7 +123,7 @@ def q_window_skew_kurt(sf_dir: str):
     between engines (the reference's own sigma-gate behavior at
     src/stats/mod.rs:49 is as arithmetic-order-sensitive) so there is no
     well-defined cross-engine value to compare."""
-    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    t = _windowed(sf_dir, _MOMENT_SPEC, DAY_US)
     skew = t["skewness"].to_numpy()
     keep = (~np.isnan(skew)) & (t["variance"].to_numpy() > 1e-6) & (t["n_turns"].to_numpy() >= 8)
     return pa.table(
@@ -142,7 +151,7 @@ FROM m WHERE m2 - m1*m1 > 1e-6 AND n >= 8
 
 
 def q_window_quantiles(sf_dir: str):
-    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC).take_all())
+    t = _windowed(sf_dir, _MOMENT_SPEC)
     return pa.table(
         {
             "user_id": t["user_id"].to_numpy(),
@@ -168,7 +177,7 @@ FROM events GROUP BY 1, 2
 
 
 def q_window_mode(sf_dir: str):
-    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC).take_all())
+    t = _windowed(sf_dir, _MOMENT_SPEC)
     return pa.table(
         {
             "user_id": t["user_id"].to_numpy(),
@@ -192,7 +201,7 @@ SELECT user_id, window_start, ROUND(value, 6) AS mode FROM r WHERE rn = 1
 
 
 def q_slope_features(sf_dir: str):
-    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    t = _windowed(sf_dir, _MOMENT_SPEC, DAY_US)
     keep = t["n_turns"].to_numpy() >= 2
     return pa.table(
         {
@@ -225,7 +234,7 @@ def q_hjorth(sf_dir: str):
     and first-difference variances clear 1e-6: below that, E[x^2]-E[x]^2
     cancellation noise differs between engines and the mobility/complexity
     ratios have no well-defined cross-engine value."""
-    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    t = _windowed(sf_dir, _MOMENT_SPEC, DAY_US)
     keep = (
         (t["n_turns"].to_numpy() >= 3)
         & (t["hjorth_activity"].to_numpy() > 1e-6)
@@ -343,7 +352,7 @@ FROM events
 
 
 def q_turning_points(sf_dir: str):
-    t = pa.Table.from_pylist(_windowed(sf_dir, _MOMENT_SPEC, DAY_US).take_all())
+    t = _windowed(sf_dir, _MOMENT_SPEC, DAY_US)
     keep = t["n_turns"].to_numpy() >= 3
     return pa.table(
         {
@@ -376,7 +385,7 @@ def q_gap_filled_hourly(sf_dir: str):
     gap-fill stage over events (oracle: generate_series + IGNORE NULLS)."""
     from chronoxtract_ray.stages.cascade import gap_fill_group
 
-    t = pa.Table.from_pylist(_windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)).take_all())
+    t = _windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False))
     out_users, out_ws, out_mean, out_gap = [], [], [], []
     df = t.to_pandas()
     for uid, g in df.groupby("user_id"):
@@ -524,7 +533,7 @@ FROM s
 
 def q_top_energy_windows(sf_dir: str):
     """Global top-20 (user, hour) windows by energy — sort/limit family."""
-    t = pa.Table.from_pylist(_windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)).take_all())
+    t = _windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False))
     df = t.to_pandas().sort_values(["energy", "user_id", "window_start"], ascending=[False, True, True]).head(20)
     return pa.table(
         {
@@ -577,7 +586,7 @@ def q_gorilla_roundtrip(sf_dir: str):
     the oracle is the plain hourly means (codec is bit-exact)."""
     from chronoxtract_ray.state import gorilla
 
-    t = pa.Table.from_pylist(_windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)).take_all())
+    t = _windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False))
     df = t.to_pandas().sort_values(["user_id", "window_start"])
     users, ws, vals = [], [], []
     for uid, g in df.groupby("user_id"):
@@ -610,7 +619,7 @@ def q_entropy_features(sf_dir: str):
     """Sample/approximate/permutation entropy per (user, hour) window —
     O(n^2) template matching isn't SQL-expressible; driver records rows-only."""
     spec = FeatureSpec(order_stats=False, fft=False, shape=False, hjorth=False, entropy=True)
-    t = pa.Table.from_pylist(_windowed(sf_dir, spec, DAY_US).take_all())
+    t = _windowed(sf_dir, spec, DAY_US)
     keep = ~np.isnan(t["sample_entropy"].to_numpy())
     return pa.table(
         {
@@ -625,7 +634,7 @@ def q_entropy_features(sf_dir: str):
 
 def q_fft_bands(sf_dir: str):
     spec = FeatureSpec(order_stats=False, fft=True, shape=False, hjorth=False, entropy=False)
-    t = pa.Table.from_pylist(_windowed(sf_dir, spec, DAY_US).take_all())
+    t = _windowed(sf_dir, spec, DAY_US)
     return pa.table(
         {
             "user_id": t["user_id"].to_numpy(),

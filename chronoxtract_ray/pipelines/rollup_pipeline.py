@@ -1,16 +1,17 @@
 """End-to-end rollup pipeline: transcripts → 1m → 1h → 1d (+ Gorilla chunks).
 
-Dataflow (all lazy Ray Data; each tier is written to partitioned Parquet and
-re-read for the next tier, which makes every tier independently streamable
-AND resumable — the tier boundary is the natural checkpoint):
+Dataflow — exactly ONE Ray execution per tier (all lazy; each tier is
+written to partitioned Parquet and re-read for the next tier, making every
+tier independently streamable AND resumable — the tier boundary is the
+natural checkpoint):
 
     read_parquet(transcripts)
-      → map_batches(derive: value/bucket/crc; resume filter)     [stateless]
-      → groupby(conv_id, bucket).map_groups(fused window kernel) [shuffle 1]
-      → map_batches(add part) → groupby(part).map_groups(writer) [shuffle 2, small]
-    read(tier=1m) → groupby(conv_id).map_groups(gap-fill+cascade) → write 1h
-    read(tier=1h) → ... → write 1d
-    read(tier=T) → groupby(conv,chunk).map_groups(GorillaEncoder actors) → write chunks
+      → map_batches(derive: value/bucket/crc; resume filter)      [stateless]
+      → repartition(keys=[conv_id, bucket]) → fused window kernel [shuffle 1]
+      → repartition(keys=[part])                                  [shuffle 2, tier rows only]
+      → PartitionWriter actor pool: tier parquet + Gorilla chunks + manifest
+    read(tier=1m) → repartition(conv) → vectorized gap-fill+cascade → write 1h (+chunks)
+    read(tier=1h) → ... → write 1d (+chunks)
 
 Never calls ray.init/shutdown (driver contract).
 """
@@ -27,7 +28,6 @@ import pyarrow as pa
 from chronoxtract_ray.kernels.windowed import FeatureSpec
 from chronoxtract_ray.stages.cascade import cascade
 from chronoxtract_ray.stages.derive import make_derive
-from chronoxtract_ray.stages.gorilla_stage import encode_tier
 from chronoxtract_ray.stages.rollup import DAY_US, HOUR_US, MINUTE_US, RollupConfig, rollup
 from chronoxtract_ray.state import checkpoint as ckpt
 
@@ -67,22 +67,32 @@ def _filter_done(ds, done: frozenset[int]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _write_tier(ds, root: str, tier: str, num_parts: int, done: frozenset[int]) -> int:
-    """Partition rows by conv hash and write each partition atomically.
-    Returns rows written (completed partitions excluded). Plain-function
-    map_groups (stateless writer → tasks, no actor-pool spin-up)."""
+def _write_tier(
+    ds,
+    root: str,
+    tier: str,
+    num_parts: int,
+    done: frozenset[int],
+    gorilla_cfg: dict | None = None,
+    concurrency=(1, 8),
+) -> int:
+    """Partition rows by conv hash; an actor pool writes each partition's
+    tier rows + Gorilla chunks atomically (PartitionWriter docstring).
+    Returns rows written (completed partitions excluded)."""
     from chronoxtract_ray.stages.util import ensure_hash_shuffle
 
     ensure_hash_shuffle(ds)
     ds = _filter_done(_add_part(ds, num_parts), done)
-    writer = ckpt.PartitionWriter(root, tier, num_parts)
-
-    def write_parts(block):
-        return writer(block)
-
     results = (
         ds.repartition(num_parts, keys=["part"], sort=False)
-        .map_batches(write_parts, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ckpt.PartitionWriter,
+            fn_constructor_args=(root, tier, num_parts, gorilla_cfg),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
         .take_all()
     )
     return int(sum(r["rows"] for r in results))
@@ -130,17 +140,24 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     metrics: dict = {"tiers": {}, "num_parts": P}
     t_start = time.time()
 
-    # resume: a partition counts as done only when complete in EVERY artifact
+    # resume: a partition counts as done only when complete in EVERY tier
+    # (one manifest per (tier, part) covers tier rows + gorilla chunks)
     all_tiers = [t for t, _ in TIERS]
     done_everywhere: frozenset[int] = frozenset()
     if cfg.resume:
         sets = [ckpt.completed_parts(out_root, t, P) for t in all_tiers]
-        if cfg.with_gorilla:
-            sets += [ckpt.completed_parts(os.path.join(out_root, "chunks"), t, P) for t in all_tiers]
         done_everywhere = frozenset.intersection(*sets) if sets else frozenset()
     metrics["resumed_parts_skipped"] = sorted(done_everywhere)
 
-    # ---- raw → 1m ----
+    widths = dict(TIERS)
+
+    def gcfg(tier: str) -> dict | None:
+        if not cfg.with_gorilla:
+            return None
+        return {"width_us": widths[tier], "points_per_chunk": cfg.gorilla_points_per_chunk, "value_col": "mean"}
+
+    # ---- raw → 1m (one execution: derive → rollup shuffle → part shuffle →
+    # writer actors emit tier rows + gorilla chunks + manifests) ----
     t0 = time.time()
     done_1m = ckpt.completed_parts(out_root, "1m", P) if cfg.resume else frozenset()
     derived = ds.map_batches(
@@ -153,35 +170,17 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
         batch_format="pyarrow",
     )
     t1m = rollup(derived, cfg.rollup)
-    rows = _write_tier(t1m, out_root, "1m", P, done_1m | done_everywhere)
+    rows = _write_tier(t1m, out_root, "1m", P, done_1m | done_everywhere, gcfg("1m"), cfg.gorilla_concurrency)
     metrics["tiers"]["1m"] = {"rows_written": rows, "wall_s": time.time() - t0}
 
-    # ---- cascades ----
-    widths = dict(TIERS)
+    # ---- cascades (one execution each) ----
     for fine, coarse in (("1m", "1h"), ("1h", "1d")):
         t0 = time.time()
         done_c = (ckpt.completed_parts(out_root, coarse, P) if cfg.resume else frozenset()) | done_everywhere
         fine_ds = tier_dataset(out_root, fine)
         coarse_ds = cascade(fine_ds, widths[fine], widths[coarse], cfg.cascade_spec)
-        rows = _write_tier(coarse_ds, out_root, coarse, P, done_c)
+        rows = _write_tier(coarse_ds, out_root, coarse, P, done_c, gcfg(coarse), cfg.gorilla_concurrency)
         metrics["tiers"][coarse] = {"rows_written": rows, "wall_s": time.time() - t0}
-
-    # ---- Gorilla chunks per tier ----
-    if cfg.with_gorilla:
-        for tier, width in TIERS:
-            t0 = time.time()
-            done_g = (
-                ckpt.completed_parts(os.path.join(out_root, "chunks"), tier, P) if cfg.resume else frozenset()
-            ) | done_everywhere
-            chunks = encode_tier(
-                tier_dataset(out_root, tier),
-                width,
-                points_per_chunk=cfg.gorilla_points_per_chunk,
-                concurrency=cfg.gorilla_concurrency,
-            )
-            rows = _write_tier(chunks, os.path.join(out_root, "chunks"), tier, P, done_g)
-            metrics["tiers"].setdefault(tier, {})[f"gorilla_chunks"] = rows
-            metrics["tiers"][tier]["gorilla_wall_s"] = time.time() - t0
 
     metrics["total_wall_s"] = time.time() - t_start
     return metrics

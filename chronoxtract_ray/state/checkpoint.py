@@ -93,17 +93,71 @@ def write_partition(root: str, tier: str, part: int, table, metrics: dict | None
 
 
 class PartitionWriter:
-    """map_batches UDF: write each hash partition's rows atomically.
+    """Actor-pool map_batches UDF: write each hash partition's tier rows
+    atomically AND (optionally) their Gorilla-compressed point chunks.
 
     Fed by ``repartition(keys=["part"])`` so each block holds whole
     partitions (possibly several when hash buckets collide); writes one
     directory + manifest per partition (idempotent: a retried task rewrites
-    the same files)."""
+    the same files). A partition only counts as complete once tier rows and
+    chunks are both on disk (single manifest covers both).
 
-    def __init__(self, root: str, tier: str, num_parts: int):
+    This IS the stateful Gorilla stage of the north rule: each actor carries
+    its encoder and cumulative per-partition compression state across every
+    partition it writes."""
+
+    def __init__(self, root: str, tier: str, num_parts: int, gorilla_cfg: dict | None = None):
         self.root = root
         self.tier = tier
         self.num_parts = num_parts
+        self.gorilla_cfg = gorilla_cfg  # {"width_us":..., "points_per_chunk":..., "value_col":...}
+        self.enc_points = 0
+        self.enc_bytes = 0
+
+    def _encode_chunks(self, tbl):
+        """Sorted tier rows of one partition → Gorilla chunk rows."""
+        import numpy as np
+        import pyarrow as pa
+
+        from chronoxtract_ray.state import gorilla
+
+        cfg = self.gorilla_cfg
+        span = cfg["width_us"] * cfg.get("points_per_chunk", 1024)
+        conv = tbl["conv_id"].to_numpy(zero_copy_only=False)
+        win = tbl["window_start"].to_numpy()
+        val = tbl[cfg.get("value_col", "mean")].to_numpy()
+        chunk = (win // span) * span
+        codes = np.cumsum(np.concatenate(([False], conv[1:] != conv[:-1])))
+        seg = np.concatenate(([True], (codes[1:] != codes[:-1]) | (chunk[1:] != chunk[:-1])))
+        starts = np.flatnonzero(seg)
+        ends = np.concatenate((starts[1:], [win.size]))
+        cols = {k: [] for k in ("conv_id", "chunk_start", "n_points", "first_window", "last_window", "gorilla_timestamps", "gorilla_values")}
+        for s, e in zip(starts, ends):
+            w = win[s:e]
+            tsb = gorilla.encode_timestamps(w)
+            vb = gorilla.encode_values(val[s:e])
+            cols["conv_id"].append(conv[s])
+            cols["chunk_start"].append(int(chunk[s]))
+            cols["n_points"].append(int(e - s))
+            cols["first_window"].append(int(w[0]))
+            cols["last_window"].append(int(w[-1]))
+            cols["gorilla_timestamps"].append(tsb)
+            cols["gorilla_values"].append(vb)
+            self.enc_points += e - s
+            self.enc_bytes += len(tsb) + len(vb)
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "conv_id": pa.array(cols["conv_id"], pa.string()),
+                "chunk_start": pa.array(cols["chunk_start"], pa.int64()),
+                "n_points": pa.array(cols["n_points"], pa.int64()),
+                "first_window": pa.array(cols["first_window"], pa.int64()),
+                "last_window": pa.array(cols["last_window"], pa.int64()),
+                "gorilla_timestamps": pa.array(cols["gorilla_timestamps"], pa.binary()),
+                "gorilla_values": pa.array(cols["gorilla_values"], pa.binary()),
+            }
+        )
 
     def __call__(self, block):
         import numpy as np
@@ -122,7 +176,31 @@ class PartitionWriter:
                 extra = {"wall_s": time.time() - t0}
                 if "n_turns" in tbl.column_names:
                     extra["n_turns"] = int(tbl["n_turns"].to_numpy().sum())
+                if self.gorilla_cfg is not None:
+                    chunks = self._encode_chunks(tbl)
+                    write_chunk_partition(self.root, self.tier, int(part), chunks)
+                    extra["gorilla_chunks"] = chunks.num_rows
+                    extra["gorilla_bytes"] = int(
+                        sum(len(b.as_py()) for b in chunks["gorilla_timestamps"])
+                        + sum(len(b.as_py()) for b in chunks["gorilla_values"])
+                    )
                 write_partition(self.root, self.tier, int(part), tbl, extra)
                 parts_out.append(int(part))
                 rows_out.append(tbl.num_rows)
         return pa.table({"part": pa.array(parts_out, pa.int64()), "rows": pa.array(rows_out, pa.int64())})
+
+
+def write_chunk_partition(root: str, tier: str, part: int, chunks) -> None:
+    """Atomically write one partition's Gorilla chunk rows (no separate
+    manifest — the tier manifest, written after, covers both)."""
+    import pyarrow.parquet as pq
+
+    final_dir = os.path.join(root, "chunks", f"tier={tier}", f"part={part:04d}")
+    tmp_dir = final_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(chunks, os.path.join(tmp_dir, "data.parquet"))
+    if os.path.exists(final_dir):
+        import shutil
+
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
