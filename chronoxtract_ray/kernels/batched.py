@@ -29,21 +29,17 @@ def batched_sample_approx_entropy(W: np.ndarray, m: int, r: np.ndarray):
     t_m = L - m + 1
     t_m1 = L - m
 
-    def template_max(tlen: int, t: int) -> np.ndarray:
-        d = A[:, :t, :t].copy()
-        for off in range(1, tlen):
-            np.maximum(d, A[:, off : off + t, off : off + t], out=d)
-        return d
-
-    Dm = template_max(m, t_m)
-    Dm1 = template_max(m + 1, t_m1)
+    Dm = A[:, :t_m, :t_m].copy()
+    for off in range(1, m):
+        np.maximum(Dm, A[:, off : off + t_m, off : off + t_m], out=Dm)
+    # length-(m+1) template distances extend the length-m ones by one offset
+    Dm1 = np.maximum(Dm[:, :t_m1, :t_m1], A[:, m : m + t_m1, m : m + t_m1])
     rr = r[:, None, None]
     hits_m = Dm <= rr
     hits_m1 = Dm1 <= rr
-    iu_m = np.triu_indices(t_m, k=1)
-    iu_m1 = np.triu_indices(t_m1, k=1)
-    b = hits_m[:, iu_m[0], iu_m[1]].sum(axis=1).astype(np.float64)
-    a = hits_m1[:, iu_m1[0], iu_m1[1]].sum(axis=1).astype(np.float64)
+    # matrices are symmetric with an all-True diagonal: i<j pairs = (total - diag)/2
+    b = ((hits_m.sum(axis=(1, 2)) - t_m) / 2).astype(np.float64)
+    a = ((hits_m1.sum(axis=(1, 2)) - t_m1) / 2).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         phi_m = b / float(L - m)
         phi_m1 = a / float(L - m - 1)

@@ -1,17 +1,31 @@
 """End-to-end rollup pipeline: transcripts → 1m → 1h → 1d (+ Gorilla chunks).
 
-Dataflow — exactly ONE Ray execution per tier (all lazy; each tier is
-written to partitioned Parquet and re-read for the next tier, making every
-tier independently streamable AND resumable — the tier boundary is the
-natural checkpoint):
+Partition-aligned dataflow — TWO Ray executions, ONE all-to-all shuffle:
 
+  stage 1 (raw → 1m):
     read_parquet(transcripts)
-      → map_batches(derive: value/bucket/crc; resume filter)      [stateless]
-      → repartition(keys=[conv_id, bucket]) → fused window kernel [shuffle 1]
-      → repartition(keys=[part])                                  [shuffle 2, tier rows only]
-      → PartitionWriter actor pool: tier parquet + Gorilla chunks + manifest
-    read(tier=1m) → repartition(conv) → vectorized gap-fill+cascade → write 1h (+chunks)
-    read(tier=1h) → ... → write 1d (+chunks)
+      → map_batches(derive: value/bucket/crc/part; resume filter) [stateless]
+      → repartition(P, keys=["part"])                             [the ONE shuffle]
+      → RollupWriteStage actor pool: fused window kernel → tier rows
+        + Gorilla chunks + per-partition manifest, written atomically
+  stage 2 (1m → 1h → 1d):
+    read(tier=1m partition files)   [no shuffle: partition files are whole
+      hash(conv)%P groups written as single-row-group parquet, so blocks
+      always contain whole conversations]
+      → CascadeWriteStage actor pool: vectorized gap-fill → 1h rows → 1d
+        rows + chunks + manifests
+
+Why this shape: every group-forming step rides ONE hash partitioning that is
+then reused by every later stage (SURVEY.md §7.3 'pick ONE partitioning key
+and reuse it'). Writers are callable classes → Ray actor pools; each actor
+carries its Gorilla encoder state (north rule). Extreme per-conversation
+skew (a single conversation larger than a partition) is handled by raising
+``num_parts``; the salted (conv, bucket) rollup stage remains available as
+``chronoxtract_ray.stages.rollup.rollup`` for pathological keys.
+
+Resumability: a partition with a complete manifest is skipped at derive time
+(stage 1) and at cascade time (stage 2); killed runs redo only unfinished
+partitions (tests/test_resume.py).
 
 Never calls ray.init/shutdown (driver contract).
 """
@@ -26,9 +40,9 @@ import numpy as np
 import pyarrow as pa
 
 from chronoxtract_ray.kernels.windowed import FeatureSpec
-from chronoxtract_ray.stages.cascade import cascade
+from chronoxtract_ray.stages.cascade import cascade_block
 from chronoxtract_ray.stages.derive import make_derive
-from chronoxtract_ray.stages.rollup import DAY_US, HOUR_US, MINUTE_US, RollupConfig, rollup
+from chronoxtract_ray.stages.rollup import DAY_US, HOUR_US, MINUTE_US, RollupConfig, make_block_rollup
 from chronoxtract_ray.state import checkpoint as ckpt
 
 __all__ = ["PipelineConfig", "run_rollup_pipeline", "tier_dataset", "tier_table"]
@@ -38,64 +52,98 @@ TIERS = (("1m", MINUTE_US), ("1h", HOUR_US), ("1d", DAY_US))
 
 @dataclass
 class PipelineConfig:
-    num_parts: int = 16  # hash(conv_id) output partitions; raise for clusters
+    num_parts: int = 16  # hash(conv_id) partitions; raise for clusters / huge convs
     rollup: RollupConfig = field(default_factory=RollupConfig)
     cascade_spec: FeatureSpec = field(default_factory=FeatureSpec)
     with_gorilla: bool = True
     gorilla_points_per_chunk: int = 1024
-    gorilla_concurrency: tuple[int, int] = (1, 8)
+    writer_concurrency: tuple[int, int] | None = None  # default: sized to session
     resume: bool = True
 
 
-def _add_part(ds, num_parts: int):
-    def fn(t: pa.Table) -> pa.Table:
-        part = ckpt.conv_partition(t["conv_id"].to_numpy(zero_copy_only=False), num_parts)
-        return t.append_column("part", pa.array(part, pa.int64()))
-
-    return ds.map_batches(fn, batch_format="pyarrow")
-
-
-def _filter_done(ds, done: frozenset[int]):
-    if not done:
-        return ds
-    done_arr = np.fromiter(done, dtype=np.int64)
-
-    def fn(t: pa.Table) -> pa.Table:
-        keep = ~np.isin(t["part"].to_numpy(), done_arr)
-        return t.filter(pa.array(keep))
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+def _gorilla_cfg(cfg: PipelineConfig, tier: str) -> dict | None:
+    if not cfg.with_gorilla:
+        return None
+    widths = dict(TIERS)
+    return {
+        "width_us": widths[tier],
+        "points_per_chunk": cfg.gorilla_points_per_chunk,
+        "value_col": "mean",
+    }
 
 
-def _write_tier(
-    ds,
-    root: str,
-    tier: str,
-    num_parts: int,
-    done: frozenset[int],
-    gorilla_cfg: dict | None = None,
-    concurrency=(1, 8),
-) -> int:
-    """Partition rows by conv hash; an actor pool writes each partition's
-    tier rows + Gorilla chunks atomically (PartitionWriter docstring).
-    Returns rows written (completed partitions excluded)."""
-    from chronoxtract_ray.stages.util import ensure_hash_shuffle
+class RollupWriteStage:
+    """Actor-pool UDF (stage 1): one partition-aligned block of derived rows
+    → 1m tier rows + Gorilla chunks + manifest on disk. Returns stats rows.
 
-    ensure_hash_shuffle(ds)
-    ds = _filter_done(_add_part(ds, num_parts), done)
-    results = (
-        ds.repartition(num_parts, keys=["part"], sort=False)
-        .map_batches(
-            ckpt.PartitionWriter,
-            fn_constructor_args=(root, tier, num_parts, gorilla_cfg),
-            batch_size=None,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency,
+    The actor carries the Gorilla encoder state (PartitionWriter) across all
+    partitions it processes."""
+
+    def __init__(self, out_root: str, cfg: PipelineConfig, done: frozenset[int], run_id: str | None = None):
+        self.cfg = cfg
+        self.fn = make_block_rollup(cfg.rollup)
+        self.writer = ckpt.PartitionWriter(
+            out_root, cfg.num_parts, {"1m": _gorilla_cfg(cfg, "1m")}, run_id=run_id
         )
-        .take_all()
+        self.done = np.fromiter(done, dtype=np.int64) if done else None
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
+        tier_rows = self.fn(block.drop_columns(["part"]))
+        part = ckpt.conv_partition(tier_rows["conv_id"].to_numpy(zero_copy_only=False), self.cfg.num_parts)
+        if self.done is not None:
+            keep = ~np.isin(part, self.done)
+            tier_rows = tier_rows.filter(pa.array(keep))
+            part = part[keep]
+        tier_rows = tier_rows.append_column("part", pa.array(part, pa.int64()))
+        tier_rows = tier_rows.append_column("tier_name", pa.array(["1m"] * tier_rows.num_rows, pa.string()))
+        return self.writer(tier_rows)
+
+
+class CascadeWriteStage:
+    """Actor-pool UDF (stage 2): reads ONE 1m-tier partition file per call
+    (the read happens inside the actor, so a partition can never be split
+    across blocks by the reader), cascades it to 1h + 1d rows, writes tier
+    rows + chunks + manifests."""
+
+    def __init__(self, out_root: str, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.writer = ckpt.PartitionWriter(
+            out_root,
+            cfg.num_parts,
+            {"1h": _gorilla_cfg(cfg, "1h"), "1d": _gorilla_cfg(cfg, "1d")},
+        )
+
+    CASCADE_COLUMNS = (
+        "conv_id", "window_start", "n_turns", "mean", "sum", "energy",
+        "sum3", "sum4", "min", "max", "text_checksum",
     )
-    return int(sum(r["rows"] for r in results))
+
+    def __call__(self, paths: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_parts, out_rows = [], []
+        for path in paths["path"].to_pylist():
+            # prune at the read: the cascade needs ~10 of the ~45 tier columns
+            avail = set(pq.read_schema(path).names)
+            block = pq.read_table(path, columns=[c for c in self.CASCADE_COLUMNS if c in avail])
+            if block.num_rows == 0:
+                continue
+            spec = self.cfg.cascade_spec
+            outs = []
+            cur = block
+            for tier_name, wf, wc in (("1h", MINUTE_US, HOUR_US), ("1d", HOUR_US, DAY_US)):
+                cur = cascade_block(cur, wf, wc, spec)
+                tagged = cur.append_column("tier_name", pa.array([tier_name] * cur.num_rows, pa.string()))
+                outs.append(tagged)
+            rows = pa.concat_tables(outs, promote_options="default")
+            part = ckpt.conv_partition(rows["conv_id"].to_numpy(zero_copy_only=False), self.cfg.num_parts)
+            rows = rows.append_column("part", pa.array(part, pa.int64()))
+            res = self.writer(rows)
+            out_parts.extend(res["part"].to_pylist())
+            out_rows.extend(res["rows"].to_pylist())
+        return pa.table({"part": pa.array(out_parts, pa.int64()), "rows": pa.array(out_rows, pa.int64())})
 
 
 def tier_dataset(root: str, tier: str):
@@ -125,6 +173,26 @@ def tier_table(root: str, tier: str) -> pa.Table:
     return tbl.sort_by([(k, "ascending") for k in keys])
 
 
+def _writer_concurrency(cfg: PipelineConfig, whole_session: bool = False) -> tuple[int, int]:
+    """Fixed-size writer pool (min == max): all actors spawn in parallel at
+    execution start instead of ramping one by one behind the queue.
+
+    ``whole_session``: stage 2 has no other operators competing for CPUs
+    (the read happens inside the actors), so its pool takes every CPU;
+    stage 1's pool shares the session with derive + shuffle."""
+    if cfg.writer_concurrency:
+        return cfg.writer_concurrency
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if whole_session:
+        k = max(2, min(cfg.num_parts, n_cpus))
+        return (k, k)
+    # stage 1 shares the session with derive+shuffle while they run, then
+    # autoscales into the freed CPUs for the write tail
+    return (max(2, min(cfg.num_parts, n_cpus // 2)), max(2, min(cfg.num_parts, n_cpus)))
+
+
 def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None) -> dict:
     """``source``: a transcripts Dataset or a parquet path. Returns metrics."""
     import ray.data as rd
@@ -136,51 +204,68 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     P = cfg.num_parts
     os.makedirs(out_root, exist_ok=True)
     ds = rd.read_parquet(source) if isinstance(source, str) else source
+    ensure_hash_shuffle(ds)
 
     metrics: dict = {"tiers": {}, "num_parts": P}
     t_start = time.time()
+    wconc = _writer_concurrency(cfg)
 
-    # resume: a partition counts as done only when complete in EVERY tier
-    # (one manifest per (tier, part) covers tier rows + gorilla chunks)
-    all_tiers = [t for t, _ in TIERS]
-    done_everywhere: frozenset[int] = frozenset()
-    if cfg.resume:
-        sets = [ckpt.completed_parts(out_root, t, P) for t in all_tiers]
-        done_everywhere = frozenset.intersection(*sets) if sets else frozenset()
+    done_1m = ckpt.completed_parts(out_root, "1m", P) if cfg.resume else frozenset()
+    done_1h = ckpt.completed_parts(out_root, "1h", P) if cfg.resume else frozenset()
+    done_1d = ckpt.completed_parts(out_root, "1d", P) if cfg.resume else frozenset()
+    done_casc = done_1h & done_1d  # a cascade partition is done when both tiers are
+    done_everywhere = done_1m & done_casc
     metrics["resumed_parts_skipped"] = sorted(done_everywhere)
 
-    widths = dict(TIERS)
-
-    def gcfg(tier: str) -> dict | None:
-        if not cfg.with_gorilla:
-            return None
-        return {"width_us": widths[tier], "points_per_chunk": cfg.gorilla_points_per_chunk, "value_col": "mean"}
-
-    # ---- raw → 1m (one execution: derive → rollup shuffle → part shuffle →
-    # writer actors emit tier rows + gorilla chunks + manifests) ----
+    # ---- stage 1: raw → 1m (derive → ONE shuffle → rollup+write actors) ----
     t0 = time.time()
-    done_1m = ckpt.completed_parts(out_root, "1m", P) if cfg.resume else frozenset()
     derived = ds.map_batches(
         make_derive(
             cfg.rollup.bucket_us,
             with_crc=cfg.rollup.with_checksum,
-            drop_parts=done_everywhere or None,
+            drop_parts=done_1m or None,
             num_parts=P,
         ),
         batch_format="pyarrow",
     )
-    t1m = rollup(derived, cfg.rollup)
-    rows = _write_tier(t1m, out_root, "1m", P, done_1m | done_everywhere, gcfg("1m"), cfg.gorilla_concurrency)
-    metrics["tiers"]["1m"] = {"rows_written": rows, "wall_s": time.time() - t0}
+    keyed = derived.repartition(P, keys=["part"], sort=False)
+    import uuid
 
-    # ---- cascades (one execution each) ----
-    for fine, coarse in (("1m", "1h"), ("1h", "1d")):
-        t0 = time.time()
-        done_c = (ckpt.completed_parts(out_root, coarse, P) if cfg.resume else frozenset()) | done_everywhere
-        fine_ds = tier_dataset(out_root, fine)
-        coarse_ds = cascade(fine_ds, widths[fine], widths[coarse], cfg.cascade_spec)
-        rows = _write_tier(coarse_ds, out_root, coarse, P, done_c, gcfg(coarse), cfg.gorilla_concurrency)
-        metrics["tiers"][coarse] = {"rows_written": rows, "wall_s": time.time() - t0}
+    run_id = uuid.uuid4().hex
+    results = keyed.map_batches(
+        RollupWriteStage,
+        fn_constructor_args=(out_root, cfg, done_1m, run_id),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=wconc,
+    ).take_all()
+    metrics["tiers"]["1m"] = {
+        "rows_written": int(sum(r["rows"] for r in results)),
+        "wall_s": time.time() - t0,
+    }
+
+    # ---- stage 2: 1m → 1h → 1d (partition-aligned read, NO shuffle) ----
+    t0 = time.time()
+    redo = sorted(set(range(P)) - done_casc)
+    files = [
+        os.path.join(out_root, "tier=1m", f"part={p:04d}", "data.parquet")
+        for p in redo
+        if os.path.exists(os.path.join(out_root, "tier=1m", f"part={p:04d}", "data.parquet"))
+    ]
+    if files:
+        paths_ds = rd.from_items([{"path": f} for f in files], override_num_blocks=len(files))
+        results = paths_ds.map_batches(
+            CascadeWriteStage,
+            fn_constructor_args=(out_root, cfg),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=_writer_concurrency(cfg, whole_session=True),
+        ).take_all()
+        rows = int(sum(r["rows"] for r in results))
+    else:
+        rows = 0
+    metrics["tiers"]["1h+1d"] = {"rows_written": rows, "wall_s": time.time() - t0}
 
     metrics["total_wall_s"] = time.time() - t_start
     return metrics

@@ -224,7 +224,7 @@ def gap_fill(tier_ds, width_us: int):
 
 def cascade(tier_ds, fine_width_us: int, coarse_width_us: int, spec: FeatureSpec | None = None, num_blocks: int | None = None):
     """fine tier points → coarse tier rows (one hash shuffle by conv_id)."""
-    from chronoxtract_ray.stages.util import ensure_hash_shuffle
+    from chronoxtract_ray.stages.util import default_shuffle_blocks, ensure_hash_shuffle
 
     ensure_hash_shuffle(tier_ds)
     spec = spec or FeatureSpec()
@@ -232,7 +232,30 @@ def cascade(tier_ds, fine_width_us: int, coarse_width_us: int, spec: FeatureSpec
     def fn(t: pa.Table) -> pa.Table:
         return cascade_block(t, fine_width_us, coarse_width_us, spec)
 
-    from chronoxtract_ray.stages.util import default_shuffle_blocks
+    ds = tier_ds.repartition(num_blocks or default_shuffle_blocks(), keys=["conv_id"], sort=False)
+    return ds.map_batches(fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cascade_multi(tier_ds, steps: list[tuple[str, int, int]], spec: FeatureSpec | None = None, num_blocks: int | None = None):
+    """Chain several cascade steps in ONE execution: each block holds whole
+    conversations of the finest tier, so every coarser tier derives in-memory
+    from the previous step's rows. ``steps``: [(tier_name, fine_width_us,
+    coarse_width_us), ...] applied in order (e.g. 1m→1h then 1h→1d). Output
+    rows carry a ``tier`` column for the per-(tier, partition) writer."""
+    from chronoxtract_ray.stages.util import default_shuffle_blocks, ensure_hash_shuffle
+
+    ensure_hash_shuffle(tier_ds)
+    spec = spec or FeatureSpec()
+
+    def fn(t: pa.Table) -> pa.Table:
+        outs = []
+        cur = t
+        for tier_name, wf, wc in steps:
+            cur = cascade_block(cur, wf, wc, spec)
+            outs.append(cur.append_column("tier_name", pa.array([tier_name] * cur.num_rows, pa.string())))
+        if not outs:
+            return _empty_cascade_out(spec).append_column("tier_name", pa.array([], pa.string()))
+        return pa.concat_tables(outs, promote_options="default")
 
     ds = tier_ds.repartition(num_blocks or default_shuffle_blocks(), keys=["conv_id"], sort=False)
     return ds.map_batches(fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)

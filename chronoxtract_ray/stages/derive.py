@@ -40,8 +40,9 @@ def derive_batch(
 ) -> pa.Table:
     """One batch of transcripts → rollup-ready columns.
 
-    ``drop_parts``/``num_parts`` implement resume: rows whose conversation
-    hash-partition is already complete are dropped at the earliest stage."""
+    ``num_parts`` adds the hash(conv_id)%P ``part`` column that the whole
+    pipeline partitions on; ``drop_parts`` implements resume: rows whose
+    partition is already complete are dropped at the earliest stage."""
     ts_us = batch["ts"].cast(pa.int64())
     value = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
     bucket = pc.multiply(pc.divide(ts_us, bucket_us), bucket_us)
@@ -57,10 +58,15 @@ def derive_batch(
         tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
         cols["crc"] = pa.array(text_crc(texts, tidx), pa.uint64())
     out = pa.table(cols)
-    if drop_parts and num_parts:
-        part = pd.util.hash_array(out["conv_id"].to_numpy(zero_copy_only=False), categorize=False) % num_parts
-        keep = ~np.isin(part.astype(np.int64), np.fromiter(drop_parts, dtype=np.int64))
-        out = out.filter(pa.array(keep))
+    if num_parts:
+        part = (
+            pd.util.hash_array(out["conv_id"].to_numpy(zero_copy_only=False), categorize=False) % num_parts
+        ).astype(np.int64)
+        if drop_parts:
+            keep = ~np.isin(part, np.fromiter(drop_parts, dtype=np.int64))
+            out = out.filter(pa.array(keep))
+            part = part[keep]
+        out = out.append_column("part", pa.array(part, pa.int64()))
     return out
 
 

@@ -43,7 +43,7 @@ def ensure_hash_shuffle(ds=None):
         n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         n = 8
-    ctx.max_hash_shuffle_aggregators = max(2, min(ctx.max_hash_shuffle_aggregators or 64, n))
+    ctx.max_hash_shuffle_aggregators = max(2, min(ctx.max_hash_shuffle_aggregators or 64, n // 2 or 1))
     ctx.default_hash_shuffle_parallelism = min(ctx.default_hash_shuffle_parallelism or 200, 4 * n)
     if ds is not None:
         try:

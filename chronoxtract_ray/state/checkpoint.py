@@ -67,7 +67,9 @@ def write_partition(root: str, tier: str, part: int, table, metrics: dict | None
     final_dir = os.path.join(root, f"tier={tier}", f"part={part:04d}")
     tmp_dir = final_dir + ".tmp"
     os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
+    # single row group: a partition file is the atomic read unit, so a
+    # downstream partition-aligned read can never split it across blocks
+    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"), row_group_size=max(table.num_rows, 1))
     if os.path.exists(final_dir):
         import shutil
 
@@ -106,22 +108,42 @@ class PartitionWriter:
     its encoder and cumulative per-partition compression state across every
     partition it writes."""
 
-    def __init__(self, root: str, tier: str, num_parts: int, gorilla_cfg: dict | None = None):
+    def __init__(self, root: str, num_parts: int, gorilla_by_tier: dict | None = None, run_id: str | None = None):
+        """``gorilla_by_tier``: tier name → gorilla cfg dict ({"width_us":...,
+        "points_per_chunk":..., "value_col":...}) or None to skip chunks for
+        that tier. Input blocks carry ``tier_name`` + ``part`` columns.
+        ``run_id`` arms the split-partition guard: if this run writes the
+        same (tier, part) twice with different row counts, a partition block
+        was split upstream (silent-corruption hazard) and we fail loudly."""
         self.root = root
-        self.tier = tier
         self.num_parts = num_parts
-        self.gorilla_cfg = gorilla_cfg  # {"width_us":..., "points_per_chunk":..., "value_col":...}
+        self.gorilla_by_tier = gorilla_by_tier or {}
+        self.run_id = run_id
         self.enc_points = 0
         self.enc_bytes = 0
 
-    def _encode_chunks(self, tbl):
+    def _guard_split(self, tier: str, part: int, new_rows: int) -> None:
+        if self.run_id is None:
+            return
+        mp = manifest_path(self.root, tier, part)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                man = json.load(f)
+            if man.get("run_id") == self.run_id and man.get("rows") != new_rows:
+                raise RuntimeError(
+                    f"partition tier={tier} part={part} written twice with different "
+                    f"row counts in one run ({man.get('rows')} then {new_rows}): a "
+                    f"partition block was split upstream — raise num_parts (or lower "
+                    f"block size pressure) so each partition fits one block"
+                )
+
+    def _encode_chunks(self, tbl, cfg):
         """Sorted tier rows of one partition → Gorilla chunk rows."""
         import numpy as np
         import pyarrow as pa
 
         from chronoxtract_ray.state import gorilla
 
-        cfg = self.gorilla_cfg
         span = cfg["width_us"] * cfg.get("points_per_chunk", 1024)
         conv = tbl["conv_id"].to_numpy(zero_copy_only=False)
         win = tbl["window_start"].to_numpy()
@@ -166,27 +188,34 @@ class PartitionWriter:
         parts_out, rows_out = [], []
         if block.num_rows:
             part_col = block["part"].to_numpy()
-            for part in np.unique(part_col):
-                t0 = time.time()
-                tbl = block.filter(pa.array(part_col == part)).drop_columns(["part"])
-                # deterministic row order inside the file
-                names = [c for c in ("conv_id", "window_start", "chunk_start") if c in tbl.column_names]
-                if names:
-                    tbl = tbl.sort_by([(n, "ascending") for n in names])
-                extra = {"wall_s": time.time() - t0}
-                if "n_turns" in tbl.column_names:
-                    extra["n_turns"] = int(tbl["n_turns"].to_numpy().sum())
-                if self.gorilla_cfg is not None:
-                    chunks = self._encode_chunks(tbl)
-                    write_chunk_partition(self.root, self.tier, int(part), chunks)
-                    extra["gorilla_chunks"] = chunks.num_rows
-                    extra["gorilla_bytes"] = int(
-                        sum(len(b.as_py()) for b in chunks["gorilla_timestamps"])
-                        + sum(len(b.as_py()) for b in chunks["gorilla_values"])
-                    )
-                write_partition(self.root, self.tier, int(part), tbl, extra)
-                parts_out.append(int(part))
-                rows_out.append(tbl.num_rows)
+            tier_col = block["tier_name"].to_numpy(zero_copy_only=False)
+            for tier in np.unique(tier_col):
+                for part in np.unique(part_col[tier_col == tier]):
+                    t0 = time.time()
+                    mask = (part_col == part) & (tier_col == tier)
+                    tbl = block.filter(pa.array(mask)).drop_columns(["part", "tier_name"])
+                    # deterministic row order inside the file
+                    names = [c for c in ("conv_id", "window_start", "chunk_start") if c in tbl.column_names]
+                    if names:
+                        tbl = tbl.sort_by([(n, "ascending") for n in names])
+                    extra = {"wall_s": time.time() - t0}
+                    if "n_turns" in tbl.column_names:
+                        extra["n_turns"] = int(tbl["n_turns"].to_numpy().sum())
+                    self._guard_split(str(tier), int(part), tbl.num_rows)
+                    gcfg = self.gorilla_by_tier.get(str(tier))
+                    if gcfg is not None:
+                        chunks = self._encode_chunks(tbl, gcfg)
+                        write_chunk_partition(self.root, str(tier), int(part), chunks)
+                        extra["gorilla_chunks"] = chunks.num_rows
+                        extra["gorilla_bytes"] = int(
+                            sum(len(b.as_py()) for b in chunks["gorilla_timestamps"])
+                            + sum(len(b.as_py()) for b in chunks["gorilla_values"])
+                        )
+                    if self.run_id is not None:
+                        extra["run_id"] = self.run_id
+                    write_partition(self.root, str(tier), int(part), tbl, extra)
+                    parts_out.append(int(part))
+                    rows_out.append(tbl.num_rows)
         return pa.table({"part": pa.array(parts_out, pa.int64()), "rows": pa.array(rows_out, pa.int64())})
 
 
