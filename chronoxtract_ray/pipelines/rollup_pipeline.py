@@ -173,6 +173,25 @@ def tier_table(root: str, tier: str) -> pa.Table:
     return tbl.sort_by([(k, "ascending") for k in keys])
 
 
+def _release_cpus(timeout_s: float = 10.0) -> None:
+    """GC dead Dataset executors and wait until their actors give the CPUs
+    back, so the next execution's actor pool can fill the session."""
+    import gc
+
+    import ray
+
+    gc.collect()
+    try:
+        total = ray.cluster_resources().get("CPU", 0)
+    except Exception:
+        return
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if ray.available_resources().get("CPU", 0) >= total * 0.9:
+            return
+        time.sleep(0.2)
+
+
 def _writer_concurrency(cfg: PipelineConfig, whole_session: bool = False) -> tuple[int, int]:
     """Fixed-size writer pool (min == max): all actors spawn in parallel at
     execution start instead of ramping one by one behind the queue.
@@ -244,6 +263,10 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
         "rows_written": int(sum(r["rows"] for r in results)),
         "wall_s": time.time() - t0,
     }
+    # release stage-1 operator state (shuffle aggregators + writer actors
+    # hold their logical CPUs while their Dataset objects stay referenced)
+    del derived, keyed, results
+    _release_cpus()
 
     # ---- stage 2: 1m → 1h → 1d (partition-aligned read, NO shuffle) ----
     t0 = time.time()
