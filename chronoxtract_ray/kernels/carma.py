@@ -1,0 +1,284 @@
+"""CARMA(p,q) model kernels (pure NumPy).
+
+Parity target: /root/reference/src/carma/ (PyO3/Rust). Implements the same
+rotated (diagonalized) state-space formulation:
+
+- AR roots via companion-matrix eigenvalues (src/carma/math.rs:22-64)
+- observation vector = Re[MA polynomial at the AR roots]
+  (src/carma/math.rs:76-110)
+- base process noise Q_ii = sigma^2 / (2|Re lambda_i|), diagonal
+  (src/carma/math.rs:122-146)
+- stationary covariance X_ij = -Q_ij / Re(lambda_i + conj(lambda_j))
+  (src/carma/math.rs:148-186)
+- per-step integrated noise Q(dt)_ij = (1 - exp((li+conj(lj)) dt)) /
+  (li+conj(lj)), row-scaled by the base Q (src/carma/kalman.rs:208-245)
+- per-point predict/update with loglik contribution
+  -0.5*(nu^2/S + ln S + 2 ln(pi))  — NOTE: the reference uses 2*ln(pi), not
+  ln(2*pi) (src/carma/kalman.rs:197-203); replicated verbatim for parity.
+- MLE = seeded random multi-start EVALUATION (the reference's optimizer is a
+  TODO — "grid search ... for now", src/carma/mle.rs:17-19); order selection
+  = AICc grid (src/carma/selection.rs:24-95).
+
+Documented divergences: the reference's random starts use Rust StdRng
+streams; this engine uses numpy default_rng with the same per-start integer
+seeds — start VALUES differ, the multi-start evaluation semantics match.
+Like the reference, complex AR roots raise in the transition-matrix
+exponential (math.rs:201-220).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = [
+    "CarmaParams",
+    "compute_ar_roots",
+    "carma_loglikelihood",
+    "carma_kalman_filter",
+    "carma_mle",
+    "carma_choose_order",
+    "information_criteria",
+]
+
+
+@dataclass
+class CarmaParams:
+    """CARMA(p,q) parameters (src/carma/types.rs:52-94): requires p >= 1 and
+    q < p; ma_coeffs has length q+1 with beta_0 leading."""
+
+    p: int
+    q: int
+    ar_coeffs: list[float] = field(default_factory=list)
+    ma_coeffs: list[float] = field(default_factory=list)
+    sigma: float = 1.0
+
+    def __post_init__(self):
+        if self.p == 0 or self.q >= self.p:
+            raise ValueError(f"Invalid CARMA order: p={self.p}, q={self.q} (need p>=1, q<p)")
+        if not self.ar_coeffs:
+            self.ar_coeffs = [1.0] * self.p
+        if not self.ma_coeffs:
+            self.ma_coeffs = [1.0] + [0.0] * self.q
+        if len(self.ar_coeffs) != self.p:
+            raise ValueError("ar_coeffs must have length p")
+        if len(self.ma_coeffs) != self.q + 1:
+            raise ValueError("ma_coeffs must have length q+1")
+
+
+def compute_ar_roots(ar_coeffs) -> np.ndarray:
+    """Roots of s^p + a1 s^(p-1) + ... + ap via the companion matrix
+    (src/carma/math.rs:22-64)."""
+    a = np.asarray(ar_coeffs, dtype=np.float64)
+    p = a.size
+    if p == 0:
+        raise ValueError("Empty AR coefficients")
+    if p == 1:
+        return np.array([complex(-a[0], 0.0)])
+    companion = np.zeros((p, p))
+    companion[np.arange(p - 1), np.arange(1, p)] = 1.0
+    companion[p - 1, :] = -a[::-1]
+    return np.linalg.eigvals(companion).astype(np.complex128)
+
+
+def _validate_series(times, values, errors=None):
+    """src/carma/math.rs:281-334."""
+    t = np.asarray(times, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    if t.size == 0 or v.size == 0:
+        raise ValueError("Empty time series")
+    if t.size != v.size:
+        raise ValueError("Time and value arrays have different lengths")
+    if errors is not None:
+        e = np.asarray(errors, dtype=np.float64)
+        if e.size != t.size:
+            raise ValueError("Error array length doesn't match time series length")
+        if ((e <= 0) | ~np.isfinite(e)).any():
+            raise ValueError("All measurement errors must be positive and finite")
+    if (~np.isfinite(t)).any() or (~np.isfinite(v)).any():
+        raise ValueError("Times/values contain non-finite values")
+    if not (np.diff(t) > 0).all():
+        raise ValueError("Times must be in strictly ascending order")
+    if t.size < 3:
+        raise ValueError("Need at least 3 data points for CARMA fitting")
+
+
+class _StateSpace:
+    """Rotated state space (src/carma/types.rs:415-445)."""
+
+    def __init__(self, params: CarmaParams):
+        lam = compute_ar_roots(params.ar_coeffs)
+        if (lam.real >= 0).any():
+            raise ValueError("Non-stationary CARMA model (AR root with non-negative real part)")
+        self.lam = lam
+        p = params.p
+        # observation vector: Re[MA polynomial at each root]
+        ma = np.asarray(params.ma_coeffs, dtype=np.float64)
+        powers = lam[:, None] ** np.arange(ma.size)[None, :]
+        self.h = (powers @ ma).real  # (p,)
+        # base process noise: diagonal sigma^2 / (2 |Re lambda|)
+        self.q_base = np.diag(params.sigma**2 / (2.0 * np.abs(lam.real)))
+        # stationary covariance: -Q_ij / Re(li + conj(lj))
+        denom = lam[:, None] + np.conj(lam)[None, :]
+        if (np.abs(denom) < 1e-12).any():
+            raise ValueError("Singular denominator in Lyapunov equation")
+        self.stationary_cov = -self.q_base / denom.real
+        self.p = p
+
+    def transition(self, dt: float) -> np.ndarray:
+        """diag(exp(lambda dt)); raises on materially complex entries
+        (src/carma/math.rs:201-220)."""
+        e = np.exp(self.lam * dt)
+        if (np.abs(e.imag) > 1e-12).any():
+            raise ValueError("Complex eigenvalues require special handling")
+        return np.diag(e.real)
+
+    def q_dt(self, dt: float) -> np.ndarray:
+        """Integrated process noise, row-scaled by base Q.
+
+        DOCUMENTED BUG FIX vs the reference: src/carma/kalman.rs:208-245
+        computes (1 - exp(s*dt))/s which is NEGATIVE for stationary roots
+        (s = li + conj(lj) < 0), so its filter adds negative process noise
+        and fails with 'Non-positive innovation variance' whenever the
+        observation gap exceeds ~0.7/|Re lambda|. The standard integral is
+        (exp(s*dt) - 1)/s (positive), which is also the unique choice
+        consistent with the reference's own stationary covariance
+        (lim dt→inf Q(dt) = -Q_base/s = stationary_cov)."""
+        s = self.lam[:, None] + np.conj(self.lam)[None, :]
+        small = np.abs(s) < 1e-12
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            integ = ((np.exp(s * dt) - 1.0) / np.where(small, 1.0, s)).real
+        qm = np.where(small, dt, integ)
+        return self.q_base @ qm
+
+
+def carma_kalman_filter(times, values, errors, params: CarmaParams) -> dict:
+    """Full Kalman pass (src/carma/kalman.rs:261-389). Returns dict with
+    loglikelihood, predicted_observations, innovations, innovation_variances,
+    filtered_means."""
+    _validate_series(times, values, errors)
+    t = np.asarray(times, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    e = np.asarray(errors, dtype=np.float64)
+    ss = _StateSpace(params)
+    x = np.zeros(ss.p)
+    P = ss.stationary_cov.copy()
+    n = t.size
+    pred = np.empty(n)
+    innov = np.empty(n)
+    ivar = np.empty(n)
+    means = np.empty((n, ss.p))
+    loglik = 0.0
+    prev_t = None
+    h = ss.h
+    for i in range(n):
+        if prev_t is not None:
+            dt = t[i] - prev_t
+            if dt > 0:
+                phi = ss.transition(dt)
+                x = phi @ x
+                P = phi @ P @ phi.T + ss.q_dt(dt)
+        y_hat = h @ x
+        nu = v[i] - y_hat
+        S = h @ P @ h + e[i] * e[i]
+        if S <= 0:
+            raise ValueError("Non-positive innovation variance")
+        K = (P @ h) / S
+        x = x + K * nu
+        P = (np.eye(ss.p) - np.outer(K, h)) @ P
+        # reference formula uses 2*ln(pi) (src/carma/kalman.rs:197-203)
+        loglik += -0.5 * (nu * nu / S + np.log(S) + 2.0 * np.log(np.pi))
+        pred[i] = y_hat
+        innov[i] = nu
+        ivar[i] = S
+        means[i] = x
+        prev_t = t[i]
+    return {
+        "loglikelihood": float(loglik),
+        "predicted_observations": pred,
+        "innovations": innov,
+        "innovation_variances": ivar,
+        "filtered_means": means,
+    }
+
+
+def carma_loglikelihood(times, values, errors, params: CarmaParams) -> float:
+    return carma_kalman_filter(times, values, errors, params)["loglikelihood"]
+
+
+def information_criteria(loglik: float, n_params: int, n_data: int):
+    """(AIC, AICc, BIC) per src/carma/math.rs:345-367."""
+    k, n = float(n_params), float(n_data)
+    aic = 2.0 * k - 2.0 * loglik
+    aicc = aic + (2.0 * k * (k + 1.0)) / (n - k - 1.0) if n > k + 1.0 else float("inf")
+    bic = k * np.log(n) - 2.0 * loglik
+    return aic, aicc, bic
+
+
+def _random_start(p: int, q: int, seed: int) -> CarmaParams:
+    """Seeded random starting point (src/carma/mle.rs:118-138; numpy RNG
+    stream, documented divergence)."""
+    rng = np.random.default_rng(seed)
+    params = CarmaParams(p, q)
+    params.ar_coeffs = list(rng.standard_normal(p) * 0.3)
+    ma = rng.standard_normal(q + 1) * 0.3
+    ma[0] = 1.0
+    params.ma_coeffs = list(ma)
+    params.sigma = max(abs(rng.standard_normal()) + 0.1, 0.01)
+    return params
+
+
+def carma_mle(times, values, errors, p: int, q: int, n_starts: int = 8, max_iter: int = 1000) -> dict:
+    """Multi-start random evaluation (NOT gradient optimization — matching
+    the reference's current behavior, src/carma/mle.rs:32-115)."""
+    _validate_series(times, values, errors)
+    if p == 0 or q >= p:
+        raise ValueError(f"Invalid CARMA order: p={p}, q={q}")
+    best = None
+    best_ll = -np.inf
+    for i in range(n_starts):
+        cand = _random_start(p, q, i)
+        try:
+            ll = carma_loglikelihood(times, values, errors, cand)
+        except ValueError:
+            continue
+        if np.isfinite(ll) and ll > best_ll:
+            best_ll = ll
+            best = cand
+    if best is None:
+        raise RuntimeError("All parameter evaluations failed")
+    n_params = p + (q + 1) + 1
+    aic, aicc, bic = information_criteria(best_ll, n_params, len(np.asarray(times)))
+    return {
+        "params": best,
+        "loglikelihood": best_ll,
+        "aic": aic,
+        "aicc": aicc,
+        "bic": bic,
+        "iterations": 1,
+        "converged": True,
+    }
+
+
+def carma_choose_order(times, values, errors, max_p: int, max_q: int, n_starts: int = 4) -> dict:
+    """AICc grid over (p, q) with q < p (src/carma/selection.rs:24-95)."""
+    aicc_grid = np.full((max_p, max_q + 1), np.nan)
+    best = (1, 0, np.inf)
+    for p in range(1, max_p + 1):
+        for q in range(0, min(p, max_q + 1)):
+            try:
+                res = carma_mle(times, values, errors, p, q, n_starts=n_starts, max_iter=500)
+            except (ValueError, RuntimeError):
+                continue
+            aicc_grid[p - 1, q] = res["aicc"]
+            if res["aicc"] < best[2]:
+                best = (p, q, res["aicc"])
+    return {
+        "best_p": best[0],
+        "best_q": best[1],
+        "best_aicc": best[2],
+        "aicc_grid": aicc_grid,
+        "p_values": np.arange(1, max_p + 1),
+        "q_values": np.arange(0, max_q + 1),
+    }

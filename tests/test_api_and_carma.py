@@ -1,0 +1,135 @@
+"""Dataset-level API surface + CARMA kernel tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import chronoxtract_ray.api as api
+from chronoxtract_ray.kernels import carma
+
+
+def _ou_series(n=120, tau=5.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 60, n)) + np.arange(n) * 1e-6
+    x = np.zeros(n)
+    for i in range(1, n):
+        a = np.exp(-(t[i] - t[i - 1]) / tau)
+        x[i] = a * x[i - 1] + np.sqrt(1 - a * a) * rng.standard_normal()
+    e = np.full(n, 0.05)
+    return t, x + e * rng.standard_normal(n), e
+
+
+class TestCarma:
+    def test_loglik_prefers_true_params(self):
+        t, y, e = _ou_series()
+        tau = 5.0
+        good = carma.CarmaParams(1, 0, ar_coeffs=[1 / tau], sigma=np.sqrt(2 / tau))
+        bad = carma.CarmaParams(1, 0, ar_coeffs=[5.0], sigma=1.0)
+        assert carma.carma_loglikelihood(t, y, e, good) > carma.carma_loglikelihood(t, y, e, bad)
+
+    def test_kalman_outputs(self):
+        t, y, e = _ou_series(80)
+        kf = carma.carma_kalman_filter(t, y, e, carma.CarmaParams(1, 0, ar_coeffs=[0.2], sigma=0.6))
+        assert kf["innovations"].shape == (80,)
+        assert (kf["innovation_variances"] > 0).all()
+        assert np.isfinite(kf["loglikelihood"])
+
+    def test_mle_and_order_selection(self):
+        t, y, e = _ou_series(100)
+        res = carma.carma_mle(t, y, e, 1, 0, n_starts=6)
+        assert np.isfinite(res["loglikelihood"]) and res["aicc"] > res["aic"]
+        order = carma.carma_choose_order(t, y, e, 2, 1, n_starts=2)
+        assert order["best_p"] in (1, 2)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            carma.CarmaParams(2, 2)
+        with pytest.raises(ValueError):
+            carma.carma_loglikelihood([1, 2], [1, 2], [1, 1], carma.CarmaParams(1, 0))  # <3 points
+        with pytest.raises(ValueError):
+            carma.carma_loglikelihood([3, 2, 1], [1, 2, 3], [1, 1, 1], carma.CarmaParams(1, 0))  # descending
+        with pytest.raises(ValueError):
+            # non-stationary (negative AR coeff → positive root)
+            carma.carma_loglikelihood([1, 2, 3], [1, 2, 3], [1, 1, 1], carma.CarmaParams(1, 0, ar_coeffs=[-1.0]))
+
+    def test_carma2_runs(self):
+        t, y, e = _ou_series(100)
+        p = carma.CarmaParams(2, 1, ar_coeffs=[0.9, 0.2], ma_coeffs=[1.0, 0.3], sigma=0.5)
+        ll = carma.carma_loglikelihood(t, y, e, p)
+        assert np.isfinite(ll)
+
+
+@pytest.fixture(scope="module")
+def tiny_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for conv in ("a", "b", "c"):
+        n = 40
+        ts = np.cumsum(rng.integers(1, 5, n)).astype(np.int64)
+        vals = np.abs(rng.normal(50, 10, n))
+        for i in range(n):
+            rows.append({"conv_id": conv, "ts_us": int(ts[i]), "turn_idx": i, "value": float(vals[i])})
+    return rd.from_items(rows)
+
+
+class TestDatasetAPI:
+    def test_summary(self, tiny_ds):
+        df = api.time_series_summary(tiny_ds).to_pandas()
+        assert len(df) == 3 and "mean" in df and "q95" in df
+
+    def test_rolling_list_column(self, tiny_ds):
+        df = api.rolling_mean(tiny_ds, window=5).to_pandas()
+        assert len(df) == 3
+        assert all(len(r) == 36 for r in df["rolling_mean"])
+
+    def test_entropy_and_hjorth(self, tiny_ds):
+        df = api.sample_entropy(tiny_ds, m=2, r=5.0).to_pandas()
+        assert np.isfinite(df["sample_entropy"]).all()
+        dh = api.hjorth_parameters(tiny_ds).to_pandas()
+        assert (dh["activity"] > 0).all()
+
+    def test_fvar_with_default_errors(self, tiny_ds):
+        df = api.fractional_variability(tiny_ds).to_pandas()
+        assert len(df) == 3 and (df["fvar"] >= 0).all()
+
+    def test_matrices_flattened(self, tiny_ds):
+        df = api.markov_transition_field(tiny_ds, num_bins=3).to_pandas()
+        assert all(len(r) == 40 * 40 for r in df["mtf"])
+
+    def test_acf_dict_output(self, tiny_ds):
+        df = api.acf(tiny_ds, lag_min=-20.0, lag_max=20.0, lag_bin_width=5.0).to_pandas()
+        assert "correlations" in df.columns
+
+    def test_carma_over_dataset(self, tiny_ds):
+        df = api.carma_loglikelihood(tiny_ds, p=1, q=0, ar_coeffs=[0.5], sigma=10.0).to_pandas()
+        assert len(df) == 3 and np.isfinite(df["loglik"]).all()
+
+    def test_error_rows_not_fatal(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_items([{"conv_id": "x", "ts_us": 1, "turn_idx": 0, "value": 1.0}])
+        df = api.hjorth_parameters(ds).to_pandas()  # needs >=3 points → error column
+        assert "error" in df.columns
+
+    def test_function_registry_covers_reference_surface(self):
+        # every reference-registered function family has a dataset-level entry
+        expected = [
+            "time_series_summary", "calculate_mean", "calculate_mode", "calculate_quantiles",
+            "rolling_mean", "rolling_variance", "expanding_sum", "exponential_moving_average",
+            "sliding_window_entropy", "sample_entropy", "approximate_entropy",
+            "permutation_entropy", "lempel_ziv_complexity", "multiscale_entropy",
+            "hjorth_parameters", "zero_crossing_rate", "slope_features", "variability_features",
+            "turning_points", "energy_distribution", "enhanced_peak_stats",
+            "peak_to_peak_amplitude", "find_peaks", "peak_prominence", "perform_fft",
+            "lomb_scargle", "simple_stl_decomposition", "seasonal_trend_strength",
+            "detect_seasonality", "detrended_fluctuation_analysis", "fractional_variability",
+            "calc_variability_timescale", "variability_statistics", "acf", "zdcf_self",
+            "time_delay_embedding", "gramian_angular_summation_field", "markov_transition_field",
+            "carma_loglikelihood", "carma_mle", "carma_choose_order",
+        ]
+        for name in expected:
+            assert name in api.FUNCTIONS, name
