@@ -80,9 +80,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- whole-series / astronomy ----
         "fvar_per_user": qe.q_fvar_per_user,
         "lomb_scargle": qe.q_lomb_scargle,
-        # ---- entropy / spectral (non-SQL) ----
+        # ---- entropy / spectral / model-fitting (non-SQL) ----
         "entropy_features": qe.q_entropy_features,
         "fft_bands": qe.q_fft_bands,
+        "stl_strengths": qe.q_stl_strengths,
+        "dfa": qe.q_dfa,
+        "lzc": qe.q_lzc,
+        "variability_timescale": qe.q_variability_timescale,
+        "carma_loglik": qe.q_carma_loglik,
+        "peak_stats": qe.q_peak_stats,
         # ---- sort/limit + plain aggregates ----
         "top_energy_windows": qe.q_top_energy_windows,
         "event_type_stats": qe.q_event_type_stats,

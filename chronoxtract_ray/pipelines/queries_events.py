@@ -693,3 +693,47 @@ def q_lomb_scargle(sf_dir: str):
         )
 
     return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+# ---- rows-only queries via the dataset-level API (whole-series per user) ----
+
+
+def _events_series(sf_dir: str):
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["user_id"],  # api default key column
+                "ts_us": t["ts_us"],
+                "turn_idx": t["turn"],
+                "value": t["value"],
+            }
+        )
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def _api_query(fn_name: str, out_cols: list[str], **kwargs):
+    import chronoxtract_ray.api as api
+
+    def q(sf_dir: str):
+        fn = getattr(api, fn_name)
+        t = fn(_events_series(sf_dir), **kwargs).to_pandas()
+        t = t.rename(columns={"conv_id": "user_id"})
+        keep = ["user_id"] + [c for c in out_cols if c in t.columns]
+        t = t[keep].dropna()
+        for c in t.columns:
+            if t[c].dtype.kind == "f":
+                t[c] = _round(t[c].to_numpy())
+        return pa.Table.from_pandas(t.sort_values("user_id"), preserve_index=False)
+
+    return q
+
+
+q_stl_strengths = _api_query("seasonal_trend_strength", ["seasonal_strength", "trend_strength"], period=12)
+q_dfa = _api_query("detrended_fluctuation_analysis", ["dfa_alpha"], min_window=4, max_window=32, num_windows=6)
+q_lzc = _api_query("lempel_ziv_complexity", ["lzc"])
+q_variability_timescale = _api_query("variability_statistics", ["tau_min", "tau_max", "tau_mean", "tau_median", "tau_std_dev", "tau_count"])
+q_carma_loglik = _api_query("carma_loglikelihood", ["loglik"], p=1, q=0, ar_coeffs=[0.00001], sigma=50.0)
+q_peak_stats = _api_query("enhanced_peak_stats", ["n_peaks", "mean_prominence", "mean_spacing", "peak_density"], min_prominence=1.0, min_distance=1)

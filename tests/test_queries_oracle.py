@@ -91,7 +91,9 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["ema", "lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash", "lang_id", "ngram_jaccard_pairs", "knn_lsh"],
+    ["ema", "lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
+     "lang_id", "ngram_jaccard_pairs", "knn_lsh", "stl_strengths", "dfa", "lzc",
+     "variability_timescale", "carma_loglik", "peak_stats"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
