@@ -28,8 +28,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# ~40 turns/conv mean with 100x hot convs every 200 → ≈ 60k turns per 1k convs
-N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "22000"))  # ≈ 1.3M turns
+# ~60 turns/conv mean with 100x hot convs every 200 → ≈ 60k turns per 1k convs
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))  # ≈ 5.9M turns
 SCALING_CPUS = (8, 32)
 
 
