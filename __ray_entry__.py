@@ -101,10 +101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": qd.q_simhash,
         "lang_id": qd.q_lang_id,
         "ngram_jaccard_pairs": qd.q_ngram_jaccard_pairs,
+        "dedup_clusters": qd.q_dedup_clusters,
         # ---- similarity search over embeddings ----
         "knn_bruteforce": qv.q_knn_bruteforce,
         "embedding_neardup": qv.q_embedding_neardup,
         "knn_lsh": qv.q_knn_lsh,
+        "knn_ivf": qv.q_knn_ivf,
     }
 
 

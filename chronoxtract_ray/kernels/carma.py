@@ -33,6 +33,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 __all__ = [
+    "McmcParams",
+    "carma_mcmc",
     "CarmaParams",
     "compute_ar_roots",
     "carma_loglikelihood",
@@ -281,4 +283,227 @@ def carma_choose_order(times, values, errors, max_p: int, max_q: int, n_starts: 
         "aicc_grid": aicc_grid,
         "p_values": np.arange(1, max_p + 1),
         "q_values": np.arange(0, max_q + 1),
+    }
+
+
+# ---- MCMC with parallel tempering (src/carma/mcmc.rs) ----
+
+
+@dataclass
+class McmcParams:
+    """MCMC parameterization (src/carma/types.rs:150-224): ysigma,
+    measerr_scale, mu + raw AR/MA vectors; to_carma maps ar directly and
+    ma -> [1.0, ma...]."""
+
+    p: int
+    q: int
+    ysigma: float = 1.0
+    measerr_scale: float = 1.0
+    mu: float = 0.0
+    ar_params: np.ndarray | None = None
+    ma_params: np.ndarray | None = None
+
+    def __post_init__(self):
+        if self.p == 0 or self.q >= self.p:
+            raise ValueError(f"Invalid CARMA order: p={self.p}, q={self.q}")
+        if self.ar_params is None:
+            self.ar_params = np.zeros(self.p)
+        if self.ma_params is None:
+            self.ma_params = np.zeros(self.q)
+
+    def to_carma_params(self) -> CarmaParams:
+        return CarmaParams(
+            self.p,
+            self.q,
+            ar_coeffs=list(self.ar_params),
+            ma_coeffs=[1.0] + list(self.ma_params),
+            sigma=self.ysigma,
+        )
+
+    def to_vector(self) -> np.ndarray:
+        return np.concatenate(
+            [self.ar_params, self.ma_params, [np.log(self.ysigma), np.log(self.measerr_scale), self.mu]]
+        )
+
+    @classmethod
+    def from_vector(cls, p: int, q: int, vec: np.ndarray) -> "McmcParams":
+        return cls(
+            p, q,
+            ysigma=float(np.exp(vec[p + q])),
+            measerr_scale=float(np.exp(vec[p + q + 1])),
+            mu=float(vec[p + q + 2]),
+            ar_params=vec[:p].copy(),
+            ma_params=vec[p : p + q].copy(),
+        )
+
+
+def _log_prior(mp: McmcParams) -> float:
+    """N(0,2) on AR/MA, N(0,1) on ln ysigma, N(0,0.5) on ln measerr,
+    N(0,5) on mu (src/carma/mcmc.rs:100-125)."""
+
+    def lnpdf(x, s):
+        return -0.5 * (x / s) ** 2 - np.log(s * np.sqrt(2 * np.pi))
+
+    lp = float(np.sum(lnpdf(mp.ar_params, 2.0)) + np.sum(lnpdf(mp.ma_params, 2.0)))
+    lp += float(lnpdf(np.log(mp.ysigma), 1.0))
+    lp += float(lnpdf(np.log(mp.measerr_scale), 0.5))
+    lp += float(lnpdf(mp.mu, 5.0))
+    return lp
+
+
+class _Chain:
+    def __init__(self, params: McmcParams, temperature: float, seed: int):
+        self.params = params
+        self.temperature = temperature
+        self.rng = np.random.default_rng(seed)
+        d = params.p + params.q + 3
+        self.prop_var = np.full(d, 0.01)  # diagonal proposal (mcmc.rs:41,135)
+        self.loglik = -np.inf
+        self.logprior = 0.0
+        self.n_accepted = 0
+        self.n_total = 0
+
+    def propose(self) -> np.ndarray:
+        vec = self.params.to_vector()
+        return vec + self.rng.standard_normal(vec.size) * np.sqrt(self.prop_var)
+
+    def update_cov(self, samples: np.ndarray):
+        """2.38^2/d scaling + 1e-6 jitter (mcmc.rs:168-196); diagonal used."""
+        if samples.shape[0] < 10:
+            return
+        d = samples.shape[1]
+        var = samples.var(axis=0, ddof=1)
+        self.prop_var = var * (2.38**2) / d + 1e-6
+
+
+def carma_mcmc(
+    times, values, errors, p: int, q: int, n_samples: int,
+    n_burn: int | None = None, n_chains: int = 4, seed: int = 42,
+) -> dict:
+    """Adaptive Metropolis within parallel tempering
+    (src/carma/mcmc.rs:387-501): temperature ladder 1.0,1.5,...; swaps every
+    10 (burn) / 5 (sample) iterations; proposal covariance re-estimated every
+    100 burn iterations from the last 200 samples; cold-chain extraction;
+    split-free R-hat + simple ESS (mcmc.rs:504-566).
+
+    Documented divergences: numpy RNG streams (values differ from Rust
+    StdRng); proposals whose likelihood fails to evaluate (non-stationary AR)
+    are rejected with loglik = -inf instead of aborting the whole run (the
+    reference's `?` operator aborts, which kills most runs in practice).
+    """
+    _validate_series(times, values, errors)
+    t = np.asarray(times, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    e = np.asarray(errors, dtype=np.float64)
+    n_burn = n_burn if n_burn is not None else n_samples // 4
+    d = p + q + 3
+
+    init = McmcParams(p, q)
+    init.ysigma = float(np.sqrt((v**2).sum()) / np.sqrt(v.size))
+    init.mu = float(v.mean())
+    rng0 = np.random.default_rng(seed)
+    init.ar_params = rng0.uniform(-0.1, 0.1, p)
+    init.ma_params = rng0.uniform(-0.1, 0.1, q)
+
+    def loglik_of(mp: McmcParams) -> float:
+        try:
+            return carma_loglikelihood(t, v - mp.mu, e * mp.measerr_scale, mp.to_carma_params())
+        except (ValueError, FloatingPointError):
+            return -np.inf
+
+    chains = [
+        _Chain(
+            McmcParams(p, q, init.ysigma, init.measerr_scale, init.mu,
+                       init.ar_params.copy(), init.ma_params.copy()),
+            1.0 + 0.5 * i,
+            seed + i * 1000,
+        )
+        for i in range(n_chains)
+    ]
+    for c in chains:
+        c.loglik = loglik_of(c.params)
+        c.logprior = _log_prior(c.params)
+
+    n_swap_att = n_swap_acc = 0
+
+    def step():
+        for c in chains:
+            prop_vec = c.propose()
+            try:
+                prop = McmcParams.from_vector(p, q, prop_vec)
+            except (ValueError, OverflowError):
+                c.n_total += 1
+                continue
+            ll = loglik_of(prop)
+            lp = _log_prior(prop)
+            log_alpha = ((ll + lp) - (c.loglik + c.logprior)) / c.temperature
+            c.n_total += 1
+            if np.log(c.rng.random() + 1e-300) < log_alpha:
+                c.params, c.loglik, c.logprior = prop, ll, lp
+                c.n_accepted += 1
+
+    def swaps():
+        nonlocal n_swap_att, n_swap_acc
+        for i in range(n_chains - 1):
+            beta_i = 1.0 / chains[i].temperature
+            beta_j = 1.0 / chains[i + 1].temperature
+            log_alpha = (beta_i - beta_j) * (chains[i + 1].loglik - chains[i].loglik)
+            n_swap_att += 1
+            if chains[0].rng.random() < min(np.exp(min(log_alpha, 0.0)) if log_alpha < 0 else 1.0, 1.0):
+                a, b = chains[i], chains[i + 1]
+                a.params, b.params = b.params, a.params
+                a.loglik, b.loglik = b.loglik, a.loglik
+                a.logprior, b.logprior = b.logprior, a.logprior
+                n_swap_acc += 1
+
+    # adaptation phase
+    adapt_hist = [[] for _ in range(n_chains)]
+    for it in range(n_burn):
+        step()
+        for ci, c in enumerate(chains):
+            adapt_hist[ci].append(c.params.to_vector())
+        if it % 10 == 0:
+            swaps()
+        if it % 100 == 99 and it > 200:
+            for ci, c in enumerate(chains):
+                c.update_cov(np.asarray(adapt_hist[ci][-200:]))
+
+    # sampling phase
+    all_samples = np.empty((n_chains, n_samples, d))
+    for it in range(n_samples):
+        step()
+        for ci, c in enumerate(chains):
+            all_samples[ci, it] = c.params.to_vector()
+        if it % 5 == 0:
+            swaps()
+
+    cold = all_samples[0]
+    logliks = np.array([loglik_of(McmcParams.from_vector(p, q, s)) for s in cold])
+
+    # R-hat + simple ESS (mcmc.rs:504-566)
+    if n_chains < 2:
+        rhat = np.ones(d)
+        ess = np.full(d, float(n_samples))
+    else:
+        chain_means = all_samples.mean(axis=1)  # (chains, d)
+        chain_vars = all_samples.var(axis=1, ddof=1)
+        overall = chain_means.mean(axis=0)
+        between = n_samples * ((chain_means - overall) ** 2).sum(axis=0) / (n_chains - 1)
+        within = chain_vars.mean(axis=0)
+        var_est = ((n_samples - 1) * within + between) / n_samples
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rhat = np.where(within > 0, np.sqrt(var_est / within), 1.0)
+            ess = np.where(var_est > 0, n_chains * n_samples / (1.0 + 2.0 * rhat), n_chains * n_samples)
+
+    return {
+        "samples": cold,
+        "loglikelihoods": logliks,
+        "acceptance_rate": chains[0].n_accepted / max(chains[0].n_total, 1),
+        "swap_acceptance_rate": n_swap_acc / max(n_swap_att, 1),
+        "rhat": rhat,
+        "effective_sample_size": ess,
+        "n_samples": n_samples,
+        "n_burn": n_burn,
+        "p": p,
+        "q": q,
     }

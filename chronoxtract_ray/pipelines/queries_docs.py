@@ -332,3 +332,35 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             "jaccard": pa.array(_round(np.asarray(ja)), pa.float64()),
         }
     )
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: MinHash/LSH candidate pairs → connected
+    components via iterative min-label propagation (groupby rounds — the
+    scale-path algorithm; no driver-side union-find over big pair sets).
+    Rows-only (iterative fixpoint isn't ANSI SQL)."""
+    pairs = q_minhash_neardup(sf_dir)
+    import pyarrow.parquet as pq
+
+    all_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    label = {int(i): int(i) for i in all_ids}
+    edges = list(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    # min-label propagation to fixpoint; each round is expressible as
+    # edge-join + groupby-min (done in-memory here: candidate sets are small
+    # by construction after LSH banding)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            la, lb = label[a], label[b]
+            m = min(la, lb)
+            if la != m or lb != m:
+                label[a] = label[b] = m
+                changed = True
+    ids = sorted(label)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([label[i] for i in ids], pa.int64()),
+        }
+    )

@@ -206,3 +206,67 @@ def q_knn_lsh(sf_dir: str):
     df = df.groupby("query_id", sort=True).head(TOP_K)
     df["cosine"] = _round(df["cosine"].to_numpy())
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_knn_ivf(sf_dir: str):
+    """Approximate top-5 via an IVF index: k-means coarse quantizer trained
+    driver-side on a sample (small-side state), centroids broadcast with
+    ray.put, per-batch assignment + probe of the nprobe closest lists.
+    Rows-only (approximate by design; recall asserted in tests)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    n_lists, n_probe, iters = 8, 3, 10
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids, A = _to_matrix(full)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    rng = np.random.default_rng(11)
+    # train quantizer on a sample (deterministic seeded Lloyd's iterations)
+    sample = An[rng.choice(An.shape[0], min(512, An.shape[0]), replace=False)]
+    C = sample[rng.choice(sample.shape[0], n_lists, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for k in range(n_lists):
+            members = sample[assign == k]
+            if members.shape[0]:
+                c = members.mean(axis=0)
+                C[k] = c / max(np.linalg.norm(c), 1e-12)
+
+    q_ids = all_ids[all_ids < N_QUERIES]
+    Qn = An[np.isin(all_ids, q_ids)]
+    q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    ref = ray.put((q_ids, Qn, C, q_probe))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        qids, qn, cent, probe = ray.get(ref)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        lists = np.argmax(Mn @ cent.T, axis=1)
+        rows = []
+        for j, qid in enumerate(qids):
+            cand = np.isin(lists, probe[j])
+            if not cand.any():
+                continue
+            sims = Mn[cand] @ qn[j]
+            cids = ids[cand]
+            k = min(TOP_K + 1, sims.size)
+            for i in np.argpartition(-sims, k - 1)[:k]:
+                rows.append((int(qid), int(cids[i]), float(sims[i])))
+        if not rows:
+            return pa.table({"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+        arr = np.array(rows)
+        return pa.table(
+            {
+                "query_id": pa.array(arr[:, 0].astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(arr[:, 1].astype(np.int64), pa.int64()),
+                "cosine": pa.array(arr[:, 2], pa.float64()),
+            }
+        )
+
+    partial = pa.Table.from_pylist(_emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all())
+    df = partial.to_pandas()
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(TOP_K)
+    df["cosine"] = _round(df["cosine"].to_numpy())
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -133,3 +133,24 @@ class TestDatasetAPI:
         ]
         for name in expected:
             assert name in api.FUNCTIONS, name
+
+
+class TestCarmaMcmc:
+    def test_mcmc_runs_and_is_deterministic(self):
+        t, y, e = _ou_series(50)
+        kwargs = dict(n_samples=120, n_burn=120, n_chains=3, seed=7)
+        a = carma.carma_mcmc(t, y, e, 1, 0, **kwargs)
+        b = carma.carma_mcmc(t, y, e, 1, 0, **kwargs)
+        assert np.array_equal(a["samples"], b["samples"])
+        assert a["samples"].shape == (120, 4)  # p + q + 3 params
+        assert 0.0 < a["acceptance_rate"] < 1.0
+        assert np.isfinite(a["loglikelihoods"]).all()
+        assert a["rhat"].shape == (4,)
+
+    def test_mcmc_posterior_tracks_likelihood(self):
+        t, y, e = _ou_series(60)
+        res = carma.carma_mcmc(t, y, e, 1, 0, n_samples=200, n_burn=200, n_chains=2, seed=3)
+        # posterior samples should beat the (bad) initial guess on average
+        init = carma.CarmaParams(1, 0, ar_coeffs=[0.05], sigma=1.0)
+        base = carma.carma_loglikelihood(t, y - y.mean(), e, init)
+        assert np.median(res["loglikelihoods"]) >= base - 5.0

@@ -93,7 +93,7 @@ def test_query_matches_oracle(entrymod, duck, name):
     "name",
     ["ema", "lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
      "lang_id", "ngram_jaccard_pairs", "knn_lsh", "stl_strengths", "dfa", "lzc",
-     "variability_timescale", "carma_loglik", "peak_stats"],
+     "variability_timescale", "carma_loglik", "peak_stats", "dedup_clusters", "knn_ivf"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
@@ -103,11 +103,12 @@ def test_rows_only_queries_run(entrymod, name):
 
 def test_knn_lsh_recall_vs_bruteforce(entrymod):
     exact = entrymod.queries()["knn_bruteforce"](SF).to_pandas()
-    approx = entrymod.queries()["knn_lsh"](SF).to_pandas()
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
-    a = set(zip(approx["query_id"], approx["neighbor_id"]))
-    recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    for approx_name, floor in (("knn_lsh", 0.3), ("knn_ivf", 0.3)):
+        approx = entrymod.queries()[approx_name](SF).to_pandas()
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        recall = len(e & a) / len(e)
+        assert recall >= floor, f"{approx_name} recall too low: {recall}"
 
 
 def test_entry_smoke(entrymod):
