@@ -323,6 +323,70 @@ def _make_api(name: str, fn: Callable, needs_ts: bool, needs_err: bool):
     return api_fn
 
 
+def dcf_pairs(
+    ds,
+    pairs: list[tuple],
+    lag_min: float,
+    lag_max: float,
+    lag_bin_width: float,
+    *,
+    by: str = "conv_id",
+    ts: str = "ts_us",
+    value: str = "value",
+    error: str | None = None,
+):
+    """Cross-series Edelson-Krolik DCF for explicit series pairs — the
+    distributed pair-join form of the reference's dcf_py (which only ever
+    sees two in-memory arrays, src/correlation/mod.rs:37-96).
+
+    Shape: the pair list is broadcast (small side); a map_batches stage
+    replicates each row once per pair membership tagged (pair_id, side);
+    one groupby(pair_id) co-locates both series of a pair; the DCF kernel
+    runs per group. Returns one row per pair with list columns."""
+    from chronoxtract_ray.kernels.correlation import dcf as dcf_kernel
+
+    membership: dict = {}
+    for pid, (a, b) in enumerate(pairs):
+        membership.setdefault(a, []).append((pid, 0))
+        membership.setdefault(b, []).append((pid, 1))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_numpy(zero_copy_only=False)
+        out_idx, out_pid, out_side = [], [], []
+        for i, k in enumerate(keys):
+            for pid, side in membership.get(k, ()):
+                out_idx.append(i)
+                out_pid.append(pid)
+                out_side.append(side)
+        sub = batch.take(pa.array(out_idx, pa.int64()))
+        sub = sub.append_column("pair_id", pa.array(out_pid, pa.int64()))
+        return sub.append_column("side", pa.array(out_side, pa.int64()))
+
+    def per_pair(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        t = g[ts].to_numpy().astype(np.float64)
+        v = g[value].to_numpy().astype(np.float64)
+        e = g[error].to_numpy().astype(np.float64) if error and error in g.column_names else np.ones_like(v)
+        out_cols = {"pair_id": pa.array([g["pair_id"][0].as_py()], pa.int64())}
+        m0, m1 = side == 0, side == 1
+        if m0.sum() < 2 or m1.sum() < 2:
+            out_cols["error"] = pa.array(["pair side has < 2 points"], pa.string())
+            return pa.table(out_cols)
+        o0, o1 = np.argsort(t[m0], kind="stable"), np.argsort(t[m1], kind="stable")
+        res = dcf_kernel(
+            t[m0][o0], v[m0][o0], e[m0][o0], t[m1][o1], v[m1][o1], e[m1][o1],
+            lag_min, lag_max, lag_bin_width,
+        )
+        out_cols.update(_as_table(res))
+        return pa.table(out_cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("pair_id").map_groups(
+        per_pair, batch_format="pyarrow"
+    )
+
+
+__all__.append("dcf_pairs")
+
 _mod = sys.modules[__name__]
 for _name, (_fn, _nts, _nerr) in FUNCTIONS.items():
     setattr(_mod, _name, _make_api(_name, _fn, _nts, _nerr))

@@ -154,3 +154,10 @@ class TestCarmaMcmc:
         init = carma.CarmaParams(1, 0, ar_coeffs=[0.05], sigma=1.0)
         base = carma.carma_loglikelihood(t, y - y.mean(), e, init)
         assert np.median(res["loglikelihoods"]) >= base - 5.0
+
+
+def test_dcf_pairs_distributed_join(tiny_ds):
+    df = api.dcf_pairs(tiny_ds, [("a", "b"), ("b", "c")], -50.0, 50.0, 10.0).to_pandas()
+    assert len(df) == 2
+    assert "correlations" in df.columns
+    assert all(len(r) > 0 for r in df["correlations"])
