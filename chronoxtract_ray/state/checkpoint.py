@@ -153,20 +153,21 @@ class PartitionWriter:
         seg = np.concatenate(([True], (codes[1:] != codes[:-1]) | (chunk[1:] != chunk[:-1])))
         starts = np.flatnonzero(seg)
         ends = np.concatenate((starts[1:], [win.size]))
-        cols = {k: [] for k in ("conv_id", "chunk_start", "n_points", "first_window", "last_window", "gorilla_timestamps", "gorilla_values")}
-        for s, e in zip(starts, ends):
-            w = win[s:e]
-            tsb = gorilla.encode_timestamps(w)
-            vb = gorilla.encode_values(val[s:e])
-            cols["conv_id"].append(conv[s])
-            cols["chunk_start"].append(int(chunk[s]))
-            cols["n_points"].append(int(e - s))
-            cols["first_window"].append(int(w[0]))
-            cols["last_window"].append(int(w[-1]))
-            cols["gorilla_timestamps"].append(tsb)
-            cols["gorilla_values"].append(vb)
-            self.enc_points += e - s
-            self.enc_bytes += len(tsb) + len(vb)
+        # batch encoders: one vectorized pass over every chunk of the
+        # partition (~6x less per-chunk overhead; byte-identical blobs)
+        ts_blobs = gorilla.encode_timestamps_batch(win, starts)
+        v_blobs = gorilla.encode_values_batch(val, starts)
+        cols = {
+            "conv_id": conv[starts],
+            "chunk_start": chunk[starts],
+            "n_points": ends - starts,
+            "first_window": win[starts],
+            "last_window": win[ends - 1],
+            "gorilla_timestamps": ts_blobs,
+            "gorilla_values": v_blobs,
+        }
+        self.enc_points += int(win.size)
+        self.enc_bytes += sum(map(len, ts_blobs)) + sum(map(len, v_blobs))
         import pyarrow as pa
 
         return pa.table(

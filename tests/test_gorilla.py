@@ -58,3 +58,17 @@ def test_constant_values_compress_hard():
     v = np.repeat(3.75, 2000)
     enc = g.encode_values(v)
     assert len(enc) < v.nbytes / 20
+
+
+def test_batch_encoders_byte_identical():
+    rng = np.random.default_rng(17)
+    sizes = [1, 2, 3] + list(rng.integers(4, 60, 60))
+    vals, tss, starts, off = [], [], [], 0
+    for s in sizes:
+        starts.append(off)
+        vals.append(rng.normal(50, 5, s).round(2))
+        tss.append(int(rng.integers(0, 10**12)) + np.cumsum(rng.integers(1, 10**7, s)).astype(np.int64))
+        off += s
+    v, t, st = np.concatenate(vals), np.concatenate(tss), np.asarray(starts)
+    assert g.encode_values_batch(v, st) == [g.encode_values(c) for c in vals]
+    assert g.encode_timestamps_batch(t, st) == [g.encode_timestamps(c) for c in tss]

@@ -48,3 +48,18 @@ def test_same_rows(tier_pair):
             assert np.allclose(av, bv, rtol=1e-12, atol=1e-12, equal_nan=True), col
         else:
             assert (av == bv).all(), col
+
+
+def test_custom_feature_registry(ray_session):
+    """register_feature → RollupConfig.extra_features → tier column."""
+    import ray.data as rd
+
+    from chronoxtract_ray import kernels
+
+    kernels.register_feature("p90_minus_p10", lambda v: float(np.percentile(v, 90) - np.percentile(v, 10)))
+    tbl = generate_table(4, base_turns=20, hot_every=0)
+    derived = rd.from_arrow(tbl).map_batches(make_derive(HOUR_US, num_parts=2), batch_format="pyarrow")
+    out = rollup(derived, RollupConfig(extra_features=("p90_minus_p10",)), num_blocks=4).to_pandas()
+    assert "p90_minus_p10" in out.columns
+    assert np.isfinite(out["p90_minus_p10"]).all()
+    assert (out["p90_minus_p10"] >= 0).all()
