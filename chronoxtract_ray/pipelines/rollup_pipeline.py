@@ -58,6 +58,7 @@ class PipelineConfig:
     with_gorilla: bool = True
     gorilla_points_per_chunk: int = 1024
     writer_concurrency: tuple[int, int] | None = None  # default: sized to session
+    fused_cascade: bool = True  # cascade in the rollup actors (1 execution); False = separate stage
     resume: bool = True
 
 
@@ -74,31 +75,47 @@ def _gorilla_cfg(cfg: PipelineConfig, tier: str) -> dict | None:
 
 class RollupWriteStage:
     """Actor-pool UDF (stage 1): one partition-aligned block of derived rows
-    → 1m tier rows + Gorilla chunks + manifest on disk. Returns stats rows.
+    → 1m tier rows + (fused) 1h/1d cascade rows + Gorilla chunks + manifests
+    on disk, all from the in-memory block — the partition never round-trips
+    through storage between tiers. Returns stats rows.
 
     The actor carries the Gorilla encoder state (PartitionWriter) across all
     partitions it processes."""
 
     def __init__(self, out_root: str, cfg: PipelineConfig, done: frozenset[int], run_id: str | None = None):
         self.cfg = cfg
+        gor = {"1m": _gorilla_cfg(cfg, "1m")}
+        if cfg.fused_cascade:
+            gor.update({"1h": _gorilla_cfg(cfg, "1h"), "1d": _gorilla_cfg(cfg, "1d")})
         self.fn = make_block_rollup(cfg.rollup)
-        self.writer = ckpt.PartitionWriter(
-            out_root, cfg.num_parts, {"1m": _gorilla_cfg(cfg, "1m")}, run_id=run_id
-        )
+        self.writer = ckpt.PartitionWriter(out_root, cfg.num_parts, gor, run_id=run_id)
         self.done = np.fromiter(done, dtype=np.int64) if done else None
 
     def __call__(self, block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return pa.table({"part": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
         tier_rows = self.fn(block.drop_columns(["part"]))
-        part = ckpt.conv_partition(tier_rows["conv_id"].to_numpy(zero_copy_only=False), self.cfg.num_parts)
-        if self.done is not None:
-            keep = ~np.isin(part, self.done)
-            tier_rows = tier_rows.filter(pa.array(keep))
-            part = part[keep]
-        tier_rows = tier_rows.append_column("part", pa.array(part, pa.int64()))
-        tier_rows = tier_rows.append_column("tier_name", pa.array(["1m"] * tier_rows.num_rows, pa.string()))
-        return self.writer(tier_rows)
+        outs = [("1m", tier_rows)]
+        if self.cfg.fused_cascade:
+            cur = tier_rows
+            for tier_name, wf, wc in (("1h", MINUTE_US, HOUR_US), ("1d", HOUR_US, DAY_US)):
+                cur = cascade_block(cur, wf, wc, self.cfg.cascade_spec)
+                outs.append((tier_name, cur))
+        # one writer pass per tier so each tier keeps its exact schema
+        parts_out, rows_out = [], []
+        for tier_name, rows in outs:
+            part = ckpt.conv_partition(rows["conv_id"].to_numpy(zero_copy_only=False), self.cfg.num_parts)
+            if self.done is not None:
+                keep = ~np.isin(part, self.done)
+                rows = rows.filter(pa.array(keep))
+                part = part[keep]
+            rows = rows.append_column("part", pa.array(part, pa.int64()))
+            rows = rows.append_column("tier_name", pa.array([tier_name] * rows.num_rows, pa.string()))
+            res = self.writer(rows)
+            if tier_name == "1m":  # stats reflect the headline tier
+                parts_out.extend(res["part"].to_pylist())
+                rows_out.extend(res["rows"].to_pylist())
+        return pa.table({"part": pa.array(parts_out, pa.int64()), "rows": pa.array(rows_out, pa.int64())})
 
 
 class CascadeWriteStage:
@@ -236,13 +253,15 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     done_everywhere = done_1m & done_casc
     metrics["resumed_parts_skipped"] = sorted(done_everywhere)
 
-    # ---- stage 1: raw → 1m (derive → ONE shuffle → rollup+write actors) ----
+    # ---- stage 1: raw → 1m (→ 1h → 1d when fused) ----
+    # derive → ONE shuffle → rollup(+cascade)+write actors
     t0 = time.time()
+    stage1_done = (done_1m & done_casc) if cfg.fused_cascade else done_1m
     derived = ds.map_batches(
         make_derive(
             cfg.rollup.bucket_us,
             with_crc=cfg.rollup.with_checksum,
-            drop_parts=done_1m or None,
+            drop_parts=stage1_done or None,
             num_parts=P,
         ),
         batch_format="pyarrow",
@@ -253,16 +272,19 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     run_id = uuid.uuid4().hex
     results = keyed.map_batches(
         RollupWriteStage,
-        fn_constructor_args=(out_root, cfg, done_1m, run_id),
+        fn_constructor_args=(out_root, cfg, stage1_done, run_id),
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=wconc,
     ).take_all()
-    metrics["tiers"]["1m"] = {
+    metrics["tiers"]["1m" if not cfg.fused_cascade else "1m+1h+1d"] = {
         "rows_written": int(sum(r["rows"] for r in results)),
         "wall_s": time.time() - t0,
     }
+    if cfg.fused_cascade:
+        metrics["total_wall_s"] = time.time() - t_start
+        return metrics
     # release stage-1 operator state (shuffle aggregators + writer actors
     # hold their logical CPUs while their Dataset objects stay referenced)
     del derived, keyed, results
