@@ -224,9 +224,10 @@ def _writer_concurrency(cfg: PipelineConfig, whole_session: bool = False) -> tup
     if whole_session:
         k = max(2, min(cfg.num_parts, n_cpus))
         return (k, k)
-    # stage 1 shares the session with derive+shuffle while they run, then
-    # autoscales into the freed CPUs for the write tail
-    return (max(2, min(cfg.num_parts, n_cpus // 2)), max(2, min(cfg.num_parts, n_cpus)))
+    # stage 1: one actor per CPU at num_cpus=0.5 — half the logical budget,
+    # all physical cores once upstream drains
+    k = max(2, min(cfg.num_parts, n_cpus))
+    return (k, k)
 
 
 def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None) -> dict:
@@ -270,6 +271,10 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     import uuid
 
     run_id = uuid.uuid4().hex
+    # one actor per session CPU, each reserving 0.5 logical CPUs: the pool
+    # covers every core once the shuffle drains, while derive/shuffle tasks
+    # can still schedule during the overlap phase (a full-CPU fixed pool
+    # would deadlock the upstream operators)
     results = keyed.map_batches(
         RollupWriteStage,
         fn_constructor_args=(out_root, cfg, stage1_done, run_id),
@@ -277,6 +282,7 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=wconc,
+        num_cpus=0.5,
     ).take_all()
     metrics["tiers"]["1m" if not cfg.fused_cascade else "1m+1h+1d"] = {
         "rows_written": int(sum(r["rows"] for r in results)),
