@@ -45,7 +45,7 @@ from chronoxtract_ray.stages.derive import make_derive
 from chronoxtract_ray.stages.rollup import DAY_US, HOUR_US, MINUTE_US, RollupConfig, make_block_rollup
 from chronoxtract_ray.state import checkpoint as ckpt
 
-__all__ = ["PipelineConfig", "run_rollup_pipeline", "tier_dataset", "tier_table"]
+__all__ = ["PipelineConfig", "run_rollup_pipeline", "backfill_partitions", "tier_dataset", "tier_table"]
 
 TIERS = (("1m", MINUTE_US), ("1h", HOUR_US), ("1d", DAY_US))
 
@@ -230,8 +230,36 @@ def _writer_concurrency(cfg: PipelineConfig, whole_session: bool = False) -> tup
     return (k, k)
 
 
+def backfill_partitions(out_root: str, parts: list[int], num_parts: int) -> None:
+    """Reopen completed partitions for explicit backfill/late-data reruns:
+    drops their manifests (and artifacts) for every tier so the next
+    run_rollup_pipeline recomputes exactly those partitions from the raw
+    input (SURVEY.md §2.12 late-data policy: windows below the watermark
+    reopen only on explicit backfill)."""
+    import shutil
+
+    for tier, _ in TIERS:
+        for p in parts:
+            if not 0 <= p < num_parts:
+                raise ValueError(f"partition {p} out of range 0..{num_parts - 1}")
+            mp = ckpt.manifest_path(out_root, tier, p)
+            if os.path.exists(mp):
+                os.remove(mp)
+            for root in (out_root, os.path.join(out_root, "chunks")):
+                d = os.path.join(root, f"tier={tier}", f"part={p:04d}")
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None) -> dict:
-    """``source``: a transcripts Dataset or a parquet path. Returns metrics."""
+    """``source``: a transcripts Dataset or a parquet path. Returns metrics.
+
+    Sizing for clusters: each hash partition is processed as ONE in-memory
+    block by one writer actor (derived rows ≈ 40 B/turn + tier rows +
+    gap-filled intermediates ≈ 3-4x that). Choose ``num_parts`` so
+    raw_bytes x 0.4 / num_parts stays well under a worker's heap — e.g.
+    ~40k partitions for a 100 TB input with 1-2 GB partition budgets. All
+    other scaling follows from Ray scheduling more partitions across more
+    nodes; there is exactly one all-to-all exchange regardless of size."""
     import ray.data as rd
 
     from chronoxtract_ray.stages.util import ensure_hash_shuffle

@@ -89,3 +89,29 @@ def test_watermarks_recorded(runs):
     assert len(mans) == 4
     for m in mans.values():
         assert m["complete"] and m["watermark_us"] is not None and m["rows"] > 0
+
+
+def test_backfill_reopens_partitions(runs, ray_session):
+    """Explicit backfill drops chosen partitions' artifacts; the next run
+    recomputes only those and converges to identical output."""
+    import ray.data as rd
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, backfill_partitions, run_rollup_pipeline
+
+    tbl, _, _, _ = runs
+    backfill_partitions(PART, [1], 4)
+    metrics = run_rollup_pipeline(rd.from_arrow(tbl), PART, PipelineConfig(num_parts=4))
+    assert set(metrics["resumed_parts_skipped"]) == {0, 2, 3}
+    for tier in ("1m", "1h", "1d"):
+        a = tier_table(FULL, tier)
+        b = tier_table(PART, tier)
+        assert a.num_rows == b.num_rows
+
+
+def test_backfill_rejects_bad_partition():
+    import pytest as _pytest
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import backfill_partitions
+
+    with _pytest.raises(ValueError):
+        backfill_partitions(PART, [99], 4)
