@@ -26,7 +26,9 @@ def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle
+
+    return ensure_sort_shuffle(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns)))
 
 
 # ---- exact dedup: content hash → hash-partitioned first ----

@@ -36,7 +36,9 @@ def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
 def _events(sf_dir: str, columns=("user_id", "ts", "value", "event_id")):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle
+
+    return ensure_sort_shuffle(rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns)))
 
 
 def _prep(batch: pa.Table) -> pa.Table:

@@ -24,7 +24,9 @@ def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
 def _emb(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle
+
+    return ensure_sort_shuffle(rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
 
 
 def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

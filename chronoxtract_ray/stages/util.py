@@ -2,7 +2,21 @@
 
 from __future__ import annotations
 
-__all__ = ["ensure_hash_shuffle", "default_shuffle_blocks"]
+__all__ = ["ensure_hash_shuffle", "ensure_sort_shuffle", "default_shuffle_blocks"]
+
+
+def ensure_sort_shuffle(ds):
+    """Pin a dataset to the task-based sort shuffle. Right for SMALL
+    groupbys (driver queries over sf tables): the hash-shuffle path spawns
+    an aggregator actor pool per execution (~5-8 s), which dwarfs the work
+    at 10^5-row scale. The big pipeline stages use hash shuffle."""
+    from ray.data.context import ShuffleStrategy
+
+    try:
+        ds.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    except AttributeError:
+        pass
+    return ds
 
 
 def default_shuffle_blocks() -> int:
