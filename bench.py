@@ -75,11 +75,20 @@ def run_bench() -> dict:
             while fh.read(1 << 24):
                 pass
 
-    # warm the Ray worker pool (untimed): one parallel wave so the timed run
-    # measures compute + shuffle, not process spawning
+    # warm the Ray worker pool (untimed): one parallel wave that also imports
+    # the heavy modules in every worker, so the timed run measures compute +
+    # shuffle, not process spawning / module imports
     import ray.data as rd
 
-    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(lambda b: b).count()
+    def _warm(b):
+        import pandas  # noqa: F401
+
+        import chronoxtract_ray.kernels.windowed  # noqa: F401
+        import chronoxtract_ray.state.checkpoint  # noqa: F401
+
+        return b
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(_warm).count()
 
     out = "/tmp/ctx_bench_out"
     shutil.rmtree(out, ignore_errors=True)
@@ -126,12 +135,15 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     """Two fresh processes per parallelism level; best-of-2 per level to damp
-    shared-machine noise (same input, page cache warm after run one)."""
+    shared-machine noise (same input, page cache warm after run one). Uses a
+    2x-larger input than the plain bench so compute dominates the ~13 s of
+    fixed session/actor setup that would otherwise cap the ratio."""
+    scaling_convs = os.environ.get("GRAFT_BENCH_CONVS", "200000")
     results = {}
     for ncpu in SCALING_CPUS:
         best = None
         for _ in range(2):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_CONVS=scaling_convs)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,
