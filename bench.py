@@ -33,13 +33,18 @@ N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))  # ≈ 5.9M turns
 SCALING_CPUS = (8, 32)
 
 
+# one 2h hole every ~41 turns (a few per conversation) — enough to exercise
+# gap-fill across whole 1m/1h windows without gap slots dwarfing real turns
+HOLE_EVERY = int(os.environ.get("GRAFT_BENCH_HOLE_EVERY", "41"))
+
+
 def _cached_transcripts(n_convs: int) -> str:
-    path = f"/tmp/ctx_bench_transcripts_{n_convs}"
+    path = f"/tmp/ctx_bench_transcripts_{n_convs}_h{HOLE_EVERY}"
     if not os.path.exists(os.path.join(path, "_DONE")):
         from chronoxtract_ray.sources.transcripts import write_transcripts
 
         shutil.rmtree(path, ignore_errors=True)
-        write_transcripts(path, n_convs)
+        write_transcripts(path, n_convs, hole_every=HOLE_EVERY)
         open(os.path.join(path, "_DONE"), "w").write("ok")
     return path
 

@@ -51,7 +51,13 @@ def conv_turn_count(i: int, base_turns: int = 40, hot_every: int = 200, hot_fact
     return base_turns // 2 + (i * _MIX) % base_turns
 
 
-def generate_conv_arrays(i: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100):
+def generate_conv_arrays(
+    i: int,
+    base_turns: int = 40,
+    hot_every: int = 200,
+    hot_factor: int = 100,
+    hole_every: int = 17,
+):
     """All columns of conversation ``i`` as numpy/python arrays."""
     n = conv_turn_count(i, base_turns, hot_every, hot_factor)
     t = np.arange(n, dtype=np.int64)
@@ -59,11 +65,12 @@ def generate_conv_arrays(i: int, base_turns: int = 40, hot_every: int = 200, hot
     # text lengths: deterministic 0..179 pattern per (conv, turn)
     lengths = (i * _MIX + t * 40503) % 180
     # timestamps: per-conv start stagger + mostly ~20s gaps, with deliberate
-    # holes (every 17th turn jumps 2h → spans whole 1m/1h windows) and bursts
-    # (every 11th turn lands 1s after its predecessor)
+    # holes (every ``hole_every``-th turn jumps 2h → spans whole 1m/1h
+    # windows, exercising gap-fill) and bursts (every 11th turn lands 1s
+    # after its predecessor)
     gaps = 20_000_000 + (t * 7_919) % 10_000_000  # 20-30s
     gaps = np.where(t % 11 == 0, 1_000_000, gaps)
-    gaps = np.where((t % 17 == 0) & (t > 0), 7_200_000_000, gaps)
+    gaps = np.where((t % hole_every == 0) & (t > 0), 7_200_000_000, gaps)
     ts = _BASE_TS_US + (i % 1440) * 60_000_000 + np.cumsum(gaps) - gaps[0]
     roles = [_ROLES[int(x)] for x in (t % 3)]
     tools = [_TOOLS[int(x) % 4] if x % 7 == 0 else "" for x in t]
@@ -78,10 +85,10 @@ def generate_conv_arrays(i: int, base_turns: int = 40, hot_every: int = 200, hot
     }
 
 
-def _convs_to_table(conv_indices, base_turns: int, hot_every: int, hot_factor: int) -> pa.Table:
+def _convs_to_table(conv_indices, base_turns: int, hot_every: int, hot_factor: int, hole_every: int = 17) -> pa.Table:
     cols: dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     for i in conv_indices:
-        arrs = generate_conv_arrays(int(i), base_turns, hot_every, hot_factor)
+        arrs = generate_conv_arrays(int(i), base_turns, hot_every, hot_factor, hole_every)
         for k in cols:
             cols[k].extend(arrs[k] if isinstance(arrs[k], list) else arrs[k].tolist())
     return pa.table(
@@ -96,24 +103,24 @@ def _convs_to_table(conv_indices, base_turns: int, hot_every: int, hot_factor: i
     )
 
 
-def generate_table(n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100) -> pa.Table:
+def generate_table(n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100, hole_every: int = 17) -> pa.Table:
     """Small tables for tests — direct, no Ray."""
-    return _convs_to_table(range(n_convs), base_turns, hot_every, hot_factor)
+    return _convs_to_table(range(n_convs), base_turns, hot_every, hot_factor, hole_every)
 
 
-def transcripts_dataset(n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100):
+def transcripts_dataset(n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100, hole_every: int = 17):
     """Bench-scale tables — Ray-parallel expansion of conv indices."""
     import ray.data as rd
 
     def expand(batch: pa.Table) -> pa.Table:
-        return _convs_to_table(batch["id"].to_pylist(), base_turns, hot_every, hot_factor)
+        return _convs_to_table(batch["id"].to_pylist(), base_turns, hot_every, hot_factor, hole_every)
 
     n_blocks = max(1, min(n_convs // 8, 512))
     return rd.range(n_convs, override_num_blocks=n_blocks).map_batches(expand, batch_format="pyarrow")
 
 
-def write_transcripts(path: str, n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100) -> None:
-    transcripts_dataset(n_convs, base_turns, hot_every, hot_factor).write_parquet(path)
+def write_transcripts(path: str, n_convs: int, base_turns: int = 40, hot_every: int = 200, hot_factor: int = 100, hole_every: int = 17) -> None:
+    transcripts_dataset(n_convs, base_turns, hot_every, hot_factor, hole_every).write_parquet(path)
 
 
 def read_transcripts(path: str):
