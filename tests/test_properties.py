@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) — the reference ships none (SURVEY §5);
+these pin the engine's kernels against independent formulations over
+randomized inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from chronoxtract_ray import kernels as k
+from chronoxtract_ray.kernels.windowed import FeatureSpec, compute_windowed_features
+from chronoxtract_ray.state import gorilla
+
+finite_floats = st.floats(min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=50, deadline=None)
+@given(arrays(np.float64, st.integers(1, 200), elements=finite_floats))
+def test_gorilla_values_roundtrip(v):
+    dec = gorilla.decode_values(gorilla.encode_values(v))
+    assert (dec.view(np.uint64) == v.view(np.uint64)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arrays(
+        np.int64,
+        st.integers(1, 200),
+        elements=st.integers(min_value=-(2**52), max_value=2**52),
+    )
+)
+def test_gorilla_timestamps_roundtrip(t):
+    dec = gorilla.decode_timestamps(gorilla.encode_timestamps(t))
+    assert (dec == t).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(np.float64, st.integers(1, 150), elements=st.floats(-1e6, 1e6, allow_nan=False)),
+)
+def test_summary_matches_numpy(v):
+    st_ = k.summary_statistics(v)
+    assert np.isclose(st_["mean"], np.mean(v), rtol=1e-9, atol=1e-9)
+    assert np.isclose(st_["sum"], np.sum(v), rtol=1e-9, atol=1e-6)
+    assert st_["min"] == v.min() and st_["max"] == v.max()
+    med, qs = k.median_and_quantiles(v)
+    assert np.isclose(med, np.median(v), rtol=1e-12, atol=1e-9)
+    assert np.allclose(qs, np.quantile(v, [0.05, 0.25, 0.75, 0.95]), rtol=1e-12, atol=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(np.float64, st.integers(4, 80), elements=st.floats(-100, 100, allow_nan=False)),
+    st.integers(2, 6),
+)
+def test_rolling_mean_matches_pandas(v, w):
+    import pandas as pd
+
+    if w > v.size:
+        return
+    got = k.rolling_mean(v, w)
+    exp = pd.Series(v).rolling(w).mean().dropna().to_numpy()
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(2, 40),  # n_points
+    st.integers(0, 2**20),  # ts seed offset
+)
+def test_windowed_kernel_consistent_with_single_series(n, seed):
+    """The fused multi-window kernel must agree with whole-series kernels when
+    the data fits one window."""
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 59_000_000, n)).astype(np.int64)  # all in one 1m window
+    v = rng.normal(0, 10, n)
+    out = compute_windowed_features(ts, v, 60_000_000, FeatureSpec(entropy=False, fft=False))
+    assert out["window_start"].size == 1
+    st_ = k.summary_statistics(v)
+    assert np.isclose(out["mean"][0], st_["mean"])
+    assert np.isclose(out["variance"][0], st_["variance"], atol=1e-9)
+    med, _ = k.median_and_quantiles(v)
+    assert np.isclose(out["median"][0], med)
+    if n >= 2:
+        ms, sv, mx = k.slope_features(v)
+        assert np.isclose(out["mean_slope"][0], ms)
+        assert np.isclose(out["max_slope_abs"][0], mx)
+
+
+@settings(max_examples=20, deadline=None)
+@given(arrays(np.float64, st.integers(10, 60), elements=st.floats(-50, 50, allow_nan=False)))
+def test_stl_reconstruction_property(v):
+    period = 5
+    if v.size < 2 * period:
+        return
+    trend, seas, rem = k.simple_stl_decomposition(v, period)
+    assert np.allclose(trend + seas + rem, v, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    arrays(np.float64, st.integers(3, 50), elements=st.floats(0.1, 1e4, allow_nan=False)),
+)
+def test_fvar_nonnegative_and_zero_for_constant(flux):
+    err = np.full(flux.size, 0.01)
+    fv = k.fractional_variability(flux, err)
+    assert fv >= 0.0 or np.isnan(fv)
+    const = np.full(flux.size, float(flux[0]))
+    assert k.fractional_variability(const, err) == 0.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    arrays(np.float64, st.integers(8, 64), elements=st.floats(-10, 10, allow_nan=False)),
+)
+def test_batched_entropy_equals_scalar(v):
+    from chronoxtract_ray.kernels import batched
+
+    r = 0.5
+    W = v[None, :]
+    se, ae = batched.batched_sample_approx_entropy(W, 2, np.array([r]))
+    exp_se = k.sample_entropy(v, 2, r)
+    if np.isinf(exp_se):
+        assert np.isinf(se[0])
+    else:
+        assert np.isclose(se[0], exp_se)
+    assert np.isclose(ae[0], k.approximate_entropy(v, 2, r))
