@@ -19,6 +19,10 @@ ROUND = 6
 
 
 def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
+    """Half-away-from-zero after decimal scaling — matches DuckDB ROUND
+    (probed: floor(|x|*10^nd + 0.5) semantics, including x*10^nd double
+    rounding effects)."""
+    x = np.asarray(x, dtype=np.float64)
     scale = 10.0**nd
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 

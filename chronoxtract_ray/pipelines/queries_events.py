@@ -28,7 +28,10 @@ _WD = "((epoch_us(ts) // 86400000000) * 86400000000)"
 
 
 def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
-    """Half-away-from-zero rounding (DuckDB ROUND semantics)."""
+    """Half-away-from-zero after decimal scaling — matches DuckDB ROUND
+    (probed: floor(|x|*10^nd + 0.5) semantics, including x*10^nd double
+    rounding effects)."""
+    x = np.asarray(x, dtype=np.float64)
     scale = 10.0**nd
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
@@ -391,11 +394,15 @@ def q_gap_filled_hourly(sf_dir: str):
     out_users, out_ws, out_mean, out_gap = [], [], [], []
     df = t.to_pandas()
     for uid, g in df.groupby("user_id"):
+        # interpolate from 6-dp-rounded anchors: the oracle SQL does the same,
+        # so both sides feed IDENTICAL doubles through the identical formula —
+        # full-precision anchors differ by 1 ulp between engines and can land
+        # interpolated values on opposite sides of a rounding boundary
         sub = pa.table(
             {
                 "conv_id": pa.array([str(uid)] * len(g), pa.string()),
                 "window_start": pa.array(g["window_start"].to_numpy(), pa.int64()),
-                "mean": pa.array(g["mean"].to_numpy(), pa.float64()),
+                "mean": pa.array(_round(g["mean"].to_numpy()), pa.float64()),
                 "n_turns": pa.array(g["n_turns"].to_numpy(), pa.int64()),
                 "min": pa.array(g["min"].to_numpy(), pa.float64()),
             }
@@ -417,7 +424,7 @@ def q_gap_filled_hourly(sf_dir: str):
 
 SQL_GAP_FILLED_HOURLY = f"""
 WITH hw AS (
-  SELECT user_id, {_WS} AS ws, avg(value) AS mean FROM events GROUP BY 1, 2
+  SELECT user_id, {_WS} AS ws, ROUND(avg(value), 6) AS mean FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(ws) AS lo, max(ws) AS hi FROM hw GROUP BY 1
 ), grid AS (

@@ -48,7 +48,18 @@ def gap_fill_group(tbl: pa.Table, width_us: int) -> pa.Table:
         return tbl.append_column("gap_filled", pa.array(np.empty(0, dtype=bool)))
     full = np.arange(win[0], win[-1] + width_us, width_us, dtype=np.int64)
     present = np.isin(full, win)
-    filled_mean = np.interp(full.astype(np.float64), win.astype(np.float64), mean)
+    # EXACTLY the SQL oracle's arithmetic, association included:
+    # y0 + ((y1-y0) * (x-x0)) / (x1-x0)  — SQL `a + b*c/d` parses as
+    # a + ((b*c)/d); frac-first or np.interp's slope-form each differ by
+    # 1 ulp on values that land on .5e-6 rounding boundaries
+    nxt_i = np.searchsorted(win, full, side="left")
+    prev_i = np.maximum(np.searchsorted(win, full, side="right") - 1, 0)
+    nxt_i = np.minimum(nxt_i, win.size - 1)
+    x0 = win[prev_i].astype(np.float64)
+    x1 = win[nxt_i].astype(np.float64)
+    dx = np.where(x1 > x0, x1 - x0, 1.0)
+    filled_mean = mean[prev_i] + (mean[nxt_i] - mean[prev_i]) * (full.astype(np.float64) - x0) / dx
+    filled_mean[present] = mean[np.searchsorted(win, full[present])]
     n_rows = full.size
     cols: dict[str, pa.Array] = {}
     src_idx = np.searchsorted(win, full)  # valid where present
@@ -118,9 +129,10 @@ def _gap_fill_block(tbl: pa.Table, width_us: int):
         nxt = total - 1 - np.maximum.accumulate(ridx)[::-1]
         g = np.flatnonzero(gaps)
         x0, x1 = f_win[prev[g]].astype(np.float64), f_win[nxt[g]].astype(np.float64)
-        frac = (f_win[g] - x0) / (x1 - x0)
         y0, y1 = mean_f[prev[g]], mean_f[nxt[g]]
-        mean_f[g] = y0 + (y1 - y0) * frac
+        # mult-before-divide: same association as the SQL oracle (see
+        # gap_fill_group) so cross-engine values are bit-identical
+        mean_f[g] = y0 + (y1 - y0) * (f_win[g] - x0) / (x1 - x0)
     filled = {
         "mean": mean_f,
         "n_turns": scatter(tbl["n_turns"].to_numpy()[order].astype(np.float64), 0.0),
