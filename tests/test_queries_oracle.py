@@ -48,7 +48,8 @@ def _compare(name, ray_result, sql, con):
     for c in g.columns:
         gv, ev = g[c].to_numpy(), e[c].to_numpy()
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
-            ok = np.isclose(gv.astype(float), ev.astype(float), rtol=0, atol=2e-6, equal_nan=True)
+            # bit-exact: engine rounding + expression association mirror DuckDB
+            ok = np.isclose(gv.astype(float), ev.astype(float), rtol=0, atol=0, equal_nan=True)
         else:
             ok = gv == ev
         assert ok.all() if hasattr(ok, "all") else ok, (
