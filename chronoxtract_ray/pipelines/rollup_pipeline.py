@@ -1,19 +1,20 @@
 """End-to-end rollup pipeline: transcripts → 1m → 1h → 1d (+ Gorilla chunks).
 
-Partition-aligned dataflow — TWO Ray executions, ONE all-to-all shuffle:
+Partition-aligned dataflow — ONE Ray execution, ONE all-to-all shuffle
+(default ``fused_cascade=True``):
 
-  stage 1 (raw → 1m):
     read_parquet(transcripts)
       → map_batches(derive: value/bucket/crc/part; resume filter) [stateless]
       → repartition(P, keys=["part"])                             [the ONE shuffle]
-      → RollupWriteStage actor pool: fused window kernel → tier rows
-        + Gorilla chunks + per-partition manifest, written atomically
-  stage 2 (1m → 1h → 1d):
-    read(tier=1m partition files)   [no shuffle: partition files are whole
-      hash(conv)%P groups written as single-row-group parquet, so blocks
-      always contain whole conversations]
-      → CascadeWriteStage actor pool: vectorized gap-fill → 1h rows → 1d
-        rows + chunks + manifests
+      → RollupWriteStage actor pool: fused window kernel → 1m rows, then the
+        1h/1d cascades run in-memory on those rows (a partition never
+        round-trips through storage between tiers); tier rows + Gorilla
+        chunks + per-partition manifests written atomically per tier
+
+With ``fused_cascade=False`` the cascade runs as a second execution
+(CascadeWriteStage reads whole single-row-group partition files inside the
+actor — the reader can never split a partition across blocks) — useful for
+rebuilding coarse tiers without touching raw input.
 
 Why this shape: every group-forming step rides ONE hash partitioning that is
 then reused by every later stage (SURVEY.md §7.3 'pick ONE partitioning key

@@ -15,15 +15,17 @@ Semantics (SURVEY.md §4.3, FIXTURES.md §3):
     power sums (s1..s4, min, max, n) — identical to a direct rollup of the
     raw turns over the coarse window, asserted in tests.
 
-Ray Data shape (same pattern as the rollup stage):
+Ray Data shape (same pattern as the rollup stage; the default pipeline runs
+``cascade_block`` fused inside the rollup actors instead — see
+pipelines/rollup_pipeline.py):
 
-    tier.repartition(B, keys=["conv_id"], sort=True)
+    tier.repartition(B, keys=["conv_id"])     # co-locate; block sorts itself
         .map_batches(cascade_block, batch_size=None, batch_format="pyarrow")
 
-One hash shuffle per tier; the block function gap-fills and re-aggregates
-EVERY conversation in the block with vectorized scatter/interpolate/reduceat
-— no per-conversation Python dispatch. Tier points are ~width-ratio smaller
-than their input, so this is cheap relative to raw→1m.
+The block function gap-fills and re-aggregates EVERY conversation in the
+block with vectorized scatter/interpolate/reduceat — no per-conversation
+Python dispatch. Tier points are ~width-ratio smaller than their input, so
+this is cheap relative to raw→1m.
 """
 
 from __future__ import annotations
