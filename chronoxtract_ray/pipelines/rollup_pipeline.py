@@ -210,25 +210,30 @@ def _release_cpus(timeout_s: float = 10.0) -> None:
         time.sleep(0.2)
 
 
-def _writer_concurrency(cfg: PipelineConfig, whole_session: bool = False) -> tuple[int, int]:
-    """Fixed-size writer pool (min == max): all actors spawn in parallel at
-    execution start instead of ramping one by one behind the queue.
+def _writer_pool(cfg: PipelineConfig, whole_session: bool = False) -> tuple[tuple[int, int], float]:
+    """((min, max), num_cpus_per_actor) for the writer pool.
+
+    Fixed-size pool (min == max): all actors spawn in parallel at execution
+    start instead of ramping one by one behind the queue.
 
     ``whole_session``: stage 2 has no other operators competing for CPUs
-    (the read happens inside the actors), so its pool takes every CPU;
-    stage 1's pool shares the session with derive + shuffle."""
-    if cfg.writer_concurrency:
-        return cfg.writer_concurrency
+    (the read happens inside the actors), so its pool takes every CPU.
+    Stage 1 shares the session with derive tasks + shuffle aggregators: one
+    actor per CPU, but the pool's total LOGICAL reservation is capped at
+    ~40% of the session so upstream operators can always schedule (a pool
+    reserving everything deadlocks the streaming executor); physically all
+    cores engage once the upstream drains."""
     import ray
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if cfg.writer_concurrency:
+        return cfg.writer_concurrency, 1.0
     if whole_session:
         k = max(2, min(cfg.num_parts, n_cpus))
-        return (k, k)
-    # stage 1: one actor per CPU at num_cpus=0.5 — half the logical budget,
-    # all physical cores once upstream drains
+        return (k, k), 1.0
     k = max(2, min(cfg.num_parts, n_cpus))
-    return (k, k)
+    budget = max(1.0, 0.4 * n_cpus)
+    return (k, k), max(0.1, round(budget / k, 2))
 
 
 def backfill_partitions(out_root: str, parts: list[int], num_parts: int) -> None:
@@ -274,7 +279,7 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
 
     metrics: dict = {"tiers": {}, "num_parts": P}
     t_start = time.time()
-    wconc = _writer_concurrency(cfg)
+    wconc, w_cpus = _writer_pool(cfg)
 
     done_1m = ckpt.completed_parts(out_root, "1m", P) if cfg.resume else frozenset()
     done_1h = ckpt.completed_parts(out_root, "1h", P) if cfg.resume else frozenset()
@@ -300,10 +305,6 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     import uuid
 
     run_id = uuid.uuid4().hex
-    # one actor per session CPU, each reserving 0.5 logical CPUs: the pool
-    # covers every core once the shuffle drains, while derive/shuffle tasks
-    # can still schedule during the overlap phase (a full-CPU fixed pool
-    # would deadlock the upstream operators)
     results = keyed.map_batches(
         RollupWriteStage,
         fn_constructor_args=(out_root, cfg, stage1_done, run_id),
@@ -311,7 +312,7 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=wconc,
-        num_cpus=0.5,
+        num_cpus=w_cpus,
     ).take_all()
     metrics["tiers"]["1m" if not cfg.fused_cascade else "1m+1h+1d"] = {
         "rows_written": int(sum(r["rows"] for r in results)),
@@ -340,7 +341,7 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
             fn_constructor_args=(out_root, cfg),
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=_writer_concurrency(cfg, whole_session=True),
+            concurrency=_writer_pool(cfg, whole_session=True)[0],
         ).take_all()
         rows = int(sum(r["rows"] for r in results))
     else:

@@ -61,14 +61,15 @@ def ensure_hash_shuffle(ds=None):
     ctx.default_hash_shuffle_parallelism = min(ctx.default_hash_shuffle_parallelism or 200, 4 * n)
     # aggregators only concat+emit: a thin CPU reservation keeps them
     # schedulable without starving the map/write stages that run alongside
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+    # (0.025/partition × P≈4n partitions ≈ 10% of the session in total)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.025
     if ds is not None:
         try:
             dctx = ds.context
             dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
             dctx.max_hash_shuffle_aggregators = ctx.max_hash_shuffle_aggregators
             dctx.default_hash_shuffle_parallelism = ctx.default_hash_shuffle_parallelism
-            dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+            dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.025
         except AttributeError:
             pass
     return ds
