@@ -121,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "turning_points": qe.SQL_TURNING_POINTS,
         "rolling_mean": qe.SQL_ROLLING_MEAN,
         "expanding_sum": qe.SQL_EXPANDING_SUM,
+        "ema": qe.SQL_EMA,
         "gap_filled_hourly": qe.SQL_GAP_FILLED_HOURLY,
         "tier_cascade_1h": qe.SQL_TIER_CASCADE_1H,
         "gorilla_roundtrip": qe.SQL_GORILLA_ROUNDTRIP,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": qd.SQL_DOC_FINGERPRINT,
         "token_stats": qd.SQL_TOKEN_STATS,
         "quality_score": qd.SQL_QUALITY_SCORE,
+        "lang_id": qd.SQL_LANG_ID,
         "knn_bruteforce": qv.SQL_KNN_BRUTEFORCE,
         "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,
         # ema / lomb_scargle / entropy_features / fft_bands / minhash_neardup /

@@ -52,12 +52,17 @@ def expanding_sum(x) -> np.ndarray:
     return np.cumsum(np.asarray(x, dtype=np.float64))
 
 
-def exponential_moving_average(x, alpha: float) -> np.ndarray:
+def exponential_moving_average(x, alpha: float, exact: bool = False) -> np.ndarray:
     """EMA seeded with x[0] (src/rollingstats/mod.rs:52-64).
 
     ema[i] = alpha*x[i] + (1-alpha)*ema[i-1]. Order-dependent: callers must
     sort by (ts, turn_idx) first. Vectorized with a decay power-scan; falls
-    back to the sequential loop when (1-alpha)**n underflows."""
+    back to the sequential loop when (1-alpha)**n underflows.
+
+    ``exact=True`` forces the sequential recurrence (the reference's exact
+    float-op order, bit-identical to a SQL recursive CTE computing
+    ``a*x + (1-a)*prev`` in doubles); the power-scan is ~1 ulp * beta^-i off
+    that, which matters only for hash-exact oracle comparison."""
     x = np.asarray(x, dtype=np.float64)
     n = x.size
     if n == 0:
@@ -68,7 +73,7 @@ def exponential_moving_average(x, alpha: float) -> np.ndarray:
     # ema[i] = beta^i * x0 + alpha * sum_{k=1..i} beta^(i-k) x[k]
     # Stable for moderate n; if beta^n underflows/overflows intermediate
     # scaling, use the sequential scan (still cheap per group).
-    if n <= 2048 and abs(beta) ** n > 1e-280:
+    if not exact and n <= 2048 and abs(beta) ** n > 1e-280:
         powers = beta ** np.arange(n)  # beta^i
         scaled = np.empty(n)
         scaled[0] = x[0]

@@ -120,7 +120,7 @@ WITH t AS (
     CASE WHEN trim(text) = '' THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
     CASE WHEN trim(text) = '' THEN 0
-         ELSE len(replace(trim(text), ' ', '')) END AS tok_chars
+         ELSE len(regexp_replace(trim(text), '\s+', '', 'g')) END AS tok_chars
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens,
@@ -191,7 +191,11 @@ def _minhash_batch(texts: list[str], seed: int = 7) -> np.ndarray:
     sigs = np.full((len(texts), _N_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
     for i, text in enumerate(texts):
         if len(text) < _SHINGLE_K:
-            sh = np.array([hash(text) & 0xFFFFFFFFFFFF], dtype=np.uint64)
+            # content-stable hash: builtin hash() is salted per process and
+            # Ray workers are separate processes, which would make short-text
+            # signatures non-deterministic across workers/runs
+            digest = hashlib.md5(text.encode("utf-8", "ignore")).digest()
+            sh = np.array([int.from_bytes(digest[:8], "little")], dtype=np.uint64)
         else:
             view = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
             if view.size < _SHINGLE_K:
@@ -265,52 +269,91 @@ def q_simhash(sf_dir: str):
     ds = _docs(sf_dir)
 
     def sim(t: pa.Table) -> pa.Table:
-        out = np.zeros(t.num_rows, dtype=np.uint64)
-        for i, text in enumerate(t["text"].to_pylist()):
-            toks = text.split()
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            out[i] = np.uint64(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        # one explode + one hash_array + one scatter-add for the whole batch
+        # (no per-document Python loop)
+        toks = pd.Series(t["text"].to_pylist()).str.split()
+        ex = toks.explode().dropna()
+        shifts = np.arange(64, dtype=np.uint64)
+        votes = np.zeros((t.num_rows, 64), dtype=np.int64)
+        if len(ex):
+            rows = ex.index.to_numpy(np.int64)
+            h = pd.util.hash_array(ex.to_numpy(dtype=object), categorize=False).astype(np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            np.add.at(votes, rows, 2 * bits - 1)
+        out = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        # empty docs: all-zero votes produce simhash 0, same as before
         # signed view: survives list-of-dicts / parquet round-trips losslessly
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out.view(np.int64), pa.int64())})
 
     return pa.Table.from_pylist(ds.map_batches(sim, batch_format="pyarrow").take_all())
 
 
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una"),
+}
+
+
 def q_lang_id(sf_dir: str):
-    """Stopword/character-heuristic language ID (rows-only; the table carries
-    a ``lang`` column but the heuristic is the deliverable)."""
-    markers = {
-        "en": {"the", "and", "of", "to", "a", "in", "is"},
-        "de": {"der", "die", "das", "und", "ist", "nicht"},
-        "fr": {"le", "la", "les", "et", "est", "une"},
-        "es": {"el", "los", "las", "es", "una"},
-    }
+    """Stopword-heuristic language ID: count distinct-token hits per marker
+    set, argmax with first-wins tie-break (en > de > fr > es), 'unknown' on
+    zero hits. Vectorized: one explode + isin + scatter per batch. Oracle:
+    list_intersect over regexp_split arrays + a priority CASE."""
     ds = _docs(sf_dir)
+    codes = np.array(list(_LANG_MARKERS) + ["unknown"])
 
     def lang(t: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for text in t["text"].to_pylist():
-            toks = set(text.lower().split())
-            best, best_n = "unknown", 0
-            for code, ms in markers.items():
-                n = len(toks & ms)
-                if n > best_n:
-                    best, best_n = code, n
-            preds.append(best)
-            scores.append(best_n)
+        toks = pd.Series(t["text"].to_pylist()).str.lower().str.split()
+        ex = toks.explode().dropna()
+        dedup = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "tok": ex.to_numpy()}).drop_duplicates()
+        hits = np.zeros((t.num_rows, len(_LANG_MARKERS)), dtype=np.int64)
+        for k, ms in enumerate(_LANG_MARKERS.values()):
+            counts = dedup.loc[dedup["tok"].isin(ms), "row"].value_counts()
+            hits[counts.index.to_numpy(), k] = counts.to_numpy()
+        best_n = hits.max(axis=1)
+        # argmax returns the FIRST maximal column — identical to the strict
+        # `n > best_n` scan in dict order
+        best = np.where(best_n > 0, hits.argmax(axis=1), len(_LANG_MARKERS))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "predicted_lang": pa.array(preds, pa.string()),
-                "marker_hits": pa.array(scores, pa.int64()),
+                "predicted_lang": pa.array(codes[best], pa.string()),
+                "marker_hits": pa.array(best_n, pa.int64()),
             }
         )
 
     return pa.Table.from_pylist(ds.map_batches(lang, batch_format="pyarrow").take_all())
+
+
+def _sql_list(ms) -> str:
+    return "[" + ",".join(f"'{m}'" for m in ms) + "]"
+
+
+SQL_LANG_ID = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) END AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    len(list_intersect(toks, {_sql_list(_LANG_MARKERS["en"])})) AS h_en,
+    len(list_intersect(toks, {_sql_list(_LANG_MARKERS["de"])})) AS h_de,
+    len(list_intersect(toks, {_sql_list(_LANG_MARKERS["fr"])})) AS h_fr,
+    len(list_intersect(toks, {_sql_list(_LANG_MARKERS["es"])})) AS h_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       WHEN h_fr >= h_es THEN 'fr'
+       ELSE 'es' END AS predicted_lang,
+  greatest(h_en, h_de, h_fr, h_es) AS marker_hits
+FROM h
+"""
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):

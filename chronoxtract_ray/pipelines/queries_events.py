@@ -657,7 +657,10 @@ def q_fft_bands(sf_dir: str):
 
 
 def q_ema(sf_dir: str):
-    """EMA(alpha=0.3) per user (order-dependent scan; rows-only check)."""
+    """EMA(alpha=0.3) per user. Oracle: recursive CTE advancing every user
+    one row per iteration with the identical double-precision recurrence
+    (verified bit-exact — mul/mul/add in the same order on both sides), so
+    this order-dependent scan gets a full hash-checked oracle."""
     from chronoxtract_ray.kernels.rolling import exponential_moving_average
 
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
@@ -667,7 +670,7 @@ def q_ema(sf_dir: str):
         turn = group["turn"].to_numpy()
         val = group["value"].to_numpy()
         order = np.lexsort((turn, ts))
-        ema = exponential_moving_average(val[order], 0.3)
+        ema = exponential_moving_average(val[order], 0.3, exact=True)
         return pa.table(
             {
                 "user_id": pa.array(np.repeat(group["user_id"][0].as_py(), ema.size), pa.int64()),
@@ -677,6 +680,22 @@ def q_ema(sf_dir: str):
         )
 
     return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+SQL_EMA = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, rn, value AS ema FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn,
+    0.3::DOUBLE * o.value + (1.0::DOUBLE - 0.3::DOUBLE) * r.ema
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, ROUND(ema, 6) AS ema FROM r
+"""
 
 
 def q_lomb_scargle(sf_dir: str):

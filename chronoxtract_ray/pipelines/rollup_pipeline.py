@@ -94,7 +94,7 @@ class RollupWriteStage:
 
     def __call__(self, block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
-            return pa.table({"part": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
+            return pa.table({"tier": pa.array([], pa.string()), "part": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
         tier_rows = self.fn(block.drop_columns(["part"]))
         outs = [("1m", tier_rows)]
         if self.cfg.fused_cascade:
@@ -103,7 +103,7 @@ class RollupWriteStage:
                 cur = cascade_block(cur, wf, wc, self.cfg.cascade_spec)
                 outs.append((tier_name, cur))
         # one writer pass per tier so each tier keeps its exact schema
-        parts_out, rows_out = [], []
+        tiers_out, parts_out, rows_out = [], [], []
         for tier_name, rows in outs:
             part = ckpt.conv_partition(rows["conv_id"].to_numpy(zero_copy_only=False), self.cfg.num_parts)
             if self.done is not None:
@@ -113,10 +113,10 @@ class RollupWriteStage:
             rows = rows.append_column("part", pa.array(part, pa.int64()))
             rows = rows.append_column("tier_name", pa.array([tier_name] * rows.num_rows, pa.string()))
             res = self.writer(rows)
-            if tier_name == "1m":  # stats reflect the headline tier
-                parts_out.extend(res["part"].to_pylist())
-                rows_out.extend(res["rows"].to_pylist())
-        return pa.table({"part": pa.array(parts_out, pa.int64()), "rows": pa.array(rows_out, pa.int64())})
+            tiers_out.extend([tier_name] * res.num_rows)
+            parts_out.extend(res["part"].to_pylist())
+            rows_out.extend(res["rows"].to_pylist())
+        return pa.table({"tier": pa.array(tiers_out, pa.string()), "part": pa.array(parts_out, pa.int64()), "rows": pa.array(rows_out, pa.int64())})
 
 
 class CascadeWriteStage:
@@ -314,8 +314,24 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
         concurrency=wconc,
         num_cpus=w_cpus,
     ).take_all()
+    # structural split-partition guard: each (tier, part) must be written by
+    # exactly ONE writer call this run. If the hash shuffle ever splits a
+    # partition across blocks, two calls report the same (tier, part) here —
+    # including concurrent equal-row-count splits the manifest-based run_id
+    # guard cannot see — and we fail loudly instead of silently losing rows.
+    seen: dict[tuple, int] = {}
+    for r in results:
+        key = (r["tier"], r["part"])
+        seen[key] = seen.get(key, 0) + 1
+    dups = sorted(k for k, n in seen.items() if n > 1)
+    if dups:
+        raise RuntimeError(
+            f"partition(s) {dups[:8]} written by more than one writer call in "
+            f"one run: the hash shuffle split a partition across blocks — "
+            f"raise num_parts so each partition fits one block"
+        )
     metrics["tiers"]["1m" if not cfg.fused_cascade else "1m+1h+1d"] = {
-        "rows_written": int(sum(r["rows"] for r in results)),
+        "rows_written": int(sum(r["rows"] for r in results if r["tier"] == "1m")),
         "wall_s": time.time() - t0,
     }
     if cfg.fused_cascade:

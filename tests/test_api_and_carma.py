@@ -54,6 +54,32 @@ class TestCarma:
             # non-stationary (negative AR coeff → positive root)
             carma.carma_loglikelihood([1, 2, 3], [1, 2, 3], [1, 1, 1], carma.CarmaParams(1, 0, ar_coeffs=[-1.0]))
 
+    def test_qdt_limits_to_stationary_cov(self):
+        """Regression pin for the documented sign fix (kernels/carma.py q_dt):
+        the integrated process noise must start at ~0, grow monotonically with
+        the gap, and converge to the stationary covariance — the property the
+        reference's (1-exp(s dt))/s sign violates (negative noise, filter
+        blow-up on gaps). Exact for p=1; diagonal entries for p=2 (q_base is
+        diagonal in the rotated basis, so stationary_cov is too)."""
+        p1 = carma.CarmaParams(1, 0, ar_coeffs=[0.25], sigma=0.7)
+        ss1 = carma._StateSpace(p1)
+        np.testing.assert_allclose(ss1.q_dt(1e6), ss1.stationary_cov, rtol=1e-12)
+        np.testing.assert_allclose(ss1.q_dt(1e-14), np.zeros((1, 1)), atol=1e-12)
+        assert ss1.q_dt(5.0)[0, 0] >= ss1.q_dt(0.5)[0, 0] > 0
+
+        p2 = carma.CarmaParams(2, 1, ar_coeffs=[0.9, 0.2], ma_coeffs=[1.0, 0.3], sigma=0.5)
+        ss2 = carma._StateSpace(p2)
+        np.testing.assert_allclose(
+            np.diag(ss2.q_dt(1e6)), np.diag(ss2.stationary_cov), rtol=1e-10
+        )
+        # the end-to-end property the fix buys: a filter over a series with a
+        # huge observation gap stays PSD and finite (upstream raises here)
+        t = np.array([0.0, 1.0, 2.0, 500.0, 501.0])
+        y = np.array([0.1, -0.2, 0.3, 0.0, 0.1])
+        e = np.full(5, 0.05)
+        kf = carma.carma_kalman_filter(t, y, e, p1)
+        assert np.isfinite(kf["loglikelihood"]) and (kf["innovation_variances"] > 0).all()
+
     def test_carma2_runs(self):
         t, y, e = _ou_series(100)
         p = carma.CarmaParams(2, 1, ar_coeffs=[0.9, 0.2], ma_coeffs=[1.0, 0.3], sigma=0.5)

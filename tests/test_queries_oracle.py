@@ -70,6 +70,8 @@ def _compare(name, ray_result, sql, con):
         "turning_points",
         "rolling_mean",
         "expanding_sum",
+        "ema",
+        "lang_id",
         "gap_filled_hourly",
         "tier_cascade_1h",
         "gorilla_roundtrip",
@@ -92,8 +94,8 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["ema", "lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
-     "lang_id", "ngram_jaccard_pairs", "knn_lsh", "stl_strengths", "dfa", "lzc",
+    ["lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
+     "ngram_jaccard_pairs", "knn_lsh", "stl_strengths", "dfa", "lzc",
      "variability_timescale", "carma_loglik", "peak_stats", "dedup_clusters", "knn_ivf"],
 )
 def test_rows_only_queries_run(entrymod, name):
