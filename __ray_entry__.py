@@ -133,6 +133,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": qd.SQL_TOKEN_STATS,
         "quality_score": qd.SQL_QUALITY_SCORE,
         "lang_id": qd.SQL_LANG_ID,
+        "ngram_jaccard_pairs": qd.SQL_NGRAM_JACCARD_PAIRS,
+        "dedup_clusters": qd.SQL_DEDUP_CLUSTERS,
         "knn_bruteforce": qv.SQL_KNN_BRUTEFORCE,
         "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,
         # ema / lomb_scargle / entropy_features / fft_bands / minhash_neardup /

@@ -209,13 +209,13 @@ def _minhash_batch(texts: list[str], seed: int = 7) -> np.ndarray:
     return sigs
 
 
-def q_minhash_neardup(sf_dir: str):
+def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
     """MinHash+LSH near-duplicate candidate pairs verified by signature
-    Jaccard >= 0.5. Shape: shingle→minhash per batch (map_batches) → explode
-    to (band, band_hash, doc_id) → groupby(band, band_hash) → pairs →
-    verify. Rows-only oracle (sketches aren't SQL)."""
-    import ray.data as rd
-
+    Jaccard >= ``min_sig_jaccard``. Shape: shingle→minhash per batch
+    (map_batches) → explode to (band, band_hash, doc_id) →
+    groupby(band, band_hash) → pairs → verify. Rows-only oracle (sketches
+    aren't SQL). With ``min_sig_jaccard=0`` this returns EVERY same-bucket
+    pair — the candidate generator for the exact-Jaccard stages below."""
     ds = _docs(sf_dir)
 
     def sig_batch(t: pa.Table) -> pa.Table:
@@ -245,7 +245,7 @@ def q_minhash_neardup(sf_dir: str):
         for x in range(uniq.size):
             for y in range(x + 1, uniq.size):
                 j = float((sigs[idx[x]] == sigs[idx[y]]).mean())
-                if j >= 0.5:
+                if j >= min_sig_jaccard:
                     out_a.append(int(uniq[x]))
                     out_b.append(int(uniq[y]))
                     out_j.append(j)
@@ -356,60 +356,186 @@ FROM h
 """
 
 
-def q_ngram_jaccard_pairs(sf_dir: str):
-    """Exact 5-gram Jaccard for the MinHash candidate pairs (verification
-    stage of the near-dup pipeline; rows-only)."""
-    cands = q_minhash_neardup(sf_dir)
+_JACCARD_T = 0.5  # exact 5-gram Jaccard threshold (data gap: dups >=0.8, rest <=0.4)
+
+
+def _shingle_set(s: str) -> set:
+    return {s[i : i + _SHINGLE_K] for i in range(max(len(s) - _SHINGLE_K + 1, 1))}
+
+
+def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """LSH candidates → exact 5-gram Jaccard >= _JACCARD_T, distributed:
+
+    1. candidates = every same-bucket LSH pair (deterministic banding; at the
+       chosen threshold the banding's miss probability is (1-j^r)^B ~ 2e-4
+       per pair and coverage is verified against the all-pairs SQL oracle on
+       every test sf).
+    2. semi-join: shingle sets are computed WORKER-side, only for docs whose
+       id is in the broadcast candidate-id set (tiny by construction — the
+       near-dup population, not the corpus), via map_batches over documents.
+    3. pair scoring runs as map_batches over the candidate-pair dataset with
+       the candidate shingle sets broadcast once via ray.put.
+
+    The documents table itself is never materialized on the driver."""
+    import ray
+    import ray.data as rd
+
+    cands = q_minhash_neardup(sf_dir, min_sig_jaccard=0.0)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
     if cands.num_rows == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
-    import pyarrow.parquet as pq
+        return empty
+    ids = np.unique(np.concatenate([cands["doc_a"].to_numpy(), cands["doc_b"].to_numpy()]))
+    id_ref = ray.put(ids)
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def shingles(s: str) -> set:
-        return {s[i : i + _SHINGLE_K] for i in range(max(len(s) - _SHINGLE_K + 1, 1))}
+        keep = pc.is_in(t["doc_id"], value_set=pa.array(ray.get(id_ref), pa.int64()))
+        sub = t.filter(keep)
+        sets = [sorted(_shingle_set(s)) for s in sub["text"].to_pylist()]
+        return pa.table({"doc_id": sub["doc_id"], "sh": pa.array(sets, pa.list_(pa.string()))})
 
-    ja = []
-    for a, b in zip(cands["doc_a"].to_pylist(), cands["doc_b"].to_pylist()):
-        sa, sb = shingles(texts[a]), shingles(texts[b])
-        ja.append(len(sa & sb) / max(len(sa | sb), 1))
+    set_rows = _docs(sf_dir).map_batches(shingle_sets, batch_format="pyarrow").take_all()
+    lookup = {r["doc_id"]: frozenset(r["sh"]) for r in set_rows}
+    lk_ref = ray.put(lookup)
+
+    def score(t: pa.Table) -> pa.Table:
+        lk = ray.get(lk_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = lk[a], lk[b]
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)  # same DOUBLE division as SQL
+            if j >= _JACCARD_T:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()), "jaccard": pa.array(out_j, pa.float64())})
+
+    rows = rd.from_arrow(cands.select(["doc_a", "doc_b"])).map_batches(score, batch_format="pyarrow").take_all()
+    if not rows:
+        return empty
+    return pa.Table.from_pylist(rows).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact 5-gram Jaccard >= 0.5 pairs (the verification stage of the
+    near-dup pipeline). Hash-checked oracle: all-pairs list_intersect Jaccard
+    in SQL with a shingle-count-ratio prefilter (min/max >= T is a necessary
+    condition for Jaccard >= T)."""
+    t = _exact_jaccard_pairs(sf_dir)
     return pa.table(
         {
-            "doc_a": cands["doc_a"],
-            "doc_b": cands["doc_b"],
-            "jaccard": pa.array(_round(np.asarray(ja)), pa.float64()),
+            "doc_a": t["doc_a"],
+            "doc_b": t["doc_b"],
+            "jaccard": pa.array(_round(t["jaccard"].to_numpy()), pa.float64()),
         }
     )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id,
+    list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 2))]) AS sh
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sa, b.sh AS sb
+  FROM s a JOIN s b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= {_JACCARD_T}
+), j AS (
+  SELECT doc_a, doc_b,
+    len(list_intersect(sa, sb))::DOUBLE
+      / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jac
+  FROM p
+)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= {_JACCARD_T}
+"""
 
 
 def q_dedup_clusters(sf_dir: str):
-    """Near-duplicate CLUSTERS: MinHash/LSH candidate pairs → connected
-    components via iterative min-label propagation (groupby rounds — the
-    scale-path algorithm; no driver-side union-find over big pair sets).
-    Rows-only (iterative fixpoint isn't ANSI SQL)."""
-    pairs = q_minhash_neardup(sf_dir)
-    import pyarrow.parquet as pq
+    """Near-duplicate CLUSTERS: exact-Jaccard edges → connected components
+    via distributed hash-to-min label propagation (Rastogi et al., ICDE'13):
+    every round is a Ray Data groupby over the candidate subgraph — each
+    node broadcasts its known minimum to all known members and its members
+    to the minimum — converging in O(log diameter) rounds; the final label
+    assignment for the full corpus is a union + groupby-min, so the
+    documents table is NEVER materialized on the driver. Hash-checked
+    oracle: recursive CTE reachability + min(reach)."""
+    import ray.data as rd
 
-    all_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
-    label = {int(i): int(i) for i in all_ids}
-    edges = list(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
-    # min-label propagation to fixpoint; each round is expressible as
-    # edge-join + groupby-min (done in-memory here: candidate sets are small
-    # by construction after LSH banding)
-    changed = True
-    while changed:
-        changed = False
-        for a, b in edges:
-            la, lb = label[a], label[b]
-            m = min(la, lb)
-            if la != m or lb != m:
-                label[a] = label[b] = m
-                changed = True
-    ids = sorted(label)
+    pairs = _exact_jaccard_pairs(sf_dir)
+    docs_ids = _docs(sf_dir, columns=("doc_id",))
+
+    def ident(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"], "label": t["doc_id"]})
+
+    identity = docs_ids.map_batches(ident, batch_format="pyarrow")
+    if pairs.num_rows == 0:
+        final = identity
+    else:
+        a = pairs["doc_a"].to_numpy()
+        b = pairs["doc_b"].to_numpy()
+        C = rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "member": pa.array(np.concatenate([b, a]), pa.int64()),
+                }
+            )
+        )
+
+        def spread(g: pa.Table) -> pa.Table:
+            node = g["node"][0].as_py()
+            m = np.unique(np.append(g["member"].to_numpy(), node))
+            mn = m[0]
+            nodes = np.concatenate((np.full(m.size, mn), m))
+            membs = np.concatenate((m, np.full(m.size, mn)))
+            return pa.table({"node": pa.array(nodes, pa.int64()), "member": pa.array(membs, pa.int64())})
+
+        prev_sig = None
+        for _ in range(16):  # >= log2(diameter) with huge margin
+            C = C.groupby("node").map_groups(spread, batch_format="pyarrow").materialize()
+            mins = C.groupby("node").min("member")
+            sig = (mins.count(), int(mins.sum("min(member)")))
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "label": t["min(member)"]})
+
+        labels = C.groupby("node").min("member").map_batches(rename, batch_format="pyarrow")
+        final = labels.union(identity)
+
+    out = final.groupby("node").min("label").take_all()
+    t = pa.Table.from_pylist(out)
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array([label[i] for i in ids], pa.int64()),
+            "doc_id": t["node"].cast(pa.int64()),
+            "cluster_id": t["min(label)"].cast(pa.int64()),
         }
-    )
+    ).sort_by([("doc_id", "ascending")])
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+    list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 2))]) AS sh
+  FROM documents
+), e0 AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a JOIN s b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= {_JACCARD_T}
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACCARD_T}
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), r AS (
+  SELECT doc_id, doc_id AS reach FROM documents
+  UNION
+  SELECT e.dst AS doc_id, r.reach FROM r JOIN e ON e.src = r.doc_id
+)
+SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id
+"""

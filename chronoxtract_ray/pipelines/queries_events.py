@@ -387,39 +387,45 @@ FROM agg WHERE n >= 3
 
 def q_gap_filled_hourly(sf_dir: str):
     """Hourly mean series per user, gaps linearly interpolated — the engine's
-    gap-fill stage over events (oracle: generate_series + IGNORE NULLS)."""
+    distributed gap-fill stage: the hourly rollup AND the gap-fill both run
+    inside groupby(user).map_groups workers; the driver only collects the
+    final (small) result. (Oracle: generate_series + IGNORE NULLS.)"""
     from chronoxtract_ray.stages.cascade import gap_fill_group
 
-    t = _windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False))
-    out_users, out_ws, out_mean, out_gap = [], [], [], []
-    df = t.to_pandas()
-    for uid, g in df.groupby("user_id"):
+    spec = FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        val = group["value"].to_numpy()
+        turn = group["turn"].to_numpy()
+        order = np.lexsort((turn, ts))
+        out = compute_windowed_features(ts[order], val[order], HOUR_US, spec)
+        uid = group["user_id"][0].as_py()
+        n = out["window_start"].size
         # interpolate from 6-dp-rounded anchors: the oracle SQL does the same,
         # so both sides feed IDENTICAL doubles through the identical formula —
         # full-precision anchors differ by 1 ulp between engines and can land
         # interpolated values on opposite sides of a rounding boundary
         sub = pa.table(
             {
-                "conv_id": pa.array([str(uid)] * len(g), pa.string()),
-                "window_start": pa.array(g["window_start"].to_numpy(), pa.int64()),
-                "mean": pa.array(_round(g["mean"].to_numpy()), pa.float64()),
-                "n_turns": pa.array(g["n_turns"].to_numpy(), pa.int64()),
-                "min": pa.array(g["min"].to_numpy(), pa.float64()),
+                "conv_id": pa.array(np.repeat(str(uid), n), pa.string()),
+                "window_start": pa.array(out["window_start"], pa.int64()),
+                "mean": pa.array(_round(out["mean"]), pa.float64()),
+                "n_turns": pa.array(out["n_turns"], pa.int64()),
             }
         )
         filled = gap_fill_group(sub, HOUR_US)
-        out_users.extend([uid] * filled.num_rows)
-        out_ws.append(filled["window_start"].to_numpy())
-        out_mean.append(filled["mean"].to_numpy())
-        out_gap.append(filled["gap_filled"].to_numpy(zero_copy_only=False))
-    return pa.table(
-        {
-            "user_id": pa.array(out_users, pa.int64()),
-            "window_start": pa.array(np.concatenate(out_ws), pa.int64()),
-            "mean_filled": pa.array(_round(np.concatenate(out_mean)), pa.float64()),
-            "gap_filled": pa.array(np.concatenate(out_gap).astype(bool)),
-        }
-    )
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), filled.num_rows), pa.int64()),
+                "window_start": filled["window_start"],
+                "mean_filled": pa.array(_round(filled["mean"].to_numpy()), pa.float64()),
+                "gap_filled": filled["gap_filled"],
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
 
 
 SQL_GAP_FILLED_HOURLY = f"""
@@ -592,27 +598,33 @@ FROM events GROUP BY 1
 
 def q_gorilla_roundtrip(sf_dir: str):
     """Encode each user's hourly means with Gorilla, decode, return points —
-    the oracle is the plain hourly means (codec is bit-exact)."""
+    encode AND decode run inside the distributed groupby workers (the same
+    codec the writer actor pool uses); the oracle is the plain hourly means
+    (codec is bit-exact)."""
     from chronoxtract_ray.state import gorilla
 
-    t = _windowed(sf_dir, FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False))
-    df = t.to_pandas().sort_values(["user_id", "window_start"])
-    users, ws, vals = [], [], []
-    for uid, g in df.groupby("user_id"):
-        w = g["window_start"].to_numpy()
-        m = g["mean"].to_numpy()
-        dec_w = gorilla.decode_timestamps(gorilla.encode_timestamps(w))
-        dec_v = gorilla.decode_values(gorilla.encode_values(m))
-        users.extend([uid] * len(g))
-        ws.append(dec_w)
-        vals.append(dec_v)
-    return pa.table(
-        {
-            "user_id": pa.array(users, pa.int64()),
-            "window_start": pa.array(np.concatenate(ws), pa.int64()),
-            "mean": pa.array(_round(np.concatenate(vals)), pa.float64()),
-        }
-    )
+    spec = FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        val = group["value"].to_numpy()
+        turn = group["turn"].to_numpy()
+        order = np.lexsort((turn, ts))
+        out = compute_windowed_features(ts[order], val[order], HOUR_US, spec)
+        w = out["window_start"]
+        srt = np.argsort(w, kind="stable")
+        dec_w = gorilla.decode_timestamps(gorilla.encode_timestamps(w[srt]))
+        dec_v = gorilla.decode_values(gorilla.encode_values(out["mean"][srt]))
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(group["user_id"][0].as_py()), w.size), pa.int64()),
+                "window_start": pa.array(dec_w, pa.int64()),
+                "mean": pa.array(_round(dec_v), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
 
 
 SQL_GORILLA_ROUNDTRIP = f"""

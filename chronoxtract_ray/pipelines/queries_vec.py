@@ -106,34 +106,87 @@ SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM r WHERE rn <= {TOP
 
 
 def q_embedding_neardup(sf_dir: str):
-    """All pairs with cosine > 0.93 (embedding near-dup detection). Exact
-    per-batch matmul vs the broadcast full matrix — O(n^2/batch) but
-    embarrassingly parallel; SQL oracle via cross join."""
-    import pyarrow.parquet as pq
-    import ray
+    """All pairs with cosine > 0.40 (embedding near-dup detection; the
+    synthetic embeddings top out near 0.5 cosine, so 0.40 is this data's
+    near-dup band — implementation, oracle and this docstring all use 0.40).
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids, A = _to_matrix(full)
-    An = A / np.linalg.norm(A, axis=1, keepdims=True)
-    ref = ray.put((all_ids, An))
-    thresh = 0.40  # the synthetic embeddings top out near 0.5 cosine
+    Scale path: a distributed BLOCK SELF-JOIN. Stage 1 normalizes every
+    vector once (map_batches) and writes B hash blocks as partitioned
+    parquet; stage 2 fans out the B(B+1)/2 block pairs as a dataset and each
+    task reads exactly its two blocks and emits its over-threshold pairs.
+    No full-matrix broadcast, no driver-side read of the corpus; per-task
+    memory = 2 blocks (pick B so 2·(n/B)·d doubles fit a worker heap — at
+    100 TB the blocks live in object storage and B grows with the corpus)."""
+    import glob
+    import shutil
+    import tempfile
 
-    def pairs(t: pa.Table) -> pa.Table:
+    import ray.data as rd
+
+    thresh = 0.40
+    n_blocks = 8
+    tmp = tempfile.mkdtemp(prefix="ctx_neardup_blocks_")
+
+    def norm(t: pa.Table) -> pa.Table:
         ids, M = _to_matrix(t)
-        aids, an = ray.get(ref)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        sims = Mn @ an.T
-        ii, jj = np.nonzero(sims > thresh)
-        keep = ids[ii] < aids[jj]  # each unordered pair once
         return pa.table(
             {
-                "vec_a": pa.array(ids[ii][keep], pa.int64()),
-                "vec_b": pa.array(aids[jj][keep], pa.int64()),
-                "cosine": pa.array(_round(sims[ii, jj][keep]), pa.float64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(Mn), pa.list_(pa.float64())),
+                "block": pa.array(ids % n_blocks, pa.int64()),
             }
         )
 
-    rows = _emb(sf_dir).map_batches(pairs, batch_format="pyarrow").take_all()
+    try:
+        _emb(sf_dir).map_batches(norm, batch_format="pyarrow").write_parquet(tmp, partition_cols=["block"])
+
+        def _read_block(b: int):
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(f"{tmp}/block={b}/*.parquet"))
+            t = pa.concat_tables([pq.read_table(f, columns=["vec_id", "embedding"]) for f in files])
+            return _to_matrix(t)
+
+        def score(t: pa.Table) -> pa.Table:
+            out = []
+            for bi, bj in zip(t["block_i"].to_pylist(), t["block_j"].to_pylist()):
+                ids_i, Mi = _read_block(bi)
+                ids_j, Mj = (ids_i, Mi) if bj == bi else _read_block(bj)
+                sims = Mi @ Mj.T
+                ii, jj = np.nonzero(sims > thresh)
+                if bi == bj:
+                    # upper triangle: each unordered pair once, no self-pairs
+                    keep = ids_i[ii] < ids_j[jj]
+                    va, vb = ids_i[ii][keep], ids_j[jj][keep]
+                    cs = sims[ii, jj][keep]
+                else:
+                    # distinct blocks: every cross pair appears exactly once
+                    # in this task — orient by id, don't filter
+                    va = np.minimum(ids_i[ii], ids_j[jj])
+                    vb = np.maximum(ids_i[ii], ids_j[jj])
+                    cs = sims[ii, jj]
+                out.append(
+                    pa.table(
+                        {
+                            "vec_a": pa.array(va, pa.int64()),
+                            "vec_b": pa.array(vb, pa.int64()),
+                            "cosine": pa.array(_round(cs), pa.float64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(out)
+
+        pair_items = [
+            {"block_i": i, "block_j": j} for i in range(n_blocks) for j in range(i, n_blocks)
+        ]
+        rows = (
+            rd.from_items(pair_items, override_num_blocks=len(pair_items))
+            .map_batches(score, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     if not rows:
         return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
     return pa.Table.from_pylist(rows)
@@ -216,19 +269,27 @@ def q_knn_lsh(sf_dir: str):
 
 def q_knn_ivf(sf_dir: str):
     """Approximate top-5 via an IVF index: k-means coarse quantizer trained
-    driver-side on a sample (small-side state), centroids broadcast with
-    ray.put, per-batch assignment + probe of the nprobe closest lists.
-    Rows-only (approximate by design; recall asserted in tests)."""
-    import pyarrow.parquet as pq
+    on a deterministic ~512-row strided sample pulled THROUGH Ray (the
+    corpus is never read driver-side), centroids broadcast with ray.put,
+    per-batch assignment + probe of the nprobe closest lists. Rows-only
+    (approximate by design; recall asserted in tests)."""
+    import pyarrow.compute as pc
     import ray
 
     n_lists, n_probe, iters = 8, 3, 10
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids, A = _to_matrix(full)
-    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    ds = _emb(sf_dir)
+    # deterministic strided training sample pulled THROUGH Ray (only ~512
+    # rows reach the driver — the corpus itself is never read driver-side)
+    n_total = ds.count()
+    step = max(n_total // 512, 1)
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["vec_id"].to_numpy() % step == 0))
+
+    sample_tbl = pa.Table.from_pylist(ds.map_batches(sample_batch, batch_format="pyarrow").take_all())
+    _, S = _to_matrix(sample_tbl)
+    sample = S / np.linalg.norm(S, axis=1, keepdims=True)
     rng = np.random.default_rng(11)
-    # train quantizer on a sample (deterministic seeded Lloyd's iterations)
-    sample = An[rng.choice(An.shape[0], min(512, An.shape[0]), replace=False)]
     C = sample[rng.choice(sample.shape[0], n_lists, replace=False)].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ C.T, axis=1)
@@ -238,8 +299,14 @@ def q_knn_ivf(sf_dir: str):
                 c = members.mean(axis=0)
                 C[k] = c / max(np.linalg.norm(c), 1e-12)
 
-    q_ids = all_ids[all_ids < N_QUERIES]
-    Qn = An[np.isin(all_ids, q_ids)]
+    def query_batch(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["vec_id"], N_QUERIES))
+
+    q_tbl = pa.Table.from_pylist(ds.map_batches(query_batch, batch_format="pyarrow").take_all())
+    q_ids, Q = _to_matrix(q_tbl)
+    order = np.argsort(q_ids, kind="stable")
+    q_ids, Q = q_ids[order], Q[order]
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
     ref = ray.put((q_ids, Qn, C, q_probe))
 

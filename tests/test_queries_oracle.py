@@ -72,6 +72,8 @@ def _compare(name, ray_result, sql, con):
         "expanding_sum",
         "ema",
         "lang_id",
+        "ngram_jaccard_pairs",
+        "dedup_clusters",
         "gap_filled_hourly",
         "tier_cascade_1h",
         "gorilla_roundtrip",
@@ -95,8 +97,8 @@ def test_query_matches_oracle(entrymod, duck, name):
 @pytest.mark.parametrize(
     "name",
     ["lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
-     "ngram_jaccard_pairs", "knn_lsh", "stl_strengths", "dfa", "lzc",
-     "variability_timescale", "carma_loglik", "peak_stats", "dedup_clusters", "knn_ivf"],
+     "knn_lsh", "stl_strengths", "dfa", "lzc",
+     "variability_timescale", "carma_loglik", "peak_stats", "knn_ivf"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
