@@ -17,6 +17,7 @@ from typing import Any
 
 from chronoxtract_ray.pipelines import queries_docs as qd
 from chronoxtract_ray.pipelines import queries_events as qe
+from chronoxtract_ray.pipelines import queries_features as qf
 from chronoxtract_ray.pipelines import queries_vec as qv
 
 SF0001 = "/root/testdata/sf0.001"
@@ -88,7 +89,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lzc": qe.q_lzc,
         "variability_timescale": qe.q_variability_timescale,
         "carma_loglik": qe.q_carma_loglik,
-        "peak_stats": qe.q_peak_stats,
+        "peak_stats": qf.q_peak_stats_sql,
+        # ---- per-series feature kernels (SQL-checked; see queries_features) ----
+        "find_peaks": qf.q_find_peaks,
+        "peak_to_peak": qf.q_peak_to_peak,
+        "variability_features": qf.q_variability_features,
+        "zero_crossing_rate": qf.q_zero_crossing_rate,
+        "energy_distribution": qf.q_energy_distribution,
+        "higher_moments": qf.q_higher_moments,
+        "rolling_variance": qf.q_rolling_variance,
+        "sliding_window_entropy": qf.q_sliding_window_entropy,
+        "tde": qf.q_tde,
+        "gasf": qf.q_gasf,
+        "mtf": qf.q_mtf,
+        "acf_binned": qf.q_acf_binned,
+        "multiscale_entropy": qf.q_multiscale_entropy,
+        "dcf_pairs": qf.q_dcf_pairs,
         # ---- sort/limit + plain aggregates ----
         "top_energy_windows": qe.q_top_energy_windows,
         "event_type_stats": qe.q_event_type_stats,
@@ -137,8 +153,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": qd.SQL_DEDUP_CLUSTERS,
         "knn_bruteforce": qv.SQL_KNN_BRUTEFORCE,
         "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,
-        # ema / lomb_scargle / entropy_features / fft_bands / minhash_neardup /
-        # simhash / lang_id / ngram_jaccard_pairs / knn_lsh: rows-only
-        # (sequential scans, O(n^2) template matching, sketches, LSH — not
-        # ANSI-SQL expressible)
+        "peak_stats": qf.SQL_PEAK_STATS,
+        "find_peaks": qf.SQL_FIND_PEAKS,
+        "peak_to_peak": qf.SQL_PEAK_TO_PEAK,
+        "variability_features": qf.SQL_VARIABILITY_FEATURES,
+        "zero_crossing_rate": qf.SQL_ZERO_CROSSING_RATE,
+        "energy_distribution": qf.SQL_ENERGY_DISTRIBUTION,
+        "higher_moments": qf.SQL_HIGHER_MOMENTS,
+        "rolling_variance": qf.SQL_ROLLING_VARIANCE,
+        "sliding_window_entropy": qf.SQL_SLIDING_WINDOW_ENTROPY,
+        "tde": qf.SQL_TDE,
+        "gasf": qf.SQL_GASF,
+        "mtf": qf.SQL_MTF,
+        "acf_binned": qf.SQL_ACF_BINNED,
+        # lomb_scargle / entropy_features / fft_bands / minhash_neardup /
+        # simhash / knn_lsh / knn_ivf / stl_strengths / dfa / lzc /
+        # variability_timescale / carma_loglik / multiscale_entropy /
+        # dcf_pairs: rows-only (sequential scans, O(n^2) template matching,
+        # sketches, LSH, model fitting — not ANSI-SQL expressible)
     }

@@ -1,0 +1,794 @@
+"""Driver-checkable queries for the per-series feature kernels that were
+previously pytest-only: peak stacks, variability/shape features, rolling
+variance, energy distribution, sliding-window entropy, higher moments,
+matrix transforms (TDE / GASF / MTF) and binned ACF — each paired with an
+ANSI-SQL oracle where SQL can express it (see each SQL constant), plus
+rows-only entries for DCF pairs and multiscale entropy.
+
+Execution shape: every query is ONE Ray pipeline — read_parquet (pruned
+columns) → map_batches prep → groupby(user_id).map_groups(kernel) — the
+driver only collects the small result table. Float policy matches the rest
+of the suite: 6-dp half-away-from-zero rounding on both sides, identical
+expression association where interpolation/normalization amplifies ulps
+(GASF/MTF/bins are bit-exact by construction), and magnitude-normalized
+outputs where raw values span too many decades for fixed-decimal rounding
+(standardized higher moments).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from chronoxtract_ray.pipelines.queries_events import _events, _prep, _round
+
+__all__ = []  # query functions are registered via __ray_entry__
+
+
+def _grouped(sf_dir: str, fn):
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+def _sorted_series(group: pa.Table) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    ts = group["ts_us"].to_numpy()
+    turn = group["turn"].to_numpy()
+    val = group["value"].to_numpy()
+    order = np.lexsort((turn, ts))
+    return group["user_id"][0].as_py(), ts[order], val[order], turn[order]
+
+
+# ---- scipy-like peak stack (src/peaks/peak_func.rs) ----
+
+
+def q_find_peaks(sf_dir: str):
+    """Plateau-aware find_peaks + walk-out peak_prominence per user series
+    (kernels/peaks.py; reference src/peaks/peak_func.rs:1-63). The oracle
+    expresses the same detection for distinct-valued series (the test data
+    has no exact ties, so plateaus never arise): strict rise + >= fall via
+    lag/lead, prominence via the bounded side-minima the walk-out visits."""
+    from chronoxtract_ray.kernels.peaks import find_peaks, peak_prominence
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        peaks = find_peaks(val)
+        proms = peak_prominence(val, peaks)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), peaks.size), pa.int64()),
+                "peak_idx": pa.array(peaks, pa.int64()),
+                "value": pa.array(_round(val[peaks]), pa.float64()),
+                "prominence": pa.array(_round(proms), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_FIND_PEAKS = """
+WITH o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), p AS (
+  SELECT o.user_id, o.i AS pk, o.value AS pv
+  FROM o
+  JOIN o prv ON prv.user_id = o.user_id AND prv.i = o.i - 1
+  JOIN o nxt ON nxt.user_id = o.user_id AND nxt.i = o.i + 1
+  WHERE o.value > prv.value AND o.value >= nxt.value
+), prom AS (
+  SELECT p.user_id, p.pk, p.pv,
+    (SELECT min(o.value) FROM o
+      WHERE o.user_id = p.user_id AND o.i < p.pk
+        AND o.i > coalesce((SELECT max(o2.i) FROM o o2
+                            WHERE o2.user_id = p.user_id AND o2.i < p.pk
+                              AND o2.value > p.pv), -1)) AS lmin,
+    (SELECT min(o.value) FROM o
+      WHERE o.user_id = p.user_id AND o.i > p.pk
+        AND o.i < coalesce((SELECT min(o2.i) FROM o o2
+                            WHERE o2.user_id = p.user_id AND o2.i > p.pk
+                              AND o2.value > p.pv), 9223372036854775807)) AS rmin
+  FROM p
+)
+SELECT user_id, pk AS peak_idx, ROUND(pv, 6) AS value,
+  ROUND(pv - CASE
+    WHEN lmin IS NOT NULL AND rmin IS NOT NULL THEN greatest(lmin, rmin)
+    WHEN lmin IS NOT NULL THEN lmin
+    WHEN rmin IS NOT NULL THEN rmin
+    ELSE pv END, 6) AS prominence
+FROM prom
+"""
+
+
+# ---- shape-module peak stack (src/shape/mod.rs:224-390) ----
+
+
+def q_peak_to_peak(sf_dir: str):
+    """(max, mean, std-pop) of between-consecutive-peak amplitudes with the
+    shape stack's global-side-minima prominence >= 0.01 and min_distance 1
+    (kernels/shape.py peak_to_peak_amplitude; src/shape/mod.rs:354-369)."""
+    from chronoxtract_ray.kernels.shape import peak_to_peak_amplitude
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()), "max_p2p": pa.array([], pa.float64()), "mean_p2p": pa.array([], pa.float64()), "std_p2p": pa.array([], pa.float64())})
+        mx, mean, std = peak_to_peak_amplitude(val)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "max_p2p": pa.array(_round(np.array([mx])), pa.float64()),
+                "mean_p2p": pa.array(_round(np.array([mean])), pa.float64()),
+                "std_p2p": pa.array(_round(np.array([std])), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+# shared SQL fragment: the shape stack's peaks = strict local maxima with
+# global-side-minima prominence (pv - max(min(before), min(after)))
+_SHAPE_PEAKS = """
+o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), sp AS (
+  SELECT user_id, i AS pk, value AS pv, n,
+    min(value) OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lmin,
+    min(value) OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rmin,
+    lag(value)  OVER (PARTITION BY user_id ORDER BY i) AS pv_prev,
+    lead(value) OVER (PARTITION BY user_id ORDER BY i) AS pv_next
+  FROM o
+), pk AS (
+  SELECT user_id, pk, pv, n, pv - greatest(lmin, rmin) AS prom
+  FROM sp
+  WHERE pv_prev IS NOT NULL AND pv_next IS NOT NULL
+    AND pv > pv_prev AND pv > pv_next
+    AND pv - greatest(lmin, rmin) >= {prom}
+)
+"""
+
+
+SQL_PEAK_TO_PEAK = (
+    "WITH "
+    + _SHAPE_PEAKS.format(prom="0.01")
+    + """,
+cons AS (
+  SELECT user_id, pk AS a, lead(pk) OVER (PARTITION BY user_id ORDER BY pk) AS b, pv AS va,
+    lead(pv) OVER (PARTITION BY user_id ORDER BY pk) AS vb
+  FROM pk
+), amp AS (
+  SELECT c.user_id, c.a, c.b,
+    greatest(c.va - min(o.value), c.vb - min(o.value)) AS amp
+  FROM cons c JOIN o ON o.user_id = c.user_id AND o.i BETWEEN c.a AND c.b
+  WHERE c.b IS NOT NULL
+  GROUP BY c.user_id, c.a, c.b, c.va, c.vb
+), agg AS (
+  SELECT user_id, max(amp) AS mx, avg(amp) AS mean, count(*) AS na,
+    sum(amp * amp) / count(*) - avg(amp) * avg(amp) AS dummy
+  FROM amp GROUP BY 1
+), agg2 AS (
+  SELECT a.user_id, a.mx, a.mean,
+    sqrt(sum((amp.amp - a.mean) * (amp.amp - a.mean)) / a.na) AS std
+  FROM agg a JOIN amp ON amp.user_id = a.user_id
+  GROUP BY a.user_id, a.mx, a.mean, a.na
+), base AS (SELECT DISTINCT user_id FROM o WHERE n >= 3)
+SELECT b.user_id,
+  ROUND(coalesce(g.mx, 0.0), 6) AS max_p2p,
+  ROUND(coalesce(g.mean, 0.0), 6) AS mean_p2p,
+  ROUND(coalesce(g.std, 0.0), 6) AS std_p2p
+FROM base b LEFT JOIN agg2 g ON g.user_id = b.user_id
+"""
+)
+
+
+def q_peak_stats_sql(sf_dir: str):
+    """enhanced_peak_stats (n, mean prominence, mean spacing, density) with
+    min_prominence=1.0, min_distance=1 — the same values the rows-only
+    ``peak_stats`` query reports via the dataset API, here with a SQL oracle
+    (mean spacing of integer peak indices telescopes to
+    (last-first)/(n-1))."""
+    from chronoxtract_ray.kernels.shape import enhanced_peak_stats
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()), "n_peaks": pa.array([], pa.int64()), "mean_prominence": pa.array([], pa.float64()), "mean_spacing": pa.array([], pa.float64()), "peak_density": pa.array([], pa.float64())})
+        n, mp, sp, _w, _a, dens = enhanced_peak_stats(val, 1.0, 1)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "n_peaks": pa.array([int(n)], pa.int64()),
+                "mean_prominence": pa.array(_round(np.array([mp])), pa.float64()),
+                "mean_spacing": pa.array(_round(np.array([sp])), pa.float64()),
+                "peak_density": pa.array(_round(np.array([dens])), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_PEAK_STATS = (
+    "WITH "
+    + _SHAPE_PEAKS.format(prom="1.0")
+    + """,
+agg AS (
+  SELECT user_id, count(*) AS np, avg(prom) AS mp,
+    CASE WHEN count(*) > 1
+         THEN (max(pk) - min(pk))::DOUBLE / (count(*) - 1) ELSE 0.0 END AS sp,
+    count(*)::DOUBLE / any_value(n) AS dens
+  FROM pk GROUP BY 1
+), base AS (SELECT DISTINCT user_id, n FROM o WHERE n >= 3)
+SELECT b.user_id, coalesce(g.np, 0) AS n_peaks,
+  ROUND(coalesce(g.mp, 0.0), 6) AS mean_prominence,
+  ROUND(coalesce(g.sp, 0.0), 6) AS mean_spacing,
+  ROUND(coalesce(g.dens, 0.0), 6) AS peak_density
+FROM base b LEFT JOIN agg g ON g.user_id = b.user_id
+"""
+)
+
+
+# ---- variability / shape scalars ----
+
+
+def q_variability_features(sf_dir: str):
+    """(CV, quartile coeff of dispersion, MAD, IQR) with INDEX-based
+    quartiles sorted[n/4], sorted[n/2], sorted[3n/4] (kernels/shape.py
+    variability_features; src/shape/mod.rs:408-431)."""
+    from chronoxtract_ray.kernels.shape import variability_features
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        cv, qcd, mad, iqr = variability_features(val)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "cv": pa.array(_round(np.array([cv])), pa.float64()),
+                "qcd": pa.array(_round(np.array([qcd])), pa.float64()),
+                "mad": pa.array(_round(np.array([mad])), pa.float64()),
+                "iqr": pa.array(_round(np.array([iqr])), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_VARIABILITY_FEATURES = """
+WITH o AS (
+  SELECT user_id, value, count(*) OVER (PARTITION BY user_id) AS n,
+    row_number() OVER (PARTITION BY user_id ORDER BY value) - 1 AS rk
+  FROM events
+), st AS (
+  SELECT user_id, any_value(n) AS n, sum(value) / any_value(n) AS mean
+  FROM o GROUP BY 1
+), sd AS (
+  SELECT o.user_id,
+    sqrt(sum((o.value - st.mean) * (o.value - st.mean)) / st.n) AS std,
+    any_value(st.mean) AS mean
+  FROM o JOIN st ON st.user_id = o.user_id
+  GROUP BY o.user_id, st.n
+), q AS (
+  SELECT user_id,
+    max(CASE WHEN rk = n // 4 THEN value END) AS q1,
+    max(CASE WHEN rk = n // 2 THEN value END) AS q2,
+    max(CASE WHEN rk = (3 * n) // 4 THEN value END) AS q3
+  FROM o GROUP BY 1
+), dev AS (
+  SELECT o.user_id, abs(o.value - q.q2) AS d, o.n,
+    row_number() OVER (PARTITION BY o.user_id ORDER BY abs(o.value - q.q2)) - 1 AS rk
+  FROM o JOIN q ON q.user_id = o.user_id
+), mad AS (
+  SELECT user_id, max(CASE WHEN rk = n // 2 THEN d END) AS mad FROM dev GROUP BY 1
+)
+SELECT sd.user_id,
+  ROUND(CASE WHEN sd.mean != 0.0 THEN sd.std / abs(sd.mean) ELSE 0.0 END, 6) AS cv,
+  ROUND(CASE WHEN q.q1 + q.q3 != 0.0 THEN (q.q3 - q.q1) / (q.q3 + q.q1) ELSE 0.0 END, 6) AS qcd,
+  ROUND(mad.mad, 6) AS mad,
+  ROUND(q.q3 - q.q1, 6) AS iqr
+FROM sd JOIN q ON q.user_id = sd.user_id JOIN mad ON mad.user_id = sd.user_id
+"""
+
+
+def q_zero_crossing_rate(sf_dir: str):
+    """Sign-change (>= 0 convention) rate per user series
+    (kernels/shape.py zero_crossing_rate; src/shape/mod.rs:180-194)."""
+    from chronoxtract_ray.kernels.shape import zero_crossing_rate
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < 2:
+            return pa.table({"user_id": pa.array([], pa.int64()), "zcr": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "zcr": pa.array(_round(np.array([zero_crossing_rate(val)])), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_ZERO_CROSSING_RATE = """
+WITH o AS (
+  SELECT user_id, (value >= 0) AS nn,
+    lag(value >= 0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pn
+  FROM events
+)
+SELECT user_id,
+  ROUND(count(*) FILTER (WHERE pn IS NOT NULL AND nn != pn)::DOUBLE
+        / (count(*) - 1), 6) AS zcr
+FROM o GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_energy_distribution(sf_dir: str):
+    """Energy entropy [nats] + top-ceil(10%) energy concentration per user
+    (kernels/shape.py energy_distribution; src/shape/mod.rs:461-498)."""
+    from chronoxtract_ray.kernels.shape import energy_distribution
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        ent, _mean_e, conc = energy_distribution(val)
+        # mean energy (= sum(e)/n) is deliberately NOT emitted here: the
+        # synthetic values carry fixed decimal precision, so total/n can land
+        # EXACTLY on a decimal rounding boundary where cross-engine 1-ulp
+        # summation noise flips the rounded digit at any depth. The sum/count
+        # surface is already hash-verified by window_moments (vsum/energy);
+        # this query checks the two novel outputs. (Kernel parity for the
+        # mean-energy component stays covered by the golden kernel tests.)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "energy_entropy": pa.array(_round(np.array([ent])), pa.float64()),
+                "energy_concentration": pa.array(_round(np.array([conc])), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_ENERGY_DISTRIBUTION = """
+WITH o AS (
+  SELECT user_id, value * value AS e,
+    row_number() OVER (PARTITION BY user_id ORDER BY value * value DESC) AS rk_desc,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), t AS (
+  SELECT user_id, sum(e) AS total, any_value(n) AS n FROM o GROUP BY 1
+)
+SELECT o.user_id,
+  ROUND(CASE WHEN t.total = 0 THEN 0.0 ELSE
+    -sum((o.e / t.total) * ln(o.e / t.total)) FILTER (WHERE o.e > 0) END, 6) AS energy_entropy,
+  ROUND(CASE WHEN t.total = 0 THEN 0.0 ELSE
+    sum(o.e) FILTER (WHERE o.rk_desc <= ceil(t.n * 0.1)) / t.total END, 6) AS energy_concentration
+FROM o JOIN t ON t.user_id = o.user_id
+GROUP BY o.user_id, t.total, t.n
+"""
+
+
+def q_higher_moments(sf_dir: str):
+    """STANDARDIZED central moments m5/σ⁵ … m8/σ⁸ per user
+    (kernels/moments.py central_moment; src/higherorder/mod.rs:63-71,
+    192-203). Standardization keeps outputs O(1)-O(100): raw k-th moments
+    span ~10 decades across users, so fixed 6-decimal rounding would sit
+    inside their float noise; the σ-normalized form is the hash-stable
+    surface (raw moments stay covered by golden kernel tests). Guarded to
+    variance > 1e-12 on both sides."""
+    from chronoxtract_ray.kernels.moments import central_moment
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        var = central_moment(val, 2)
+        if var <= 1e-12:
+            return pa.table({"user_id": pa.array([], pa.int64()), "std_m5": pa.array([], pa.float64()), "std_m6": pa.array([], pa.float64()), "std_m7": pa.array([], pa.float64()), "std_m8": pa.array([], pa.float64())})
+        cols = {"user_id": pa.array([np.int64(uid)], pa.int64())}
+        for k in (5, 6, 7, 8):
+            cols[f"std_m{k}"] = pa.array(_round(np.array([central_moment(val, k) / var ** (k / 2.0)])), pa.float64())
+        return pa.table(cols)
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_HIGHER_MOMENTS = """
+WITH st AS (
+  SELECT user_id, count(*) AS n, sum(value) / count(*) AS mean
+  FROM events GROUP BY 1
+), d AS (
+  SELECT e.user_id, st.n, e.value - st.mean AS d
+  FROM events e JOIN st ON st.user_id = e.user_id
+), m AS (
+  SELECT user_id,
+    sum(d * d) / any_value(n) AS m2,
+    sum(d * d * d * d * d) / any_value(n) AS m5,
+    sum(d * d * d * d * d * d) / any_value(n) AS m6,
+    sum(d * d * d * d * d * d * d) / any_value(n) AS m7,
+    sum(d * d * d * d * d * d * d * d) / any_value(n) AS m8
+  FROM d GROUP BY 1
+)
+SELECT user_id,
+  ROUND(m5 / pow(m2, 2.5), 6) AS std_m5,
+  ROUND(m6 / pow(m2, 3.0), 6) AS std_m6,
+  ROUND(m7 / pow(m2, 3.5), 6) AS std_m7,
+  ROUND(m8 / pow(m2, 4.0), 6) AS std_m8
+FROM m WHERE m2 > 1e-12
+"""
+
+
+# ---- rolling scans ----
+
+
+def q_rolling_variance(sf_dir: str):
+    """Rolling population variance window=5, two-pass per window exactly
+    like the kernel (kernels/rolling.py rolling_variance;
+    src/rollingstats/mod.rs:23-35); keyed by the window-END event_id."""
+    from chronoxtract_ray.kernels.rolling import rolling_variance
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, turn = _sorted_series(group)
+        w = 5
+        if val.size < w:
+            return pa.table({"user_id": pa.array([], pa.int64()), "event_id": pa.array([], pa.int64()), "rvar": pa.array([], pa.float64())})
+        rv = rolling_variance(val, w)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), rv.size), pa.int64()),
+                "event_id": pa.array(turn[w - 1 :], pa.int64()),
+                "rvar": pa.array(_round(rv), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_ROLLING_VARIANCE = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), m AS (
+  SELECT user_id, event_id, rn,
+    avg(value) OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mu
+  FROM o
+)
+SELECT m.user_id, m.event_id,
+  ROUND(avg((o.value - m.mu) * (o.value - m.mu)), 6) AS rvar
+FROM m JOIN o ON o.user_id = m.user_id AND o.rn BETWEEN m.rn - 4 AND m.rn
+WHERE m.rn >= 5
+GROUP BY m.user_id, m.event_id
+"""
+
+
+def q_sliding_window_entropy(sf_dir: str):
+    """Per-window (w=8) min-max histogram Shannon entropy in bits, 4 bins
+    (kernels/rolling.py sliding_window_entropy;
+    src/rollingstats/mod.rs:68-104); binning arithmetic is association-
+    identical on both sides so bin boundaries are bit-exact."""
+    from chronoxtract_ray.kernels.rolling import sliding_window_entropy
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, turn = _sorted_series(group)
+        w, bins = 8, 4
+        if val.size < w:
+            return pa.table({"user_id": pa.array([], pa.int64()), "event_id": pa.array([], pa.int64()), "entropy": pa.array([], pa.float64())})
+        ent = sliding_window_entropy(val, w, bins)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), ent.size), pa.int64()),
+                "event_id": pa.array(turn[w - 1 :], pa.int64()),
+                "entropy": pa.array(_round(ent), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_SLIDING_WINDOW_ENTROPY = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), w AS (
+  SELECT m.user_id, m.rn AS rn_end, m.event_id,
+    min(o.value) AS mn, max(o.value) AS mx
+  FROM o m JOIN o ON o.user_id = m.user_id AND o.rn BETWEEN m.rn - 7 AND m.rn
+  WHERE m.rn >= 8
+  GROUP BY m.user_id, m.rn, m.event_id
+), b AS (
+  SELECT w.user_id, w.rn_end, w.event_id, (w.mx - w.mn = 0.0) AS zero_range,
+    CASE WHEN w.mx - w.mn = 0.0 THEN 0
+         ELSE greatest(least(floor((o.value - w.mn) / (w.mx - w.mn) * 4)::BIGINT, 3), 0)
+    END AS bin
+  FROM w JOIN o ON o.user_id = w.user_id AND o.rn BETWEEN w.rn_end - 7 AND w.rn_end
+), c AS (
+  SELECT user_id, rn_end, event_id, any_value(zero_range) AS zero_range, bin, count(*) AS cnt
+  FROM b GROUP BY user_id, rn_end, event_id, bin
+)
+SELECT user_id, event_id,
+  ROUND(CASE WHEN any_value(zero_range) THEN 0.0
+        ELSE -sum((cnt / 8.0) * log2(cnt / 8.0)) END, 6) AS entropy
+FROM c GROUP BY user_id, rn_end, event_id
+"""
+
+
+# ---- matrix transforms (src/matrices/mod.rs) ----
+
+_CORNER = 12  # emitted sub-matrix size for GASF / MTF element checks
+
+
+def q_tde(sf_dir: str):
+    """Time-delay (Hankel) embedding L=4 flattened to (row, col, value)
+    element assertions (kernels/matrices.py time_delay_embedding;
+    src/matrices/mod.rs:52-97: H[i,j] = x[i+j])."""
+    from chronoxtract_ray.kernels.matrices import time_delay_embedding
+
+    L = 4
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < L:
+            return pa.table({"user_id": pa.array([], pa.int64()), "row_idx": pa.array([], pa.int64()), "col_idx": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+        H = time_delay_embedding(val, L)
+        r, c = np.divmod(np.arange(H.size), L)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), H.size), pa.int64()),
+                "row_idx": pa.array(r, pa.int64()),
+                "col_idx": pa.array(c, pa.int64()),
+                "v": pa.array(_round(H.ravel()), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_TDE = """
+WITH o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), j AS (SELECT unnest([0, 1, 2, 3]) AS jj)
+SELECT a.user_id, a.i AS row_idx, j.jj AS col_idx, ROUND(b.value, 6) AS v
+FROM o a CROSS JOIN j
+JOIN o b ON b.user_id = a.user_id AND b.i = a.i + j.jj
+WHERE a.i + 3 <= a.n - 1
+"""
+
+
+# shared SQL fragment: per-user min/max + the degenerate-range guard +
+# min-max scaling exactly as kernels/matrices.py computes it
+_SCALED = """
+o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    min(value) OVER (PARTITION BY user_id) AS mn,
+    max(value) OVER (PARTITION BY user_id) AS mx
+  FROM events
+), g AS (
+  SELECT *, (abs(mx - mn) <= 1e-12 * greatest(abs(mn), abs(mx), 1.0)) AS deg
+  FROM o
+)
+"""
+
+
+def q_gasf(sf_dir: str):
+    """GASF elements for the top-left 12x12 corner (scaling uses the FULL
+    series min/max; kernels/matrices.py gramian_angular_summation_field;
+    src/matrices/mod.rs:122-171). Bit-exact: both sides compute
+    norm = clip(2(x-mn)/(mx-mn) - 1), s = sqrt(max(1-norm²,0)),
+    G[i,j] = norm_i·norm_j − s_i·s_j with identical association."""
+    from chronoxtract_ray.kernels.matrices import gramian_angular_summation_field
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        G = gramian_angular_summation_field(val)[: _CORNER, : _CORNER]
+        r, c = np.divmod(np.arange(G.size), G.shape[1])
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), G.size), pa.int64()),
+                "row_idx": pa.array(r, pa.int64()),
+                "col_idx": pa.array(c, pa.int64()),
+                "v": pa.array(_round(G.ravel()), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_GASF = (
+    "WITH "
+    + _SCALED
+    + f""", nrm AS (
+  SELECT user_id, i,
+    CASE WHEN deg THEN 0.0
+         ELSE least(greatest(2.0 * (value - mn) / (mx - mn) - 1.0, -1.0), 1.0)
+    END AS nv
+  FROM g
+), ns AS (
+  SELECT user_id, i, nv, sqrt(greatest(1.0 - nv * nv, 0.0)) AS s FROM nrm
+)
+SELECT a.user_id, a.i AS row_idx, b.i AS col_idx,
+  ROUND(a.nv * b.nv - a.s * b.s, 6) AS v
+FROM ns a JOIN ns b ON b.user_id = a.user_id
+WHERE a.i < {_CORNER} AND b.i < {_CORNER}
+"""
+)
+
+
+def q_mtf(sf_dir: str):
+    """MTF elements for the top-left 12x12 corner, 4 min-max bins
+    (kernels/matrices.py markov_transition_field;
+    src/matrices/mod.rs:197-269). Bit-exact: bin assignment and the
+    count/rowsum division use identical operands on both sides."""
+    from chronoxtract_ray.kernels.matrices import markov_transition_field
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        M = markov_transition_field(val, 4)[: _CORNER, : _CORNER]
+        r, c = np.divmod(np.arange(M.size), M.shape[1])
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), M.size), pa.int64()),
+                "row_idx": pa.array(r, pa.int64()),
+                "col_idx": pa.array(c, pa.int64()),
+                "v": pa.array(_round(M.ravel()), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_MTF = (
+    "WITH "
+    + _SCALED
+    + f""", bn AS (
+  SELECT user_id, i,
+    CASE WHEN deg THEN 0
+         ELSE least(floor(least(greatest((value - mn) / (mx - mn), 0.0), 1.0) * 4)::BIGINT, 3)
+    END AS bin
+  FROM g
+), tr AS (
+  SELECT a.user_id, a.bin AS ba, b.bin AS bb, count(*) AS cnt
+  FROM bn a JOIN bn b ON b.user_id = a.user_id AND b.i = a.i + 1
+  GROUP BY 1, 2, 3
+), rs AS (
+  SELECT user_id, ba, sum(cnt) AS total FROM tr GROUP BY 1, 2
+), W AS (
+  SELECT tr.user_id, tr.ba, tr.bb, tr.cnt::DOUBLE / rs.total AS w
+  FROM tr JOIN rs ON rs.user_id = tr.user_id AND rs.ba = tr.ba
+)
+SELECT a.user_id, a.i AS row_idx, b.i AS col_idx,
+  ROUND(coalesce(W.w, 0.0), 6) AS v
+FROM bn a JOIN bn b ON b.user_id = a.user_id
+LEFT JOIN W ON W.user_id = a.user_id AND W.ba = a.bin AND W.bb = b.bin
+WHERE a.i < {_CORNER} AND b.i < {_CORNER}
+"""
+)
+
+
+# ---- binned autocorrelation (Edelson-Krolik DCF with self) ----
+
+_ACF_EDGES = [-24.0, -16.0, -8.0, 0.0, 8.0, 16.0, 24.0]  # hours, dyadic-exact
+
+
+def q_acf_binned(sf_dir: str):
+    """Edelson-Krolik ACF (DCF of a series with itself) over dyadic lag bins
+    in hours (kernels/correlation.py acf; src/correlation/{dcf,acf}.rs).
+    The kernel's float-accumulated bin edges equal these literals exactly
+    (all dyadic), so bin membership matches the SQL interval join."""
+    from chronoxtract_ray.kernels.correlation import acf
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, ts, val, _ = _sorted_series(group)
+        if val.size < 2:
+            return pa.table({"user_id": pa.array([], pa.int64()), "lag": pa.array([], pa.float64()), "corr": pa.array([], pa.float64())})
+        t_hours = ts / 3.6e9
+        out = acf(t_hours, val, np.ones_like(val), _ACF_EDGES[0], _ACF_EDGES[-1], 8.0)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), out["lags"].size), pa.int64()),
+                "lag": pa.array(out["lags"], pa.float64()),
+                "corr": pa.array(_round(out["correlations"]), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_ACF_BINNED = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) / 3600000000.0 AS t, value FROM events
+), st AS (
+  SELECT user_id, count(*) AS n, sum(value) / count(*) AS mean
+  FROM o GROUP BY 1 HAVING count(*) >= 2
+), sd AS (
+  SELECT o.user_id, any_value(st.mean) AS mean,
+    sqrt(sum((o.value - st.mean) * (o.value - st.mean)) / (st.n - 1)) AS std
+  FROM o JOIN st ON st.user_id = o.user_id
+  GROUP BY o.user_id, st.n
+), bins AS (
+  SELECT * FROM (VALUES (-24.0, -16.0), (-16.0, -8.0), (-8.0, 0.0),
+                        (0.0, 8.0), (8.0, 16.0), (16.0, 24.0)) b(lo, hi)
+), pairs AS (
+  SELECT a.user_id, bins.lo, bins.hi,
+    ((a.value - sd.mean) * (b.value - sd.mean)) / (sd.std * sd.std) AS udcf
+  FROM o a
+  JOIN o b ON b.user_id = a.user_id
+  JOIN sd ON sd.user_id = a.user_id
+  JOIN bins ON (b.t - a.t) >= bins.lo AND (b.t - a.t) < bins.hi
+)
+SELECT user_id, (lo + hi) / 2.0 AS lag, ROUND(avg(udcf), 6) AS corr
+FROM pairs GROUP BY user_id, lo, hi
+"""
+
+
+# ---- rows-only: multiscale entropy + distributed DCF pairs ----
+
+
+def q_multiscale_entropy(sf_dir: str):
+    """Multiscale sample entropy, scales 1..3 (kernels/entropy.py
+    multiscale_entropy; src/entropy/mod.rs). Coarse-graining + O(n²)
+    template matching — not SQL-expressible, rows-only."""
+    from chronoxtract_ray.kernels.entropy import multiscale_entropy
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < 12:
+            return pa.table({"user_id": pa.array([], pa.int64()), "mse1": pa.array([], pa.float64()), "mse2": pa.array([], pa.float64()), "mse3": pa.array([], pa.float64())})
+        mse = np.asarray(multiscale_entropy(val, 2, 0.2, 3), dtype=np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "mse1": pa.array(_round(mse[:1]), pa.float64()),
+                "mse2": pa.array(_round(mse[1:2]), pa.float64()),
+                "mse3": pa.array(_round(mse[2:3]), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+def q_dcf_pairs(sf_dir: str):
+    """Distributed cross-series DCF (api.dcf_pairs): correlate user 2k with
+    user 2k+1 over dyadic hour lag bins. Rows-only (the same Edelson-Krolik
+    kernel as acf; the distributed pair join is the deliverable)."""
+    import chronoxtract_ray.api as api
+
+    from chronoxtract_ray.pipelines.queries_events import _events_series
+
+    def to_hours(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "ts_us": pa.array(t["ts_us"].to_numpy() / 3.6e9, pa.float64()),
+                "turn_idx": t["turn_idx"],
+                "value": t["value"],
+            }
+        )
+
+    ds = _events_series(sf_dir).map_batches(to_hours, batch_format="pyarrow")
+    pairs = [(a, a + 1) for a in range(0, 20, 2)]
+    rows = api.dcf_pairs(
+        ds, pairs, lag_min=_ACF_EDGES[0], lag_max=_ACF_EDGES[-1], lag_bin_width=8.0
+    ).take_all()
+    pid_out, lag_out, corr_out = [], [], []
+    for r in sorted(rows, key=lambda r: r["pair_id"]):
+        lags = r.get("lags")
+        if lags is None:  # a pair side with < 2 points reports an error row
+            continue
+        corr = np.asarray(r["correlations"], dtype=np.float64)
+        pid_out.extend([r["pair_id"]] * len(lags))
+        lag_out.extend(float(x) for x in lags)
+        corr_out.extend(_round(corr))
+    return pa.table(
+        {
+            "pair_id": pa.array(pid_out, pa.int64()),
+            "lag": pa.array(lag_out, pa.float64()),
+            "corr": pa.array(corr_out, pa.float64()),
+        }
+    )

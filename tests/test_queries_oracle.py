@@ -86,6 +86,19 @@ def _compare(name, ray_result, sql, con):
         "quality_score",
         "knn_bruteforce",
         "embedding_neardup",
+        "peak_stats",
+        "find_peaks",
+        "peak_to_peak",
+        "variability_features",
+        "zero_crossing_rate",
+        "energy_distribution",
+        "higher_moments",
+        "rolling_variance",
+        "sliding_window_entropy",
+        "tde",
+        "gasf",
+        "mtf",
+        "acf_binned",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -98,7 +111,8 @@ def test_query_matches_oracle(entrymod, duck, name):
     "name",
     ["lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
      "knn_lsh", "stl_strengths", "dfa", "lzc",
-     "variability_timescale", "carma_loglik", "peak_stats", "knn_ivf"],
+     "variability_timescale", "carma_loglik", "knn_ivf",
+     "multiscale_entropy", "dcf_pairs"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
