@@ -334,33 +334,70 @@ def dcf_pairs(
     ts: str = "ts_us",
     value: str = "value",
     error: str | None = None,
+    broadcast_pairs: bool | None = None,
+    num_partitions: int | None = None,
 ):
     """Cross-series Edelson-Krolik DCF for explicit series pairs — the
     distributed pair-join form of the reference's dcf_py (which only ever
     sees two in-memory arrays, src/correlation/mod.rs:37-96).
 
-    Shape: the pair list is broadcast (small side); a map_batches stage
-    replicates each row once per pair membership tagged (pair_id, side);
-    one groupby(pair_id) co-locates both series of a pair; the DCF kernel
-    runs per group. Returns one row per pair with list columns."""
+    Two scale regimes, picked automatically (override with
+    ``broadcast_pairs``):
+
+    - SMALL pair lists (<= ~100k memberships): the pair list is broadcast
+      (small side); a map_batches stage replicates each row once per pair
+      membership tagged (pair_id, side). No shuffle for the tagging step.
+    - LARGE pair lists: the pair list becomes a Dataset of
+      (pair_key, pair_id, side) memberships and is HASH-JOINED against the
+      series rows on the series key — the pair list itself stays
+      distributed, so the operator scales past the driver/object-store
+      broadcast limit (billions of pairs at 100 TB).
+
+    Either way one groupby(pair_id) then co-locates both series of a pair
+    and the DCF kernel runs per group. Returns one row per pair with list
+    columns."""
     from chronoxtract_ray.kernels.correlation import dcf as dcf_kernel
 
-    membership: dict = {}
-    for pid, (a, b) in enumerate(pairs):
-        membership.setdefault(a, []).append((pid, 0))
-        membership.setdefault(b, []).append((pid, 1))
+    use_broadcast = broadcast_pairs if broadcast_pairs is not None else (len(pairs) <= 50_000)
 
-    def tag(batch: pa.Table) -> pa.Table:
-        keys = batch[by].to_numpy(zero_copy_only=False)
-        out_idx, out_pid, out_side = [], [], []
-        for i, k in enumerate(keys):
-            for pid, side in membership.get(k, ()):
-                out_idx.append(i)
-                out_pid.append(pid)
-                out_side.append(side)
-        sub = batch.take(pa.array(out_idx, pa.int64()))
-        sub = sub.append_column("pair_id", pa.array(out_pid, pa.int64()))
-        return sub.append_column("side", pa.array(out_side, pa.int64()))
+    def _tagged_broadcast(ds):
+        membership: dict = {}
+        for pid, (a, b) in enumerate(pairs):
+            membership.setdefault(a, []).append((pid, 0))
+            membership.setdefault(b, []).append((pid, 1))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            keys = batch[by].to_numpy(zero_copy_only=False)
+            out_idx, out_pid, out_side = [], [], []
+            for i, k in enumerate(keys):
+                for pid, side in membership.get(k, ()):
+                    out_idx.append(i)
+                    out_pid.append(pid)
+                    out_side.append(side)
+            sub = batch.take(pa.array(out_idx, pa.int64()))
+            sub = sub.append_column("pair_id", pa.array(out_pid, pa.int64()))
+            return sub.append_column("side", pa.array(out_side, pa.int64()))
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    def _tagged_join(ds):
+        import ray
+        import ray.data as rd
+
+        keys = [k for ab in pairs for k in ab]
+        mem = pa.table(
+            {
+                "pair_key": pa.array(keys),
+                "pair_id": pa.array([i for i in range(len(pairs)) for _ in (0, 1)], pa.int64()),
+                "side": pa.array([s for _ in pairs for s in (0, 1)], pa.int64()),
+            }
+        )
+        P = num_partitions or max(
+            2 * int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 16, 16
+        )
+        return ds.join(
+            rd.from_arrow(mem), "inner", P, on=(by,), right_on=("pair_key",)
+        )
 
     def per_pair(g: pa.Table) -> pa.Table:
         side = g["side"].to_numpy()
@@ -380,9 +417,8 @@ def dcf_pairs(
         out_cols.update(_as_table(res))
         return pa.table(out_cols)
 
-    return ds.map_batches(tag, batch_format="pyarrow").groupby("pair_id").map_groups(
-        per_pair, batch_format="pyarrow"
-    )
+    tagged = _tagged_broadcast(ds) if use_broadcast else _tagged_join(ds)
+    return tagged.groupby("pair_id").map_groups(per_pair, batch_format="pyarrow")
 
 
 __all__.append("dcf_pairs")

@@ -187,3 +187,33 @@ def test_dcf_pairs_distributed_join(tiny_ds):
     assert len(df) == 2
     assert "correlations" in df.columns
     assert all(len(r) > 0 for r in df["correlations"])
+
+
+def test_dcf_pairs_hash_join_lag_recovery_10k_pairs(ray_session):
+    """Large-pair-list regime: the pair list rides the HASH-JOIN path (no
+    driver broadcast) and every pair's DCF must recover the planted +6h lag.
+    100 'early'-bump x 100 'late'-bump series -> 10,000 pairs."""
+    import ray.data as rd
+
+    t = np.arange(24, dtype=np.float64)
+    cols = {"conv_id": [], "ts_us": [], "turn_idx": [], "value": []}
+    for i in range(100):
+        for name, c in ((f"early{i:03d}", 6.0), (f"late{i:03d}", 12.0)):
+            v = np.exp(-((t - c) ** 2) / 8.0) + 0.01 * np.sin(t + i)
+            cols["conv_id"].extend([name] * t.size)
+            cols["ts_us"].extend(t)
+            cols["turn_idx"].extend(range(t.size))
+            cols["value"].extend(v)
+    ds = rd.from_arrow(pa.table(cols))
+    pairs = [(f"early{i:03d}", f"late{j:03d}") for i in range(100) for j in range(100)]
+    out = api.dcf_pairs(
+        ds, pairs, -16.0, 16.0, 4.0, broadcast_pairs=False, num_partitions=8
+    ).take_all()
+    assert len(out) == 10_000
+    good = 0
+    for r in out:
+        lags = np.asarray(r["lags"], dtype=np.float64)
+        corr = np.asarray(r["correlations"], dtype=np.float64)
+        if lags.size and abs(lags[int(np.argmax(corr))] - 6.0) <= 2.0:
+            good += 1
+    assert good == 10_000, f"lag recovered in only {good}/10000 pairs"
