@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_binned": qf.q_acf_binned,
         "multiscale_entropy": qf.q_multiscale_entropy,
         "dcf_pairs": qf.q_dcf_pairs,
+        "carma_forecast": qf.q_carma_forecast,
         # ---- sort/limit + plain aggregates ----
         "top_energy_windows": qe.q_top_energy_windows,
         "event_type_stats": qe.q_event_type_stats,

@@ -293,6 +293,20 @@ FUNCTIONS: dict[str, tuple[Callable, bool, bool]] = {
         },
         True, True,
     ),
+    "carma_predict": (
+        lambda t, v, e, p=1, q=0, ar_coeffs=None, ma_coeffs=None, sigma=1.0, n_ahead=5: (
+            lambda res: _d(
+                pred_t=res["pred_times"], pred_mean=res["pred_means"], pred_var=res["pred_variances"]
+            )
+        )(
+            KC.carma_predict(
+                t, v, e,
+                KC.CarmaParams(p, q, list(ar_coeffs or []), list(ma_coeffs or []), sigma),
+                t[-1] + (np.median(np.diff(t)) if len(t) > 1 else 1.0) * np.arange(1, n_ahead + 1),
+            )
+        ),
+        True, True,
+    ),
     "carma_choose_order": (
         lambda t, v, e, max_p=2, max_q=1: {
             k: float(val)

@@ -41,6 +41,7 @@ __all__ = [
     "carma_kalman_filter",
     "carma_mle",
     "carma_choose_order",
+    "carma_predict",
     "information_criteria",
 ]
 
@@ -229,6 +230,78 @@ def _random_start(p: int, q: int, seed: int) -> CarmaParams:
     params.ma_coeffs = list(ma)
     params.sigma = max(abs(rng.standard_normal()) + 0.1, 0.01)
     return params
+
+
+def carma_predict(times, values, errors, params: CarmaParams, pred_times) -> dict:
+    """Real Kalman FORECAST at ``pred_times`` (this EXCEEDS the reference:
+    its own carma_predict is a placeholder returning zeros,
+    /root/reference/src/carma/predict.rs:38-39).
+
+    One chronological pass over the merged stream of observations and
+    prediction points: observations propagate + update the state; a
+    prediction point propagates the state to its time and records the
+    predictive mean h'x and variance h'Ph (process only — no measurement
+    noise), WITHOUT updating. Propagation composes exactly across the
+    inserted points (Phi(a+b) = Phi(b)Phi(a); Q accumulates accordingly), so
+    later observations see the same filter they would without predictions.
+    Prediction points before the first observation report the stationary
+    prior. Returns {'pred_times','pred_means','pred_variances'}.
+    """
+    _validate_series(times, values, errors)
+    t = np.asarray(times, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    e = np.asarray(errors, dtype=np.float64)
+    pt = np.asarray(pred_times, dtype=np.float64)
+    if pt.size == 0:
+        return {"pred_times": pt, "pred_means": pt.copy(), "pred_variances": pt.copy()}
+    order = np.argsort(pt, kind="stable")
+    ss = _StateSpace(params)
+    h = ss.h
+    x = np.zeros(ss.p)
+    P = ss.stationary_cov.copy()
+    means = np.empty(pt.size)
+    variances = np.empty(pt.size)
+    # merge: walk observations; flush predictions that fall before each obs
+    pi = 0
+    prev_t: float | None = None
+
+    def _advance(to_t: float):
+        nonlocal x, P, prev_t
+        if prev_t is not None:
+            dt = to_t - prev_t
+            if dt > 0:
+                phi = ss.transition(dt)
+                x = phi @ x
+                P = phi @ P @ phi.T + ss.q_dt(dt)
+                prev_t = to_t
+        # before the first observation the state IS the stationary prior —
+        # time passage changes nothing, so leave prev_t unset
+
+    for i in range(t.size):
+        while pi < pt.size and pt[order[pi]] <= t[i]:
+            k = order[pi]
+            _advance(pt[k])
+            means[k] = float(h @ x)
+            variances[k] = float(h @ P @ h)
+            pi += 1
+        _advance(t[i])
+        if prev_t is None:
+            prev_t = t[i]
+        y_hat = h @ x
+        nu = v[i] - y_hat
+        S = h @ P @ h + e[i] * e[i]
+        if S <= 0:
+            raise ValueError("Non-positive innovation variance")
+        K = (P @ h) / S
+        x = x + K * nu
+        P = (np.eye(ss.p) - np.outer(K, h)) @ P
+    while pi < pt.size:
+        k = order[pi]
+        _advance(pt[k])
+        means[k] = float(h @ x)
+        variances[k] = float(h @ P @ h)
+        pi += 1
+    return {"pred_times": pt, "pred_means": means, "pred_variances": variances}
 
 
 def carma_mle(times, values, errors, p: int, q: int, n_starts: int = 8, max_iter: int = 1000) -> dict:

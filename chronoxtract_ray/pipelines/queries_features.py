@@ -753,6 +753,35 @@ def q_multiscale_entropy(sf_dir: str):
     return _grouped(sf_dir, fn)
 
 
+def q_carma_forecast(sf_dir: str):
+    """Kalman FORECAST 3 steps (of 1h) past each user's last observation
+    under a fixed CAR(1) model (kernels/carma.py carma_predict — exceeds the
+    reference, whose own predict returns zeros: src/carma/predict.rs:38).
+    Rows-only (state-space model evaluation isn't ANSI SQL)."""
+    from chronoxtract_ray.kernels.carma import CarmaParams, carma_predict
+
+    params = CarmaParams(1, 0, ar_coeffs=[0.1], sigma=1.0)
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, ts, val, _ = _sorted_series(group)
+        if val.size < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()), "step": pa.array([], pa.int64()), "pred_mean": pa.array([], pa.float64()), "pred_var": pa.array([], pa.float64())})
+        t_hours = ts / 3.6e9
+        t_hours = t_hours + np.arange(t_hours.size) * 1e-9  # break exact ties
+        horizons = t_hours[-1] + np.arange(1, 4, dtype=np.float64)
+        res = carma_predict(t_hours, val, np.ones_like(val), params, horizons)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), 3), pa.int64()),
+                "step": pa.array(np.arange(1, 4), pa.int64()),
+                "pred_mean": pa.array(_round(res["pred_means"]), pa.float64()),
+                "pred_var": pa.array(_round(res["pred_variances"]), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
 def q_dcf_pairs(sf_dir: str):
     """Distributed cross-series DCF (api.dcf_pairs): correlate user 2k with
     user 2k+1 over dyadic hour lag bins. Rows-only (the same Edelson-Krolik

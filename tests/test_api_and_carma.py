@@ -80,6 +80,36 @@ class TestCarma:
         kf = carma.carma_kalman_filter(t, y, e, p1)
         assert np.isfinite(kf["loglikelihood"]) and (kf["innovation_variances"] > 0).all()
 
+    def test_predict_one_step_matches_filter(self):
+        """Forecasting the held-out last point from the first n-1 must equal
+        the full filter's own one-step prediction at that point (and its
+        innovation variance minus the measurement noise)."""
+        t, y, e = _ou_series(80)
+        p = carma.CarmaParams(1, 0, ar_coeffs=[0.2], sigma=0.6)
+        kf = carma.carma_kalman_filter(t, y, e, p)
+        pred = carma.carma_predict(t[:-1], y[:-1], e[:-1], p, [t[-1]])
+        np.testing.assert_allclose(pred["pred_means"][0], kf["predicted_observations"][-1], rtol=1e-12)
+        np.testing.assert_allclose(
+            pred["pred_variances"][0], kf["innovation_variances"][-1] - e[-1] ** 2, rtol=1e-10
+        )
+
+    def test_predict_horizon_limits(self):
+        """Long-horizon forecast relaxes to the stationary process: mean → 0,
+        variance → h'Σh monotonically; predictions before the first
+        observation report the stationary prior exactly."""
+        t, y, e = _ou_series(60)
+        p = carma.CarmaParams(1, 0, ar_coeffs=[0.5], sigma=0.8)
+        ss = carma._StateSpace(p)
+        stat_var = float(ss.h @ ss.stationary_cov @ ss.h)
+        horizons = t[-1] + np.array([1.0, 5.0, 50.0, 500.0])
+        pred = carma.carma_predict(t, y, e, p, horizons)
+        assert abs(pred["pred_means"][-1]) < 1e-6
+        np.testing.assert_allclose(pred["pred_variances"][-1], stat_var, rtol=1e-8)
+        assert (np.diff(pred["pred_variances"]) >= -1e-12).all()
+        before = carma.carma_predict(t, y, e, p, [t[0] - 100.0])
+        assert before["pred_means"][0] == 0.0
+        np.testing.assert_allclose(before["pred_variances"][0], stat_var, rtol=1e-12)
+
     def test_carma2_runs(self):
         t, y, e = _ou_series(100)
         p = carma.CarmaParams(2, 1, ar_coeffs=[0.9, 0.2], ma_coeffs=[1.0, 0.3], sigma=0.5)

@@ -112,7 +112,7 @@ def test_query_matches_oracle(entrymod, duck, name):
     ["lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
      "knn_lsh", "stl_strengths", "dfa", "lzc",
      "variability_timescale", "carma_loglik", "knn_ivf",
-     "multiscale_entropy", "dcf_pairs"],
+     "multiscale_entropy", "dcf_pairs", "carma_forecast"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
