@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "higher_moments": qf.q_higher_moments,
         "rolling_variance": qf.q_rolling_variance,
         "sliding_window_entropy": qf.q_sliding_window_entropy,
+        "variability_tau": qf.q_variability_tau,
         "tde": qf.q_tde,
         "gasf": qf.q_gasf,
         "mtf": qf.q_mtf,
@@ -163,13 +164,17 @@ def oracle_sql() -> dict[str, str]:
         "higher_moments": qf.SQL_HIGHER_MOMENTS,
         "rolling_variance": qf.SQL_ROLLING_VARIANCE,
         "sliding_window_entropy": qf.SQL_SLIDING_WINDOW_ENTROPY,
+        "variability_tau": qf.SQL_VARIABILITY_TAU,
+        "lomb_scargle": qe.SQL_LOMB_SCARGLE,
         "tde": qf.SQL_TDE,
         "gasf": qf.SQL_GASF,
         "mtf": qf.SQL_MTF,
         "acf_binned": qf.SQL_ACF_BINNED,
-        # lomb_scargle / entropy_features / fft_bands / minhash_neardup /
-        # simhash / knn_lsh / knn_ivf / stl_strengths / dfa / lzc /
-        # variability_timescale / carma_loglik / multiscale_entropy /
-        # dcf_pairs: rows-only (sequential scans, O(n^2) template matching,
-        # sketches, LSH, model fitting — not ANSI-SQL expressible)
+        # entropy_features / fft_bands / minhash_neardup / simhash /
+        # knn_lsh / knn_ivf / stl_strengths / dfa / lzc /
+        # variability_timescale (µs api surface; hours variant IS checked as
+        # variability_tau) / carma_loglik / carma_forecast /
+        # multiscale_entropy / dcf_pairs: rows-only (FFT, O(n^2) template
+        # matching, sketches, LSH, iterative model fitting — not ANSI-SQL
+        # expressible)
     }

@@ -711,28 +711,69 @@ SELECT user_id, event_id, ROUND(ema, 6) AS ema FROM r
 
 
 def q_lomb_scargle(sf_dir: str):
-    """Peak Lomb-Scargle frequency per user over the irregular event series."""
+    """Full 64-bin Lomb-Scargle periodogram per user over the irregular
+    event series (kernels/fda.py lomb_scargle, tau-corrected;
+    src/fda/lombscargle.rs:31-74). SQL-checked: the periodogram is pure
+    trig sums, so the oracle evaluates the identical formula (same
+    expression association; freqs built from the same k*step arithmetic on
+    both sides). Emitting the whole spectrum rather than the argmax keeps
+    the comparison free of near-tie peak flips."""
     from chronoxtract_ray.kernels.fda import lomb_scargle
 
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
-    freqs = np.linspace(1e-6, 5e-5, 64)  # cycles per second over ~day spans
+    # cycles per second over ~day spans; identical arithmetic to the oracle
+    freqs = 1e-6 + np.arange(64, dtype=np.float64) * ((5e-5 - 1e-6) / 63.0)
 
     def fn(group: pa.Table) -> pa.Table:
         ts = group["ts_us"].to_numpy() / 1e6
         val = group["value"].to_numpy()
         order = np.argsort(ts, kind="stable")
         if ts.size < 4:
-            return pa.table({"user_id": pa.array([], pa.int64()), "peak_freq": pa.array([], pa.float64()), "peak_power": pa.array([], pa.float64())})
+            return pa.table({"user_id": pa.array([], pa.int64()), "freq_idx": pa.array([], pa.int64()), "power": pa.array([], pa.float64())})
         p = lomb_scargle(ts[order], val[order] - val.mean(), freqs)
         return pa.table(
             {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "peak_freq": pa.array(_round(np.array([freqs[int(np.argmax(p))]]), 9), pa.float64()),
-                "peak_power": pa.array(_round(np.array([float(p.max())])), pa.float64()),
+                "user_id": pa.array(np.repeat(np.int64(group["user_id"][0].as_py()), p.size), pa.int64()),
+                "freq_idx": pa.array(np.arange(p.size), pa.int64()),
+                "power": pa.array(_round(p), pa.float64()),
             }
         )
 
     return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+SQL_LOMB_SCARGLE = """
+WITH o AS (
+  SELECT e.user_id, epoch_us(e.ts) / 1000000.0 AS t,
+    e.value - m.mean AS y
+  FROM events e
+  JOIN (SELECT user_id, avg(value) AS mean, count(*) AS n
+        FROM events GROUP BY 1 HAVING count(*) >= 4) m
+    ON m.user_id = e.user_id
+), fr AS (
+  SELECT k, 2 * pi() * (1e-6 + k * ((5e-5 - 1e-6) / 63.0)) AS w
+  FROM range(64) t(k)
+), s1 AS (
+  SELECT o.user_id, fr.k, fr.w,
+    sum(sin(2 * fr.w * o.t)) AS ss, sum(cos(2 * fr.w * o.t)) AS sc
+  FROM o CROSS JOIN fr GROUP BY 1, 2, 3
+), tau AS (
+  SELECT user_id, k, w, 0.5 * atan(ss / sc) / w AS tau FROM s1
+), s2 AS (
+  SELECT o.user_id, tau.k,
+    sum(o.y * cos(tau.w * (o.t - tau.tau))) AS yc,
+    sum(o.y * sin(tau.w * (o.t - tau.tau))) AS ys,
+    sum(cos(tau.w * (o.t - tau.tau)) * cos(tau.w * (o.t - tau.tau))) AS c2,
+    sum(sin(tau.w * (o.t - tau.tau)) * sin(tau.w * (o.t - tau.tau))) AS s2
+  FROM o JOIN tau ON tau.user_id = o.user_id
+  GROUP BY 1, 2
+)
+SELECT user_id, k AS freq_idx,
+  ROUND(0.5 * (
+    CASE WHEN abs(c2) > 2.220446049250313e-16 THEN yc * yc / c2 ELSE 0.0 END
+  + CASE WHEN abs(s2) > 2.220446049250313e-16 THEN ys * ys / s2 ELSE 0.0 END), 6) AS power
+FROM s2
+"""
 
 
 # ---- rows-only queries via the dataset-level API (whole-series per user) ----

@@ -727,6 +727,97 @@ FROM pairs GROUP BY user_id, lo, hi
 """
 
 
+# ---- variability timescale (tau distribution, SQL-checked in hours) ----
+
+
+def q_variability_tau(sf_dir: str):
+    """Tau-distribution statistics over significant adjacent flux pairs in
+    HOURS (kernels/variability.py _tau_values / variability_statistics;
+    src/misc/var.rs:7-150): tau = dt / |ln(f2/f1)| for pairs with dt > 0,
+    positive fluxes and |f2-f1| >= sqrt(2) (unit errors). Median is the
+    reference's index-based definition. The µs-unit api surface stays
+    covered by the rows-only variability_timescale query; hours keep every
+    output O(1)-O(100) so 6-dp rounding dominates the float noise."""
+    from chronoxtract_ray.kernels.variability import variability_statistics
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, ts, val, _ = _sorted_series(group)
+        if val.size < 2:
+            return _EMPTY_TAU
+        stats = variability_statistics(ts / 3.6e9, np.abs(val), np.ones_like(val))
+        if stats["count"] == 0:
+            return _EMPTY_TAU
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "tau_min": pa.array(_round(np.array([stats["min"]])), pa.float64()),
+                "tau_max": pa.array(_round(np.array([stats["max"]])), pa.float64()),
+                "tau_mean": pa.array(_round(np.array([stats["mean"]])), pa.float64()),
+                "tau_median": pa.array(_round(np.array([stats["median"]])), pa.float64()),
+                "tau_std": pa.array(_round(np.array([stats["std_dev"]])), pa.float64()),
+                "tau_count": pa.array([int(stats["count"])], pa.int64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+_EMPTY_TAU = pa.table(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "tau_min": pa.array([], pa.float64()),
+        "tau_max": pa.array([], pa.float64()),
+        "tau_mean": pa.array([], pa.float64()),
+        "tau_median": pa.array([], pa.float64()),
+        "tau_std": pa.array([], pa.float64()),
+        "tau_count": pa.array([], pa.int64()),
+    }
+)
+
+
+SQL_VARIABILITY_TAU = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) / 3600000000.0 AS t, abs(value) AS f,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), pr AS (
+  SELECT user_id, t, f,
+    lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS pt,
+    lag(f) OVER (PARTITION BY user_id ORDER BY rn) AS pf
+  FROM o
+), tau AS (
+  SELECT user_id, (t - pt) / abs(ln(f / pf)) AS tau
+  FROM pr
+  WHERE pt IS NOT NULL AND t - pt > 0 AND pf > 0 AND f > 0
+    AND ln(f / pf) != 0 AND abs(f - pf) >= sqrt(2.0)
+), rk AS (
+  SELECT user_id, tau, count(*) OVER (PARTITION BY user_id) AS cnt,
+    row_number() OVER (PARTITION BY user_id ORDER BY tau) - 1 AS rk
+  FROM tau
+), med AS (
+  SELECT user_id,
+    CASE WHEN max(cnt) % 2 = 0
+         THEN (max(CASE WHEN rk = cnt // 2 - 1 THEN tau END)
+             + max(CASE WHEN rk = cnt // 2 THEN tau END)) / 2.0
+         ELSE max(CASE WHEN rk = cnt // 2 THEN tau END) END AS median
+  FROM rk GROUP BY user_id
+), st AS (
+  SELECT user_id, min(tau) AS mn, max(tau) AS mx, count(*) AS cnt,
+    sum(tau) / count(*) AS mean
+  FROM tau GROUP BY 1
+), sd AS (
+  SELECT tau.user_id,
+    sqrt(sum((tau.tau - st.mean) * (tau.tau - st.mean)) / st.cnt) AS std
+  FROM tau JOIN st ON st.user_id = tau.user_id
+  GROUP BY tau.user_id, st.cnt
+)
+SELECT st.user_id, ROUND(st.mn, 6) AS tau_min, ROUND(st.mx, 6) AS tau_max,
+  ROUND(st.mean, 6) AS tau_mean, ROUND(med.median, 6) AS tau_median,
+  ROUND(sd.std, 6) AS tau_std, st.cnt AS tau_count
+FROM st JOIN med ON med.user_id = st.user_id JOIN sd ON sd.user_id = st.user_id
+"""
+
+
 # ---- rows-only: multiscale entropy + distributed DCF pairs ----
 
 

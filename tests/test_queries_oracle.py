@@ -87,6 +87,8 @@ def _compare(name, ray_result, sql, con):
         "knn_bruteforce",
         "embedding_neardup",
         "peak_stats",
+        "variability_tau",
+        "lomb_scargle",
         "find_peaks",
         "peak_to_peak",
         "variability_features",
@@ -109,7 +111,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["lomb_scargle", "entropy_features", "fft_bands", "minhash_neardup", "simhash",
+    ["entropy_features", "fft_bands", "minhash_neardup", "simhash",
      "knn_lsh", "stl_strengths", "dfa", "lzc",
      "variability_timescale", "carma_loglik", "knn_ivf",
      "multiscale_entropy", "dcf_pairs", "carma_forecast"],
