@@ -165,6 +165,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_variance": qf.SQL_ROLLING_VARIANCE,
         "sliding_window_entropy": qf.SQL_SLIDING_WINDOW_ENTROPY,
         "variability_tau": qf.SQL_VARIABILITY_TAU,
+        "stl_strengths": qf.SQL_STL_STRENGTHS,
+        "fft_bands": qe.SQL_FFT_BANDS,
         "lomb_scargle": qe.SQL_LOMB_SCARGLE,
         "tde": qf.SQL_TDE,
         "gasf": qf.SQL_GASF,

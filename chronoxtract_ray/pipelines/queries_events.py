@@ -654,18 +654,65 @@ def q_entropy_features(sf_dir: str):
 
 
 def q_fft_bands(sf_dir: str):
+    """FFT band-energy FRACTIONS per (user, day) window (kernels/fda.py
+    fft_band_energies over np.fft.rfft). SQL-checked: the oracle evaluates
+    the DFT directly as trig sums — mathematically identical to the FFT,
+    and the FRACTION form (band / total energy) keeps the butterfly-vs-
+    naive-summation float noise ~1e-13 relative, far inside 6-dp rounding
+    (raw band energies reach 1e7+ where that noise would straddle rounding
+    boundaries; absolute energies stay hash-verified via window_moments'
+    energy column and the Parseval kernel test)."""
     spec = FeatureSpec(order_stats=False, fft=True, shape=False, hjorth=False, entropy=False)
     t = _windowed(sf_dir, spec, DAY_US)
-    return pa.table(
-        {
-            "user_id": t["user_id"].to_numpy(),
-            "window_start": t["window_start"].to_numpy(),
-            "band0": _round(t["fft_band_energy_0"].to_numpy()),
-            "band1": _round(t["fft_band_energy_1"].to_numpy()),
-            "band2": _round(t["fft_band_energy_2"].to_numpy()),
-            "band3": _round(t["fft_band_energy_3"].to_numpy()),
-        }
-    )
+    b = [t[f"fft_band_energy_{i}"].to_numpy() for i in range(4)]
+    tot = b[0] + b[1] + b[2] + b[3]
+    keep = tot > 0
+    cols = {
+        "user_id": t["user_id"].to_numpy()[keep],
+        "window_start": t["window_start"].to_numpy()[keep],
+    }
+    for i in range(4):
+        cols[f"frac{i}"] = _round(b[i][keep] / tot[keep])
+    return pa.table(cols)
+
+
+SQL_FFT_BANDS = f"""
+WITH o AS (
+  SELECT user_id, {_WD} AS ws, value,
+    row_number() OVER (PARTITION BY user_id, {_WD} ORDER BY ts, event_id) - 1 AS j,
+    count(*) OVER (PARTITION BY user_id, {_WD}) AS n
+  FROM events
+), ks AS (
+  SELECT unnest(range(0, 10000)) AS k
+), sp AS (
+  SELECT o.user_id, o.ws, ks.k, any_value(o.n) AS n,
+    sum(o.value * cos(2 * pi() * ks.k * o.j / o.n)) AS re,
+    sum(o.value * sin(2 * pi() * ks.k * o.j / o.n)) AS im
+  FROM o JOIN ks ON ks.k <= o.n // 2
+  GROUP BY o.user_id, o.ws, ks.k
+), pw AS (
+  SELECT user_id, ws, k, n, n // 2 + 1 AS s, re * re + im * im AS p FROM sp
+), bins AS (SELECT unnest([0, 1, 2, 3]) AS b
+), ab AS (
+  SELECT pw.user_id, pw.ws, bins.b, sum(pw.p) AS e
+  FROM pw JOIN bins
+    ON pw.k >= (bins.b * pw.s) // 4 AND pw.k < ((bins.b + 1) * pw.s) // 4
+  GROUP BY 1, 2, 3
+), piv AS (
+  SELECT user_id, ws,
+    coalesce(max(CASE WHEN b = 0 THEN e END), 0.0) AS b0,
+    coalesce(max(CASE WHEN b = 1 THEN e END), 0.0) AS b1,
+    coalesce(max(CASE WHEN b = 2 THEN e END), 0.0) AS b2,
+    coalesce(max(CASE WHEN b = 3 THEN e END), 0.0) AS b3
+  FROM ab GROUP BY 1, 2
+)
+SELECT user_id, ws AS window_start,
+  ROUND(b0 / (b0 + b1 + b2 + b3), 6) AS frac0,
+  ROUND(b1 / (b0 + b1 + b2 + b3), 6) AS frac1,
+  ROUND(b2 / (b0 + b1 + b2 + b3), 6) AS frac2,
+  ROUND(b3 / (b0 + b1 + b2 + b3), 6) AS frac3
+FROM piv WHERE b0 + b1 + b2 + b3 > 0
+"""
 
 
 def q_ema(sf_dir: str):

@@ -818,6 +818,57 @@ FROM st JOIN med ON med.user_id = st.user_id JOIN sd ON sd.user_id = st.user_id
 """
 
 
+# ---- STL seasonal/trend strengths (oracle for the api-path query) ----
+
+# Oracle for queries_events.q_stl_strengths (api seasonal_trend_strength,
+# period=12): trend = clipped centered MA (window 18 → the SQL frame's edge
+# clipping IS the kernel's index clipping), seasonal = per-phase mean of the
+# detrended series, strengths = 1 - popvar(rem)/popvar(component+rem)
+# clamped to [0, ..]; every composite (rem, seasonal+rem, trend+rem) is
+# built with the kernel's exact operand order and popvar is the kernel's
+# two-pass form (kernels/seasonality.py:21-25, 41-72).
+SQL_STL_STRENGTHS = """
+WITH o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), tr AS (
+  SELECT user_id, i, n, value,
+    avg(value) OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN 9 PRECEDING AND 9 FOLLOWING) AS trend
+  FROM o
+), det AS (
+  SELECT user_id, i, value, trend, value - trend AS detr, i % 12 AS phase
+  FROM tr WHERE n >= 24
+), pat AS (
+  SELECT user_id, phase, sum(detr) / count(*) AS pattern FROM det GROUP BY 1, 2
+), comp AS (
+  SELECT d.user_id, d.detr - p.pattern AS rem,
+    p.pattern + (d.detr - p.pattern) AS sr,
+    d.trend + (d.detr - p.pattern) AS trp
+  FROM det d JOIN pat p ON p.user_id = d.user_id AND p.phase = d.phase
+), mn AS (
+  SELECT user_id, count(*) AS cnt, sum(rem) / count(*) AS m_r,
+    sum(sr) / count(*) AS m_sr, sum(trp) / count(*) AS m_tr
+  FROM comp GROUP BY 1
+), v AS (
+  SELECT c.user_id,
+    sum((c.rem - mn.m_r) * (c.rem - mn.m_r)) / mn.cnt AS var_r,
+    sum((c.sr - mn.m_sr) * (c.sr - mn.m_sr)) / mn.cnt AS var_sr,
+    sum((c.trp - mn.m_tr) * (c.trp - mn.m_tr)) / mn.cnt AS var_tr
+  FROM comp c JOIN mn ON mn.user_id = c.user_id
+  GROUP BY c.user_id, mn.cnt
+)
+SELECT user_id,
+  ROUND(greatest(CASE WHEN var_sr > 0 THEN 1.0 - greatest(var_r / var_sr, 0.0)
+                 ELSE 0.0 END, 0.0), 6) AS seasonal_strength,
+  ROUND(greatest(CASE WHEN var_tr > 0 THEN 1.0 - greatest(var_r / var_tr, 0.0)
+                 ELSE 0.0 END, 0.0), 6) AS trend_strength
+FROM v
+"""
+
+
 # ---- rows-only: multiscale entropy + distributed DCF pairs ----
 
 

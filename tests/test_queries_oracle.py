@@ -89,6 +89,8 @@ def _compare(name, ray_result, sql, con):
         "peak_stats",
         "variability_tau",
         "lomb_scargle",
+        "stl_strengths",
+        "fft_bands",
         "find_peaks",
         "peak_to_peak",
         "variability_features",
@@ -111,8 +113,8 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["entropy_features", "fft_bands", "minhash_neardup", "simhash",
-     "knn_lsh", "stl_strengths", "dfa", "lzc",
+    ["entropy_features", "minhash_neardup", "simhash",
+     "knn_lsh", "dfa", "lzc",
      "variability_timescale", "carma_loglik", "knn_ivf",
      "multiscale_entropy", "dcf_pairs", "carma_forecast"],
 )
