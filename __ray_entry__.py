@@ -167,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "variability_tau": qf.SQL_VARIABILITY_TAU,
         "stl_strengths": qf.SQL_STL_STRENGTHS,
         "fft_bands": qe.SQL_FFT_BANDS,
+        "dfa": qf.SQL_DFA,
         "lomb_scargle": qe.SQL_LOMB_SCARGLE,
         "tde": qf.SQL_TDE,
         "gasf": qf.SQL_GASF,

@@ -869,6 +869,65 @@ FROM v
 """
 
 
+# Oracle for queries_events.q_dfa (api detrended_fluctuation_analysis,
+# min_window=4, max_window=32, num_windows=6): the kernel's log-spaced
+# int(round(exp(...))) window sizes constant-fold to [4, 6, 9, 14, 21, 32];
+# integrated profile = running sum of (x - mean); per (w, segment) OLS
+# detrend via the kernel's closed-form index sums; F(w) = sqrt(mean of
+# per-segment residual-SS/w); alpha = OLS slope of ln F over ln w
+# (kernels/seasonality.py:267-332).
+SQL_DFA = """
+WITH o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), st AS (
+  SELECT user_id, any_value(n) AS n, sum(value) / any_value(n) AS mean
+  FROM o GROUP BY 1 HAVING any_value(n) >= 32
+), ig AS (
+  SELECT o.user_id, o.i, st.n,
+    sum(o.value - st.mean) OVER (PARTITION BY o.user_id ORDER BY o.i
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+  FROM o JOIN st ON st.user_id = o.user_id
+), ws AS (SELECT unnest([4, 6, 9, 14, 21, 32]) AS w
+), seg AS (
+  SELECT ig.user_id, ws.w, ig.i // ws.w AS s, ig.i % ws.w AS j, ig.y
+  FROM ig JOIN ws ON ig.i < (ig.n // ws.w) * ws.w
+), ols AS (
+  SELECT user_id, w, s, sum(y) AS sy, sum(j * y) AS sjy
+  FROM seg GROUP BY 1, 2, 3
+), fit AS (
+  SELECT user_id, w, s,
+    (w * sjy - (w * (w - 1) / 2.0) * sy)
+      / (w * (w * (w - 1) * (2 * w - 1) / 6.0)
+         - (w * (w - 1) / 2.0) * (w * (w - 1) / 2.0)) AS slope,
+    sy
+  FROM ols
+), fit2 AS (
+  SELECT user_id, w, s, slope,
+    (sy - slope * (w * (w - 1) / 2.0)) / w AS icept
+  FROM fit
+), rss AS (
+  SELECT g.user_id, g.w, g.s,
+    sum((g.y - (f.slope * g.j + f.icept)) * (g.y - (f.slope * g.j + f.icept))) AS ss
+  FROM seg g JOIN fit2 f ON f.user_id = g.user_id AND f.w = g.w AND f.s = g.s
+  GROUP BY g.user_id, g.w, g.s
+), fw AS (
+  SELECT user_id, w, sqrt(sum(ss / w) / count(*)) AS fl FROM rss GROUP BY 1, 2
+), ll AS (
+  SELECT user_id, ln(w::DOUBLE) AS lx, ln(fl) AS ly FROM fw
+), fin AS (
+  SELECT user_id, count(*) AS m, sum(lx) AS sx, sum(ly) AS sy,
+    sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+  FROM ll GROUP BY 1
+)
+SELECT user_id,
+  ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS dfa_alpha
+FROM fin
+"""
+
+
 # ---- rows-only: multiscale entropy + distributed DCF pairs ----
 
 
