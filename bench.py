@@ -43,6 +43,13 @@ SCALING_CPUS = tuple(int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32"
 # gap-fill across whole 1m/1h windows without gap slots dwarfing real turns
 HOLE_EVERY = int(os.environ.get("GRAFT_BENCH_HOLE_EVERY", "41"))
 
+# 0 = default spec (entropy kernels subsample windows beyond 512 points).
+# Set e.g. 1440 for the full-fidelity variant: entropy runs un-subsampled on
+# every 1d window — a real user configuration (no subsampling divergence)
+# with ~8x the arithmetic intensity on the coarse tiers, used as the
+# compute-heavy scaling data point.
+ENTROPY_POINTS = int(os.environ.get("GRAFT_BENCH_ENTROPY_POINTS", "0"))
+
 
 def _cached_transcripts(n_convs: int) -> str:
     path = f"/tmp/ctx_bench_transcripts_{n_convs}_h{HOLE_EVERY}"
@@ -104,18 +111,29 @@ def run_bench() -> dict:
     def _cpu_sample():
         with open("/proc/stat") as f:
             parts = f.readline().split()
-        # busy = user+system; steal = hypervisor time stolen from our vCPUs
-        return float(parts[1]) + float(parts[3]), float(parts[8]) if len(parts) > 8 else 0.0
+        # busy = user+nice+system (Ray worker processes run niced, so the
+        # nice field carries most of the kernel compute); steal = hypervisor
+        # time stolen from our vCPUs
+        busy = float(parts[1]) + float(parts[2]) + float(parts[3])
+        return busy, float(parts[8]) if len(parts) > 8 else 0.0
 
     out = "/tmp/ctx_bench_out"
     shutil.rmtree(out, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=max(2 * NUM_CPUS, 16), resume=False)
+    if ENTROPY_POINTS:
+        from chronoxtract_ray.kernels.windowed import FeatureSpec
+        from chronoxtract_ray.stages.rollup import RollupConfig
+
+        spec = FeatureSpec(entropy_max_points=ENTROPY_POINTS)
+        cfg = PipelineConfig(
+            num_parts=max(2 * NUM_CPUS, 16),
+            resume=False,
+            rollup=RollupConfig(spec=spec),
+            cascade_spec=spec,
+        )
     busy0, steal0 = _cpu_sample()
     t0 = time.time()
-    metrics = run_rollup_pipeline(
-        src,
-        out,
-        PipelineConfig(num_parts=max(2 * NUM_CPUS, 16), resume=False),
-    )
+    metrics = run_rollup_pipeline(src, out, cfg)
     headline = time.time() - t0
     busy1, steal1 = _cpu_sample()
     busy_cores = (busy1 - busy0) / 100.0 / headline
