@@ -168,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "stl_strengths": qf.SQL_STL_STRENGTHS,
         "fft_bands": qe.SQL_FFT_BANDS,
         "dfa": qf.SQL_DFA,
+        "lzc": qf.SQL_LZC,
         "lomb_scargle": qe.SQL_LOMB_SCARGLE,
         "tde": qf.SQL_TDE,
         "gasf": qf.SQL_GASF,

@@ -928,6 +928,43 @@ FROM fin
 """
 
 
+# Oracle for queries_events.q_lzc (api lempel_ziv_complexity): binarize by
+# the reference's 'median' (sorted[n/2], the upper middle element), then the
+# LZ76 parse as a recursive CTE — one iteration per phrase, the shortest
+# prefix of the remainder absent from the already-seen prefix found via a
+# correlated min-over-j substring search (absence is monotone in j, so the
+# minimum is exactly where the kernel's scan breaks;
+# kernels/entropy.py:112-134).
+SQL_LZC = """
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    row_number() OVER (PARTITION BY user_id ORDER BY value) AS vr,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), thr AS (
+  SELECT user_id, max(CASE WHEN vr = n // 2 + 1 THEN value END) AS t FROM o GROUP BY 1
+), sq AS (
+  SELECT o.user_id,
+    string_agg(CASE WHEN o.value >= thr.t THEN '1' ELSE '0' END, '' ORDER BY o.rn) AS seq,
+    any_value(o.n) AS n
+  FROM o JOIN thr ON thr.user_id = o.user_id GROUP BY o.user_id
+), js AS (SELECT unnest(range(1, 20000)) AS j
+), r AS (
+  SELECT user_id, 1 AS i, 0 AS c, seq, n FROM sq
+  UNION ALL
+  SELECT user_id, i + j AS i, c + 1 AS c, seq, n FROM (
+    SELECT user_id, i, c, seq, n,
+      coalesce((SELECT min(js.j) FROM js WHERE js.j <= rr.n - rr.i + 1
+                AND position(substr(rr.seq, rr.i, js.j) IN substr(rr.seq, 1, rr.i - 1)) = 0),
+               rr.n - rr.i + 1) AS j
+    FROM r rr WHERE i <= n
+  )
+)
+SELECT user_id, ROUND(max(c)::DOUBLE, 6) AS lzc FROM r GROUP BY 1
+"""
+
+
 # ---- rows-only: multiscale entropy + distributed DCF pairs ----
 
 

@@ -92,6 +92,7 @@ def _compare(name, ray_result, sql, con):
         "stl_strengths",
         "fft_bands",
         "dfa",
+        "lzc",
         "find_peaks",
         "peak_to_peak",
         "variability_features",
@@ -115,7 +116,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 @pytest.mark.parametrize(
     "name",
     ["entropy_features", "minhash_neardup", "simhash",
-     "knn_lsh", "lzc",
+     "knn_lsh",
      "variability_timescale", "carma_loglik", "knn_ivf",
      "multiscale_entropy", "dcf_pairs", "carma_forecast"],
 )
