@@ -366,10 +366,13 @@ def _shingle_set(s: str) -> set:
 def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
     """LSH candidates → exact 5-gram Jaccard >= _JACCARD_T, distributed:
 
-    1. candidates = every same-bucket LSH pair (deterministic banding; at the
-       chosen threshold the banding's miss probability is (1-j^r)^B ~ 2e-4
-       per pair and coverage is verified against the all-pairs SQL oracle on
-       every test sf).
+    1. candidates = same-bucket LSH pairs with signature Jaccard >= 0.35 —
+       far below the 0.5 exact threshold (a true pair at j >= 0.5 sits
+       >= 2.5 sigma above the cut, and the data's real near-dups at
+       j >= 0.8 sit ~9 sigma above), so the prefilter only sheds the
+       ~1000x larger background of incidental bucket collisions before the
+       O(|shingles|) exact stage; candidate coverage of every exact pair is
+       verified against the all-pairs SQL oracle on every test sf.
     2. semi-join: shingle sets are computed WORKER-side, only for docs whose
        id is in the broadcast candidate-id set (tiny by construction — the
        near-dup population, not the corpus), via map_batches over documents.
@@ -380,7 +383,7 @@ def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
     import ray
     import ray.data as rd
 
-    cands = q_minhash_neardup(sf_dir, min_sig_jaccard=0.0)
+    cands = q_minhash_neardup(sf_dir, min_sig_jaccard=0.35)
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
     if cands.num_rows == 0:
         return empty
