@@ -167,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "variability_tau": qf.SQL_VARIABILITY_TAU,
         "stl_strengths": qf.SQL_STL_STRENGTHS,
         "fft_bands": qe.SQL_FFT_BANDS,
+        "entropy_features": qe.SQL_ENTROPY_FEATURES,
         "dfa": qf.SQL_DFA,
         "lzc": qf.SQL_LZC,
         "lomb_scargle": qe.SQL_LOMB_SCARGLE,

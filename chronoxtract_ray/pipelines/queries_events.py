@@ -637,8 +637,18 @@ FROM events GROUP BY 1, 2
 
 
 def q_entropy_features(sf_dir: str):
-    """Sample/approximate/permutation entropy per (user, hour) window —
-    O(n^2) template matching isn't SQL-expressible; driver records rows-only."""
+    """Sample/approximate/permutation entropy per (user, day) window.
+
+    SQL-checked: the O(n^2) template matching IS expressible as a window
+    self-join at oracle scale (day windows hold ~6-10 points at sf0.01) —
+    the oracle reproduces the exact SampEn/ApEn normalizations
+    (kernels/entropy.py:47-85, parity with the reference
+    /root/reference/src/entropy/mod.rs:139-222) pair-for-pair, the
+    tolerance r = 0.2*std from the same power-sum expression as the
+    engine, and permutation patterns via stable-tie comparisons. Rows with
+    NaN sample entropy (n=3 windows whose only m-template pair matches:
+    phi_{m+1} = 0/0 in the engine) are filtered on BOTH sides; SampEn
+    +inf (no matches) is produced identically by both."""
     spec = FeatureSpec(order_stats=False, fft=False, shape=False, hjorth=False, entropy=True)
     t = _windowed(sf_dir, spec, DAY_US)
     keep = ~np.isnan(t["sample_entropy"].to_numpy())
@@ -651,6 +661,80 @@ def q_entropy_features(sf_dir: str):
             "permutation_entropy": _round(t["permutation_entropy"].to_numpy()[keep]),
         }
     )
+
+
+# Template-matching entropies as window self-joins. b/a = # of i<j template
+# pairs (length m=2 / m+1=3) within Chebyshev distance r; cm/cm1 = per-template
+# match counts INCLUDING self (ApEn). Divisor expressions mirror the engine
+# verbatim: phi_m = b/(n-2), phi_{m+1} = a/(n-3), Phi(m) = mean ln(c/T).
+SQL_ENTROPY_FEATURES = f"""
+WITH e AS (
+  SELECT user_id, {_WD} AS ws, value, ts, event_id FROM events
+), o AS (
+  SELECT user_id, ws, value,
+    row_number() OVER (PARTITION BY user_id, ws ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id, ws) AS n
+  FROM e
+), st AS (
+  SELECT user_id, ws, any_value(n) AS n,
+    0.2 * sqrt(sum(value*value)/count(*) - (sum(value)/count(*))*(sum(value)/count(*))) AS r
+  FROM o GROUP BY 1, 2
+), w AS (
+  SELECT user_id, ws, i, n, value AS v0,
+    lead(value, 1) OVER (PARTITION BY user_id, ws ORDER BY i) AS v1,
+    lead(value, 2) OVER (PARTITION BY user_id, ws ORDER BY i) AS v2
+  FROM o
+), bc AS (
+  SELECT p.user_id, p.ws,
+    count(*) FILTER (greatest(abs(p.v0-q.v0), abs(p.v1-q.v1)) <= st.r) AS b,
+    count(*) FILTER (p.v2 IS NOT NULL AND q.v2 IS NOT NULL
+      AND greatest(abs(p.v0-q.v0), abs(p.v1-q.v1), abs(p.v2-q.v2)) <= st.r) AS a
+  FROM w p
+  JOIN w q ON p.user_id = q.user_id AND p.ws = q.ws AND p.i < q.i
+  JOIN st ON st.user_id = p.user_id AND st.ws = p.ws
+  WHERE p.v1 IS NOT NULL AND q.v1 IS NOT NULL
+  GROUP BY 1, 2
+), ap AS (
+  SELECT p.user_id, p.ws, p.i, any_value(p.n) AS n,
+    count(*) FILTER (greatest(abs(p.v0-q.v0), abs(p.v1-q.v1)) <= st.r) AS cm,
+    count(*) FILTER (p.v2 IS NOT NULL AND q.v2 IS NOT NULL
+      AND greatest(abs(p.v0-q.v0), abs(p.v1-q.v1), abs(p.v2-q.v2)) <= st.r) AS cm1
+  FROM w p
+  JOIN w q ON p.user_id = q.user_id AND p.ws = q.ws
+  JOIN st ON st.user_id = p.user_id AND st.ws = p.ws
+  WHERE p.v1 IS NOT NULL AND q.v1 IS NOT NULL
+  GROUP BY 1, 2, 3
+), phi AS (
+  SELECT user_id, ws,
+    sum(ln(cm / (n - 1.0))) / (n - 1.0) AS phim,
+    sum(CASE WHEN cm1 > 0 THEN ln(cm1 / (n - 2.0)) ELSE 0.0 END) / (n - 2.0) AS phim1
+  FROM ap GROUP BY user_id, ws, n
+), pat AS (
+  SELECT user_id, ws, n,
+    CASE WHEN v0 <= v1 AND v1 <= v2 THEN '012'
+         WHEN v0 <= v2 AND v2 < v1 AND v0 <= v1 THEN '021'
+         WHEN v1 < v0 AND v0 <= v2 THEN '102'
+         WHEN v1 <= v2 AND v2 < v0 THEN '120'
+         WHEN v2 < v0 AND v0 <= v1 AND v2 < v1 THEN '201'
+         ELSE '210' END AS pp
+  FROM w WHERE v2 IS NOT NULL
+), pc AS (
+  SELECT user_id, ws, any_value(n) AS n, pp, count(*) AS c FROM pat GROUP BY user_id, ws, pp
+), pe AS (
+  SELECT user_id, ws, -sum((c / (n - 2.0)) * ln(c / (n - 2.0))) AS perm
+  FROM pc GROUP BY user_id, ws, n
+)
+SELECT st.user_id, st.ws AS window_start,
+  ROUND(CASE WHEN bc.b = 0 OR (st.n > 3 AND bc.a = 0) THEN 'infinity'::DOUBLE
+        ELSE -ln((bc.a / (st.n - 3.0)) / (bc.b / (st.n - 2.0))) END, 6) AS sample_entropy,
+  ROUND(phi.phim - phi.phim1, 6) AS approx_entropy,
+  ROUND(pe.perm, 6) AS permutation_entropy
+FROM st
+JOIN bc ON bc.user_id = st.user_id AND bc.ws = st.ws
+JOIN phi ON phi.user_id = st.user_id AND phi.ws = st.ws
+JOIN pe ON pe.user_id = st.user_id AND pe.ws = st.ws
+WHERE st.n >= 3 AND st.r > 0 AND NOT (st.n = 3 AND bc.b > 0)
+"""
 
 
 def q_fft_bands(sf_dir: str):

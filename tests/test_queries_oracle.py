@@ -91,6 +91,7 @@ def _compare(name, ray_result, sql, con):
         "lomb_scargle",
         "stl_strengths",
         "fft_bands",
+        "entropy_features",
         "dfa",
         "lzc",
         "find_peaks",
@@ -115,7 +116,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["entropy_features", "minhash_neardup", "simhash",
+    ["minhash_neardup", "simhash",
      "knn_lsh",
      "variability_timescale", "carma_loglik", "knn_ivf",
      "multiscale_entropy", "dcf_pairs", "carma_forecast"],
