@@ -175,11 +175,13 @@ def oracle_sql() -> dict[str, str]:
         "gasf": qf.SQL_GASF,
         "mtf": qf.SQL_MTF,
         "acf_binned": qf.SQL_ACF_BINNED,
-        # entropy_features / fft_bands / minhash_neardup / simhash /
-        # knn_lsh / knn_ivf / stl_strengths / dfa / lzc /
-        # variability_timescale (µs api surface; hours variant IS checked as
-        # variability_tau) / carma_loglik / carma_forecast /
-        # multiscale_entropy / dcf_pairs: rows-only (FFT, O(n^2) template
-        # matching, sketches, LSH, iterative model fitting — not ANSI-SQL
-        # expressible)
+        "dcf_pairs": qf.SQL_DCF_PAIRS,
+        "multiscale_entropy": qf.SQL_MULTISCALE_ENTROPY,
+        # Still rows-only: minhash_neardup / simhash / knn_lsh / knn_ivf
+        # (seeded sketch / hyperplane / k-means state not reproducible in
+        # ANSI SQL; cross-verified by the hash-checked ngram_jaccard_pairs,
+        # embedding_neardup and recall-vs-bruteforce tests),
+        # variability_timescale (µs api surface; the hours variant IS
+        # hash-checked as variability_tau), carma_loglik / carma_forecast
+        # (matrix Kalman recursions).
     }

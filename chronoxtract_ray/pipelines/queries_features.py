@@ -2,8 +2,9 @@
 previously pytest-only: peak stacks, variability/shape features, rolling
 variance, energy distribution, sliding-window entropy, higher moments,
 matrix transforms (TDE / GASF / MTF) and binned ACF — each paired with an
-ANSI-SQL oracle where SQL can express it (see each SQL constant), plus
-rows-only entries for DCF pairs and multiscale entropy.
+ANSI-SQL oracle where SQL can express it (see each SQL constant) —
+including DCF pairs (lag-binned cross join) and multiscale entropy
+(coarse-grain + SampEn self-join); CARMA forecasting stays rows-only.
 
 Execution shape: every query is ONE Ray pipeline — read_parquet (pruned
 columns) → map_batches prep → groupby(user_id).map_groups(kernel) — the
@@ -970,8 +971,11 @@ SELECT user_id, ROUND(max(c)::DOUBLE, 6) AS lzc FROM r GROUP BY 1
 
 def q_multiscale_entropy(sf_dir: str):
     """Multiscale sample entropy, scales 1..3 (kernels/entropy.py
-    multiscale_entropy; src/entropy/mod.rs). Coarse-graining + O(n²)
-    template matching — not SQL-expressible, rows-only."""
+    multiscale_entropy; src/entropy/mod.rs:305-339). SQL-checked: the
+    coarse-grain is a GROUP BY i//scale mean and SampEn (fixed r=0.2, no
+    std-derived tolerance) is the same self-join construction as
+    SQL_ENTROPY_FEATURES, so the O(n^2) template matching is exact at
+    oracle scale; +inf (no template matches) reproduces on both sides."""
     from chronoxtract_ray.kernels.entropy import multiscale_entropy
 
     def fn(group: pa.Table) -> pa.Table:
@@ -989,6 +993,51 @@ def q_multiscale_entropy(sf_dir: str):
         )
 
     return _grouped(sf_dir, fn)
+
+
+# Coarse-grain (mean of i//s groups, complete groups only) + the SampEn
+# self-join of SQL_ENTROPY_FEATURES with FIXED tolerance r=0.2 and the
+# engine's exact normalization phi_m = b/(len-2), phi_{m+1} = a/(len-3).
+SQL_MULTISCALE_ENTROPY = """
+WITH o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), base AS (
+  SELECT user_id FROM o GROUP BY 1 HAVING count(*) >= 12
+), scales AS (SELECT unnest([1, 2, 3]) AS s
+), cg AS (
+  SELECT o.user_id, scales.s, o.i // scales.s AS j, sum(o.value) / scales.s AS v
+  FROM o JOIN base USING (user_id) CROSS JOIN scales
+  WHERE o.i < (o.n // scales.s) * scales.s
+  GROUP BY o.user_id, scales.s, o.i // scales.s
+), w AS (
+  SELECT user_id, s, j, v,
+    lead(v, 1) OVER (PARTITION BY user_id, s ORDER BY j) AS v1,
+    lead(v, 2) OVER (PARTITION BY user_id, s ORDER BY j) AS v2,
+    count(*) OVER (PARTITION BY user_id, s) AS m
+  FROM cg
+), bc AS (
+  SELECT p.user_id, p.s, any_value(p.m) AS m,
+    count(*) FILTER (greatest(abs(p.v-q.v), abs(p.v1-q.v1)) <= 0.2) AS b,
+    count(*) FILTER (p.v2 IS NOT NULL AND q.v2 IS NOT NULL
+      AND greatest(abs(p.v-q.v), abs(p.v1-q.v1), abs(p.v2-q.v2)) <= 0.2) AS a
+  FROM w p JOIN w q ON p.user_id = q.user_id AND p.s = q.s AND p.j < q.j
+  WHERE p.v1 IS NOT NULL AND q.v1 IS NOT NULL
+  GROUP BY 1, 2
+), se AS (
+  SELECT user_id, s,
+    ROUND(CASE WHEN b = 0 OR a = 0 THEN 'infinity'::DOUBLE
+          ELSE -ln((a / (m - 3.0)) / (b / (m - 2.0))) END, 6) AS v
+  FROM bc
+)
+SELECT user_id,
+  max(CASE WHEN s = 1 THEN v END) AS mse1,
+  max(CASE WHEN s = 2 THEN v END) AS mse2,
+  max(CASE WHEN s = 3 THEN v END) AS mse3
+FROM se GROUP BY 1
+"""
 
 
 def q_carma_forecast(sf_dir: str):
@@ -1022,8 +1071,11 @@ def q_carma_forecast(sf_dir: str):
 
 def q_dcf_pairs(sf_dir: str):
     """Distributed cross-series DCF (api.dcf_pairs): correlate user 2k with
-    user 2k+1 over dyadic hour lag bins. Rows-only (the same Edelson-Krolik
-    kernel as acf; the distributed pair join is the deliverable)."""
+    user 2k+1 over dyadic hour lag bins. SQL-checked: the Edelson-Krolik
+    UDCF (kernels/correlation.py:17, src/correlation/dcf.rs:25-75) is a
+    cross join of the two series binned by pairwise lag; sample means/stds
+    and dyadic-exact bin edges reproduce pair-for-pair, so the oracle
+    verifies the distributed pair-join path end to end."""
     import chronoxtract_ray.api as api
 
     from chronoxtract_ray.pipelines.queries_events import _events_series
@@ -1059,3 +1111,33 @@ def q_dcf_pairs(sf_dir: str):
             "corr": pa.array(corr_out, pa.float64()),
         }
     )
+
+
+# Cross-series DCF as a lag-binned cross join: UDCF_ij =
+# (a_i - mean_a)(b_j - mean_b)/(std_a std_b) with SAMPLE stds (n-1), bin
+# membership lag in [lo, hi) on dyadic-exact hour edges; DCF = per-bin mean.
+# Pairs whose either side has < 2 points drop out via the HAVING (the engine
+# reports those as error rows and skips them identically).
+SQL_DCF_PAIRS = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) / 3600000000.0 AS t, value FROM events WHERE user_id < 20
+), st AS (
+  SELECT user_id, count(*) AS n, sum(value)/count(*) AS mean FROM o GROUP BY 1 HAVING count(*) >= 2
+), sd AS (
+  SELECT o.user_id, any_value(st.mean) AS mean,
+    sqrt(sum((o.value - st.mean)*(o.value - st.mean)) / (st.n - 1)) AS std
+  FROM o JOIN st USING (user_id) GROUP BY o.user_id, st.n
+), bins AS (SELECT * FROM (VALUES (-24.0,-16.0),(-16.0,-8.0),(-8.0,0.0),(0.0,8.0),(8.0,16.0),(16.0,24.0)) b(lo,hi)
+), pr AS (
+  SELECT a.user_id // 2 AS pair_id, bins.lo, bins.hi,
+    ((a.value - sa.mean) * (b.value - sb.mean)) / (sa.std * sb.std) AS udcf
+  FROM o a
+  JOIN o b ON b.user_id = a.user_id + 1
+  JOIN sd sa ON sa.user_id = a.user_id
+  JOIN sd sb ON sb.user_id = b.user_id
+  JOIN bins ON (b.t - a.t) >= bins.lo AND (b.t - a.t) < bins.hi
+  WHERE a.user_id % 2 = 0
+)
+SELECT pair_id, (lo + hi) / 2.0 AS lag, ROUND(avg(udcf), 6) AS corr
+FROM pr GROUP BY pair_id, lo, hi
+"""

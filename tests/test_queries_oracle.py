@@ -106,6 +106,8 @@ def _compare(name, ray_result, sql, con):
         "gasf",
         "mtf",
         "acf_binned",
+        "dcf_pairs",
+        "multiscale_entropy",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -119,7 +121,7 @@ def test_query_matches_oracle(entrymod, duck, name):
     ["minhash_neardup", "simhash",
      "knn_lsh",
      "variability_timescale", "carma_loglik", "knn_ivf",
-     "multiscale_entropy", "dcf_pairs", "carma_forecast"],
+     "carma_forecast"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
