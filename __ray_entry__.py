@@ -153,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": qd.SQL_LANG_ID,
         "ngram_jaccard_pairs": qd.SQL_NGRAM_JACCARD_PAIRS,
         "dedup_clusters": qd.SQL_DEDUP_CLUSTERS,
+        "simhash": qd.SQL_SIMHASH,
         "knn_bruteforce": qv.SQL_KNN_BRUTEFORCE,
         "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,
         "peak_stats": qf.SQL_PEAK_STATS,
@@ -177,7 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_binned": qf.SQL_ACF_BINNED,
         "dcf_pairs": qf.SQL_DCF_PAIRS,
         "multiscale_entropy": qf.SQL_MULTISCALE_ENTROPY,
-        # Still rows-only: minhash_neardup / simhash / knn_lsh / knn_ivf
+        # Still rows-only: minhash_neardup / knn_lsh / knn_ivf
         # (seeded sketch / hyperplane / k-means state not reproducible in
         # ANSI SQL; cross-verified by the hash-checked ngram_jaccard_pairs,
         # embedding_neardup and recall-vs-bruteforce tests),

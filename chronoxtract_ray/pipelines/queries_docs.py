@@ -265,19 +265,26 @@ def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
 
 
 def q_simhash(sf_dir: str):
-    """64-bit SimHash per document over whitespace tokens (rows-only)."""
+    """64-bit SimHash per document over whitespace tokens. SQL-checked:
+    tokens hash with md5 (first 8 digest bytes, little-endian — DuckDB's
+    md5_number_upper), so the oracle reproduces every bit vote; the signed
+    int64 view round-trips via HUGEINT two's-complement in SQL. (md5 is
+    also content-stable across workers, unlike PYTHONHASHSEED-salted
+    builtins — the same fix ADVICE r1 required for short-text MinHash.)"""
     ds = _docs(sf_dir)
 
     def sim(t: pa.Table) -> pa.Table:
-        # one explode + one hash_array + one scatter-add for the whole batch
-        # (no per-document Python loop)
+        # one explode + one concatenated-md5 pass + one scatter-add for the
+        # whole batch (hashing is C; no per-bit Python work)
         toks = pd.Series(t["text"].to_pylist()).str.split()
         ex = toks.explode().dropna()
         shifts = np.arange(64, dtype=np.uint64)
         votes = np.zeros((t.num_rows, 64), dtype=np.int64)
         if len(ex):
             rows = ex.index.to_numpy(np.int64)
-            h = pd.util.hash_array(ex.to_numpy(dtype=object), categorize=False).astype(np.uint64)
+            h = np.frombuffer(
+                b"".join(hashlib.md5(s.encode()).digest()[:8] for s in ex.to_numpy()), dtype="<u8"
+            )
             bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             np.add.at(votes, rows, 2 * bits - 1)
         out = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
@@ -286,6 +293,29 @@ def q_simhash(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out.view(np.int64), pa.int64())})
 
     return pa.Table.from_pylist(ds.map_batches(sim, batch_format="pyarrow").take_all())
+
+
+# Bit votes as an explode × range(64) cross join; a bit is set iff its vote
+# sum is strictly positive; the unsigned 64-bit word maps to the engine's
+# signed view via HUGEINT subtraction of 2^64.
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+), tk AS (
+  SELECT doc_id, md5_number_upper(tok) AS h FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, b.k, sum(CASE WHEN (h >> b.k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM tk CROSS JOIN (SELECT unnest(range(0, 64)) AS k) b
+  GROUP BY doc_id, b.k
+), acc AS (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::HUGEINT << k) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN coalesce(a.u, 0) >= 9223372036854775808 THEN coalesce(a.u, 0) - 18446744073709551616
+       ELSE coalesce(a.u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN acc a USING (doc_id)
+"""
 
 
 _LANG_MARKERS = {

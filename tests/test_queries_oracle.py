@@ -108,6 +108,7 @@ def _compare(name, ray_result, sql, con):
         "acf_binned",
         "dcf_pairs",
         "multiscale_entropy",
+        "simhash",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -118,7 +119,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_neardup", "simhash",
+    ["minhash_neardup",
      "knn_lsh",
      "variability_timescale", "carma_loglik", "knn_ivf",
      "carma_forecast"],
