@@ -948,4 +948,54 @@ q_dfa = _api_query("detrended_fluctuation_analysis", ["dfa_alpha"], min_window=4
 q_lzc = _api_query("lempel_ziv_complexity", ["lzc"])
 q_variability_timescale = _api_query("variability_statistics", ["tau_min", "tau_max", "tau_mean", "tau_median", "tau_std_dev", "tau_count"])
 q_carma_loglik = _api_query("carma_loglikelihood", ["loglik"], p=1, q=0, ar_coeffs=[0.00001], sigma=50.0)
+
+# CAR(1) Kalman loglikelihood as a recursive CTE: for p=1 the engine's rotated
+# state space (kernels/carma.py _StateSpace / carma_kalman_filter, reference
+# src/carma/kalman.rs:261-389) is a SCALAR recursion — lam = -a1,
+# q_base = sigma^2/(2|lam|), stationary P0 = -q_base/(2 lam), predict
+# x<-e^{lam dt} x, P<-(e^{lam dt} P) e^{lam dt} + q_base (e^{2 lam dt}-1)/(2 lam),
+# update via K = P/S with S = P + 1 (unit errors), accumulating
+# -0.5(nu^2/S + ln S + 2 ln pi) in observation order. Expression association
+# mirrors the numpy code exactly so both engines walk the same doubles; users
+# with tied timestamps or < 3 points error out of the engine and are excluded
+# by the `ok` filter identically.
+SQL_CARMA_LOGLIK = """
+WITH RECURSIVE o AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), ok AS (
+  SELECT user_id FROM (
+    SELECT user_id, t - lag(t) OVER (PARTITION BY user_id ORDER BY i) AS dt, n FROM o
+  ) GROUP BY user_id HAVING min(coalesce(dt, 1.0)) > 0 AND any_value(n) >= 3
+), c AS (
+  SELECT -0.00001 AS lam,
+         (50.0 * 50.0) / (2.0 * abs(-0.00001)) AS qb
+), rec AS (
+  SELECT o.user_id, o.i, o.t,
+    ((-c.qb) / (c.lam + c.lam)) / (((-c.qb) / (c.lam + c.lam)) + 1.0) * o.value AS x,
+    (1.0 - ((-c.qb) / (c.lam + c.lam)) / (((-c.qb) / (c.lam + c.lam)) + 1.0)) * ((-c.qb) / (c.lam + c.lam)) AS p,
+    -0.5 * (o.value * o.value / (((-c.qb) / (c.lam + c.lam)) + 1.0)
+            + ln(((-c.qb) / (c.lam + c.lam)) + 1.0) + 2.0 * ln(pi())) AS ll
+  FROM o CROSS JOIN c JOIN ok ON ok.user_id = o.user_id
+  WHERE o.i = 0
+  UNION ALL
+  SELECT o.user_id, o.i, o.t,
+    st.xp + (st.pp / (st.pp + 1.0)) * (o.value - st.xp) AS x,
+    (1.0 - st.pp / (st.pp + 1.0)) * st.pp AS p,
+    r.ll + (-0.5) * ((o.value - st.xp) * (o.value - st.xp) / (st.pp + 1.0)
+                     + ln(st.pp + 1.0) + 2.0 * ln(pi())) AS ll
+  FROM rec r
+  JOIN o ON o.user_id = r.user_id AND o.i = r.i + 1
+  CROSS JOIN c,
+  LATERAL (
+    SELECT exp(c.lam * (o.t - r.t)) * r.x AS xp,
+      (exp(c.lam * (o.t - r.t)) * r.p) * exp(c.lam * (o.t - r.t))
+        + c.qb * ((exp((c.lam + c.lam) * (o.t - r.t)) - 1.0) / (c.lam + c.lam)) AS pp
+  ) st
+)
+SELECT r.user_id, ROUND(r.ll, 6) AS loglik
+FROM rec r JOIN o ON o.user_id = r.user_id AND o.i = r.i AND o.i = o.n - 1
+"""
 q_peak_stats = _api_query("enhanced_peak_stats", ["n_peaks", "mean_prominence", "mean_spacing", "peak_density"], min_prominence=1.0, min_distance=1)

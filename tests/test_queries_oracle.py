@@ -109,6 +109,7 @@ def _compare(name, ray_result, sql, con):
         "dcf_pairs",
         "multiscale_entropy",
         "simhash",
+        "carma_loglik",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -121,7 +122,7 @@ def test_query_matches_oracle(entrymod, duck, name):
     "name",
     ["minhash_neardup",
      "knn_lsh",
-     "variability_timescale", "carma_loglik", "knn_ivf",
+     "variability_timescale", "knn_ivf",
      "carma_forecast"],
 )
 def test_rows_only_queries_run(entrymod, name):
