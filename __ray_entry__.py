@@ -179,13 +179,12 @@ def oracle_sql() -> dict[str, str]:
         "dcf_pairs": qf.SQL_DCF_PAIRS,
         "multiscale_entropy": qf.SQL_MULTISCALE_ENTROPY,
         "carma_loglik": qe.SQL_CARMA_LOGLIK,
+        "carma_forecast": qf.SQL_CARMA_FORECAST,
         # Still rows-only: minhash_neardup / knn_lsh / knn_ivf
         # (seeded sketch / hyperplane / k-means state not reproducible in
         # ANSI SQL; cross-verified by the hash-checked ngram_jaccard_pairs,
         # embedding_neardup and recall-vs-bruteforce tests),
         # variability_timescale (µs api surface; the hours variant IS
         # hash-checked as variability_tau; µs-scale taus exceed fixed-decimal
-        # rounding's noise floor) and carma_forecast (multi-horizon
-        # propagate-only Kalman; the filter recursion itself IS hash-checked
-        # via carma_loglik's recursive-CTE oracle).
+        # rounding's noise floor).
     }

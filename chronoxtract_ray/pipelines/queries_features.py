@@ -1044,7 +1044,10 @@ def q_carma_forecast(sf_dir: str):
     """Kalman FORECAST 3 steps (of 1h) past each user's last observation
     under a fixed CAR(1) model (kernels/carma.py carma_predict — exceeds the
     reference, whose own predict returns zeros: src/carma/predict.rs:38).
-    Rows-only (state-space model evaluation isn't ANSI SQL)."""
+    SQL-checked: for CAR(1) the filter is the same scalar recursion as
+    SQL_CARMA_LOGLIK; the three propagate-only horizons chain as LATERAL
+    steps (mean = e^{lam dt} x, var = (e^{lam dt} P) e^{lam dt} + Q(dt),
+    no measurement update), mirroring carma_predict's sequential merge."""
     from chronoxtract_ray.kernels.carma import CarmaParams, carma_predict
 
     params = CarmaParams(1, 0, ar_coeffs=[0.1], sigma=1.0)
@@ -1067,6 +1070,66 @@ def q_carma_forecast(sf_dir: str):
         )
 
     return _grouped(sf_dir, fn)
+
+
+# CAR(1) forecast oracle: the carma_loglik recursive filter (lam=-0.1,
+# sigma=1 -> qb=5, P0=25, unit errors, 1e-9-tiebroken hour timestamps) plus
+# three chained propagate-only LATERAL steps for horizons t_n+1..3.
+SQL_CARMA_FORECAST = """
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+    CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0
+      + CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) * 0.000000001 AS t,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), base AS (SELECT user_id FROM o GROUP BY 1 HAVING count(*) >= 3
+), c AS (SELECT -0.1 AS lam, (1.0 * 1.0) / (2.0 * abs(-0.1)) AS qb
+), rec AS (
+  SELECT o.user_id, o.i, o.t, o.n,
+    ((-c.qb) / (c.lam + c.lam)) / (((-c.qb) / (c.lam + c.lam)) + 1.0) * o.value AS x,
+    (1.0 - ((-c.qb) / (c.lam + c.lam)) / (((-c.qb) / (c.lam + c.lam)) + 1.0)) * ((-c.qb) / (c.lam + c.lam)) AS p
+  FROM o CROSS JOIN c JOIN base ON base.user_id = o.user_id
+  WHERE o.i = 0
+  UNION ALL
+  SELECT o.user_id, o.i, o.t, o.n,
+    st.xp + (st.pp / (st.pp + 1.0)) * (o.value - st.xp) AS x,
+    (1.0 - st.pp / (st.pp + 1.0)) * st.pp AS p
+  FROM rec r
+  JOIN o ON o.user_id = r.user_id AND o.i = r.i + 1
+  CROSS JOIN c,
+  LATERAL (
+    SELECT exp(c.lam * (o.t - r.t)) * r.x AS xp,
+      (exp(c.lam * (o.t - r.t)) * r.p) * exp(c.lam * (o.t - r.t))
+        + c.qb * ((exp((c.lam + c.lam) * (o.t - r.t)) - 1.0) / (c.lam + c.lam)) AS pp
+  ) st
+), fin AS (
+  SELECT user_id, t, x, p FROM rec WHERE i = n - 1
+), f AS (
+  SELECT fin.user_id,
+    s1.x1, s1.p1, s2.x2, s2.p2, s3.x3, s3.p3
+  FROM fin CROSS JOIN c,
+  LATERAL (
+    SELECT exp(c.lam * ((fin.t + 1.0) - fin.t)) * fin.x AS x1,
+      (exp(c.lam * ((fin.t + 1.0) - fin.t)) * fin.p) * exp(c.lam * ((fin.t + 1.0) - fin.t))
+        + c.qb * ((exp((c.lam + c.lam) * ((fin.t + 1.0) - fin.t)) - 1.0) / (c.lam + c.lam)) AS p1
+  ) s1,
+  LATERAL (
+    SELECT exp(c.lam * ((fin.t + 2.0) - (fin.t + 1.0))) * s1.x1 AS x2,
+      (exp(c.lam * ((fin.t + 2.0) - (fin.t + 1.0))) * s1.p1) * exp(c.lam * ((fin.t + 2.0) - (fin.t + 1.0)))
+        + c.qb * ((exp((c.lam + c.lam) * ((fin.t + 2.0) - (fin.t + 1.0))) - 1.0) / (c.lam + c.lam)) AS p2
+  ) s2,
+  LATERAL (
+    SELECT exp(c.lam * ((fin.t + 3.0) - (fin.t + 2.0))) * s2.x2 AS x3,
+      (exp(c.lam * ((fin.t + 3.0) - (fin.t + 2.0))) * s2.p2) * exp(c.lam * ((fin.t + 3.0) - (fin.t + 2.0)))
+        + c.qb * ((exp((c.lam + c.lam) * ((fin.t + 3.0) - (fin.t + 2.0))) - 1.0) / (c.lam + c.lam)) AS p3
+  ) s3
+)
+SELECT user_id, u.step,
+  ROUND(CASE u.step WHEN 1 THEN x1 WHEN 2 THEN x2 ELSE x3 END, 6) AS pred_mean,
+  ROUND(CASE u.step WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS pred_var
+FROM f CROSS JOIN (SELECT unnest([1, 2, 3]) AS step) u
+"""
 
 
 def q_dcf_pairs(sf_dir: str):

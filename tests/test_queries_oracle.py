@@ -110,6 +110,7 @@ def _compare(name, ray_result, sql, con):
         "multiscale_entropy",
         "simhash",
         "carma_loglik",
+        "carma_forecast",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -122,8 +123,7 @@ def test_query_matches_oracle(entrymod, duck, name):
     "name",
     ["minhash_neardup",
      "knn_lsh",
-     "variability_timescale", "knn_ivf",
-     "carma_forecast"],
+     "variability_timescale", "knn_ivf"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
