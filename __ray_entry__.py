@@ -154,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": qd.SQL_NGRAM_JACCARD_PAIRS,
         "dedup_clusters": qd.SQL_DEDUP_CLUSTERS,
         "simhash": qd.SQL_SIMHASH,
+        "minhash_neardup": qd.SQL_MINHASH_NEARDUP,
         "knn_bruteforce": qv.SQL_KNN_BRUTEFORCE,
         "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,
         "peak_stats": qf.SQL_PEAK_STATS,
@@ -180,7 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "multiscale_entropy": qf.SQL_MULTISCALE_ENTROPY,
         "carma_loglik": qe.SQL_CARMA_LOGLIK,
         "carma_forecast": qf.SQL_CARMA_FORECAST,
-        # Still rows-only: minhash_neardup / knn_lsh / knn_ivf
+        # Still rows-only: knn_lsh / knn_ivf
         # (seeded sketch / hyperplane / k-means state not reproducible in
         # ANSI SQL; cross-verified by the hash-checked ngram_jaccard_pairs,
         # embedding_neardup and recall-vs-bruteforce tests),

@@ -1,6 +1,8 @@
 """Training-data-pipeline queries over the ``documents`` table:
-deduplication + text analysis. SQL oracles where expressible; MinHash/LSH,
-SimHash and language-ID are rows-only (sketching isn't ANSI SQL).
+deduplication + text analysis. Every query here is hash-checked against a
+DuckDB oracle — including MinHash+LSH (hash-family constants embedded in
+SQL, uint64 wraparound emulated via HUGEINT split-multiplication), SimHash
+(md5 token hashes) and language-ID.
 
 All stages are map_batches over Arrow with vectorized/cython bodies; the
 shuffle steps are groupbys on hash/band columns (ray_guide.md dedup recipe).
@@ -175,7 +177,7 @@ FROM t
 """
 
 
-# ---- rows-only: sketch-based near-dup + language id ----
+# ---- sketch-based near-dup + language id ----
 
 _SHINGLE_K = 5
 _N_HASHES = 64
@@ -213,9 +215,14 @@ def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
     """MinHash+LSH near-duplicate candidate pairs verified by signature
     Jaccard >= ``min_sig_jaccard``. Shape: shingle→minhash per batch
     (map_batches) → explode to (band, band_hash, doc_id) →
-    groupby(band, band_hash) → pairs → verify. Rows-only oracle (sketches
-    aren't SQL). With ``min_sig_jaccard=0`` this returns EVERY same-bucket
-    pair — the candidate generator for the exact-Jaccard stages below."""
+    groupby(band, band_hash) → pairs → verify. SQL-checked: the polynomial
+    shingle hash, the (a*h + b) mod 2^64 hash family (constants embedded
+    from the same seeded RNG), banded bucket hashing and the signature
+    Jaccard all reproduce in DuckDB — 64-bit wraparound is emulated with
+    HUGEINT split-multiplication, so the oracle re-derives every candidate
+    pair bit-for-bit. With ``min_sig_jaccard=0`` this returns EVERY
+    same-bucket pair — the candidate generator for the exact-Jaccard
+    stages below."""
     ds = _docs(sf_dir)
 
     def sig_batch(t: pa.Table) -> pa.Table:
@@ -316,6 +323,67 @@ SELECT d.doc_id,
        ELSE coalesce(a.u, 0) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN acc a USING (doc_id)
 """
+
+
+def _build_minhash_sql() -> str:
+    """Embed the seeded hash-family constants into an exact SQL replica of
+    the MinHash+LSH pipeline. uint64 wraparound (numpy) maps to HUGEINT
+    arithmetic mod 2^64; x*y mod 2^64 splits y into 32-bit halves so no
+    intermediate exceeds 2^96."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, 2**61 - 1, _N_HASHES, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 2**61 - 1, _N_HASHES, dtype=np.int64).astype(np.uint64)
+    rows_per_band = _N_HASHES // _N_BANDS
+    mix = np.uint64(0x9E3779B97F4A7C15) ** np.arange(1, rows_per_band + 1, dtype=np.uint64)
+    cons = ", ".join(f"({k}, {int(a[k])}::HUGEINT, {int(b[k])}::HUGEINT)" for k in range(_N_HASHES))
+    mixv = ", ".join(f"({j}, {int(mix[j])}::HUGEINT)" for j in range(rows_per_band))
+
+    def modmul(x: str, y: str) -> str:
+        return (
+            f"((({x}) * (({y}) % 4294967296) + ((({x}) * (({y}) // 4294967296)) % 4294967296) * 4294967296)"
+            f" % 18446744073709551616::HUGEINT)"
+        )
+
+    poly = " + ".join(
+        f"ascii(substr(text, CAST(r.i AS BIGINT) + {j}, 1))::HUGEINT * {257**j}" for j in range(_SHINGLE_K)
+    )
+    return f"""
+WITH cons AS (
+  SELECT * FROM (VALUES {cons}) h(k, a, b)
+), mixes AS (
+  SELECT * FROM (VALUES {mixv}) m(j, mx)
+), sh AS (
+  SELECT DISTINCT doc_id, {poly} AS s
+  FROM documents, LATERAL unnest(range(1, len(text) - {_SHINGLE_K - 2})) r(i)
+  WHERE len(text) >= {_SHINGLE_K}
+  UNION
+  SELECT doc_id, md5_number_upper(text)::HUGEINT AS s FROM documents WHERE len(text) < {_SHINGLE_K}
+), sig AS (
+  SELECT sh.doc_id, cons.k,
+    min(({modmul('sh.s', 'cons.a')} + cons.b) % 18446744073709551616::HUGEINT) AS comp
+  FROM sh CROSS JOIN cons
+  GROUP BY 1, 2
+), bh AS (
+  SELECT sig.doc_id, sig.k // {rows_per_band} AS band,
+    xor(CAST(sum({modmul('sig.comp', 'mixes.mx')}) % 18446744073709551616::HUGEINT AS UBIGINT),
+        CAST(sig.k // {rows_per_band} AS UBIGINT)) AS h
+  FROM sig JOIN mixes ON mixes.j = sig.k % {rows_per_band}
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b
+  FROM bh p JOIN bh q ON p.band = q.band AND p.h = q.h AND p.doc_id < q.doc_id
+), jac AS (
+  SELECT pr.doc_a, pr.doc_b, count(*) FILTER (sa.comp = sb.comp) / {float(_N_HASHES)} AS j
+  FROM pairs pr
+  JOIN sig sa ON sa.doc_id = pr.doc_a
+  JOIN sig sb ON sb.doc_id = pr.doc_b AND sb.k = sa.k
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(j, 6) AS sig_jaccard FROM jac WHERE j >= 0.5
+"""
+
+
+SQL_MINHASH_NEARDUP = _build_minhash_sql()
 
 
 _LANG_MARKERS = {

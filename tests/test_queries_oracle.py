@@ -111,6 +111,7 @@ def _compare(name, ray_result, sql, con):
         "simhash",
         "carma_loglik",
         "carma_forecast",
+        "minhash_neardup",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -121,8 +122,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_neardup",
-     "knn_lsh",
+    ["knn_lsh",
      "variability_timescale", "knn_ivf"],
 )
 def test_rows_only_queries_run(entrymod, name):
