@@ -50,6 +50,12 @@ HOLE_EVERY = int(os.environ.get("GRAFT_BENCH_HOLE_EVERY", "41"))
 # compute-heavy scaling data point.
 ENTROPY_POINTS = int(os.environ.get("GRAFT_BENCH_ENTROPY_POINTS", "0"))
 
+# 0 = auto (2 CPUs per partition). Scaling pairs pin this EXPLICITLY (e.g.
+# 64) so both parallelism levels run the IDENTICAL job — same partition
+# count, same per-partition work — and only the worker count varies, exactly
+# like the same dataset processed by an N- vs 4N-node cluster.
+NUM_PARTS = int(os.environ.get("GRAFT_BENCH_NUM_PARTS", "0"))
+
 
 def _cached_transcripts(n_convs: int) -> str:
     path = f"/tmp/ctx_bench_transcripts_{n_convs}_h{HOLE_EVERY}"
@@ -119,14 +125,15 @@ def run_bench() -> dict:
 
     out = "/tmp/ctx_bench_out"
     shutil.rmtree(out, ignore_errors=True)
-    cfg = PipelineConfig(num_parts=max(2 * NUM_CPUS, 16), resume=False)
+    n_parts = NUM_PARTS or max(2 * NUM_CPUS, 16)
+    cfg = PipelineConfig(num_parts=n_parts, resume=False)
     if ENTROPY_POINTS:
         from chronoxtract_ray.kernels.windowed import FeatureSpec
         from chronoxtract_ray.stages.rollup import RollupConfig
 
         spec = FeatureSpec(entropy_max_points=ENTROPY_POINTS)
         cfg = PipelineConfig(
-            num_parts=max(2 * NUM_CPUS, 16),
+            num_parts=n_parts,
             resume=False,
             rollup=RollupConfig(spec=spec),
             cascade_spec=spec,
@@ -142,7 +149,7 @@ def run_bench() -> dict:
     # count turns from the 1m manifests (no extra pass over the input)
     from chronoxtract_ray.state import checkpoint as ckpt
 
-    turns = sum(m.get("n_turns", 0) for m in ckpt.load_manifests(out, "1m", max(2 * NUM_CPUS, 16)).values())
+    turns = sum(m.get("n_turns", 0) for m in ckpt.load_manifests(out, "1m", n_parts).values())
 
     # representative query set over the driver-provided sf tables
     queries = {}
@@ -186,11 +193,18 @@ def run_scaling() -> None:
     fixed session/actor setup that would otherwise cap the ratio."""
     scaling_convs = os.environ.get("GRAFT_BENCH_CONVS", "100000")
     n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+    # identical job at both levels: pin the partition count (default 64)
+    scaling_parts = os.environ.get("GRAFT_BENCH_NUM_PARTS", "64")
     results = {}
     for ncpu in SCALING_CPUS:
         best = None
         for _ in range(n_runs):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_CONVS=scaling_convs)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_BENCH_CONVS=scaling_convs,
+                GRAFT_BENCH_NUM_PARTS=scaling_parts,
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,
