@@ -181,10 +181,12 @@ def oracle_sql() -> dict[str, str]:
         "multiscale_entropy": qf.SQL_MULTISCALE_ENTROPY,
         "carma_loglik": qe.SQL_CARMA_LOGLIK,
         "carma_forecast": qf.SQL_CARMA_FORECAST,
-        # Still rows-only: knn_lsh / knn_ivf
-        # (seeded sketch / hyperplane / k-means state not reproducible in
-        # ANSI SQL; cross-verified by the hash-checked ngram_jaccard_pairs,
-        # embedding_neardup and recall-vs-bruteforce tests),
+        # Seeded ANN state embedded as SQL literals (hyperplane matrix) /
+        # reconstructed deterministically (strided k-means init + unrolled
+        # Lloyd iterations) — see queries_vec.py oracle comments.
+        "knn_lsh": qv.SQL_KNN_LSH,
+        "knn_ivf": qv.SQL_KNN_IVF,
+        # Still rows-only:
         # variability_timescale (µs api surface; the hours variant IS
         # hash-checked as variability_tau; µs-scale taus exceed fixed-decimal
         # rounding's noise floor).

@@ -1,10 +1,12 @@
 """Similarity-search queries over the ``embeddings`` table.
 
 Brute-force cosine top-k is the baseline and SQL-checkable (DuckDB
-``list_cosine_similarity`` on DOUBLE[]); the LSH-bucketed variant is the
-scale path (rows-only). Query vectors are broadcast once with ``ray.put``
-and read inside every map_batches task — no shuffle (ray_guide.md joins
-section)."""
+``list_cosine_similarity`` on DOUBLE[]); the LSH-bucketed and IVF variants
+are the scale paths, also hash-checked — their seeded state (hyperplane
+matrix, strided k-means init) is reproduced in the oracle SQL (see the
+oracle comments at the bottom of this module). Query vectors are broadcast
+once with ``ray.put`` and read inside every map_batches task — no shuffle
+(ray_guide.md joins section)."""
 
 from __future__ import annotations
 
@@ -203,8 +205,9 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
 def q_knn_lsh(sf_dir: str):
     """Approximate top-5 via random-hyperplane LSH buckets (6 planes, probe
     own bucket + all Hamming<=2 neighbors → ~1/3 of the corpus scanned).
-    Rows-only — approximate by design; recall vs brute force is asserted in
-    tests (>=0.5 at this parameterization)."""
+    Approximate vs brute force (recall asserted in tests) but DETERMINISTIC,
+    so hash-checked against SQL_KNN_LSH (seeded planes embedded as
+    literals); recall vs brute force also asserted in tests."""
     import itertools
 
     import pyarrow.parquet as pq
@@ -271,8 +274,9 @@ def q_knn_ivf(sf_dir: str):
     """Approximate top-5 via an IVF index: k-means coarse quantizer trained
     on a deterministic ~512-row strided sample pulled THROUGH Ray (the
     corpus is never read driver-side), centroids broadcast with ray.put,
-    per-batch assignment + probe of the nprobe closest lists. Rows-only
-    (approximate by design; recall asserted in tests)."""
+    per-batch assignment + probe of the nprobe closest lists. Approximate
+    vs brute force (recall asserted in tests) but deterministic end to end,
+    so hash-checked against SQL_KNN_IVF (strided init + unrolled Lloyd)."""
     import pyarrow.compute as pc
     import ray
 
@@ -287,10 +291,13 @@ def q_knn_ivf(sf_dir: str):
         return t.filter(pa.array(t["vec_id"].to_numpy() % step == 0))
 
     sample_tbl = pa.Table.from_pylist(ds.map_batches(sample_batch, batch_format="pyarrow").take_all())
-    _, S = _to_matrix(sample_tbl)
+    s_ids, S = _to_matrix(sample_tbl)
+    S = S[np.argsort(s_ids)]  # block arrival order is nondeterministic; sort
     sample = S / np.linalg.norm(S, axis=1, keepdims=True)
-    rng = np.random.default_rng(11)
-    C = sample[rng.choice(sample.shape[0], n_lists, replace=False)].copy()
+    # deterministic strided init: centroid k seeds from the sample row at
+    # position floor(k*n/n_lists) in vec_id order — reproducible in the SQL
+    # oracle (a seeded rng.choice would not be)
+    C = sample[(np.arange(n_lists) * sample.shape[0]) // n_lists].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ C.T, axis=1)
         for k in range(n_lists):
@@ -343,3 +350,154 @@ def q_knn_ivf(sf_dir: str):
     df = df.groupby("query_id", sort=True).head(TOP_K)
     df["cosine"] = _round(df["cosine"].to_numpy())
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---- SQL oracles for the approximate-ANN queries ---------------------------
+#
+# Both ANN paths are seeded and therefore deterministic, so they ARE
+# SQL-expressible once the seeded state is embedded as literals:
+#   * knn_lsh — the 64x6 hyperplane matrix (default_rng(42)) is inlined as a
+#     VALUES list; sign(v . p) is scale-invariant, so the oracle skips the
+#     engine's normalization when bucketing and joins buckets on
+#     bit_count(xor(code_q, code_v)) <= 2 (identical to the engine's
+#     Hamming<=2 probe set).
+#   * knn_ivf — k-means init is a deterministic stride over the vec_id-sorted
+#     sample (see q_knn_ivf), so Lloyd's algorithm unrolls into `iters`
+#     chained CTEs: assignment = argmax normalized dot (row_number over
+#     ip DESC, k ASC == np.argmax first-index-on-tie), update = normalized
+#     element-wise AVG with COALESCE fallback for empty lists.
+# Exact-cosine ranking of candidates reuses the list_cosine_similarity
+# precedent from SQL_KNN_BRUTEFORCE (numpy-vs-duckdb ulps absorbed by the
+# shared ROUND to 6 decimals). dim=64 (the testdata embedding width) is
+# baked into both oracles.
+
+_LSH_PLANES = 6
+
+
+def _lsh_plane_values() -> str:
+    planes = np.random.default_rng(42).standard_normal((64, _LSH_PLANES))
+    return ",\n    ".join(
+        f"({d}, {p}, {planes[d, p]!r})" for d in range(64) for p in range(_LSH_PLANES)
+    )
+
+
+SQL_KNN_LSH = f"""
+WITH planes(d, p, w) AS (VALUES
+    {_lsh_plane_values()}
+),
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dots AS MATERIALIZED (
+  SELECT e.vec_id, pl.p, SUM(e.emb[pl.d + 1] * pl.w) AS dp
+  FROM e CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+codes AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN dp > 0 THEN 1::BIGINT << p ELSE 0 END)::BIGINT AS code
+  FROM dots GROUP BY 1
+),
+qc AS (SELECT vec_id AS query_id, code FROM codes WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT qc.query_id, c.vec_id AS neighbor_id
+  FROM qc JOIN codes c ON bit_count(xor(qc.code, c.code)) <= 2
+  WHERE c.vec_id != qc.query_id
+),
+sims AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_cosine_similarity(eq.emb, en.emb) AS cosine
+  FROM cand cd
+  JOIN e eq ON eq.vec_id = cd.query_id
+  JOIN e en ON en.vec_id = cd.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM r WHERE rn <= {TOP_K}
+"""
+
+
+def _ivf_sql(n_lists: int = 8, n_probe: int = 3, iters: int = 10, dim: int = 64) -> str:
+    parts = [f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+st AS (SELECT GREATEST(COUNT(*) // 512, 1) AS step FROM e),
+samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+         COUNT(*) OVER () AS n,
+         list_transform(emb, x -> x / sqrt(list_inner_product(emb, emb))) AS nv
+  FROM e, st WHERE vec_id % st.step = 0
+),
+cent0 AS MATERIALIZED (
+  SELECT r.k::INT AS k, s.nv AS v
+  FROM range({n_lists}) r(k) JOIN samp s ON s.pos = (r.k * s.n) // {n_lists}
+)"""]
+    for i in range(iters):
+        parts.append(f""",
+asg{i} AS MATERIALIZED (
+  SELECT pos, nv, k FROM (
+    SELECT s.pos, s.nv, c.k,
+           row_number() OVER (PARTITION BY s.pos
+             ORDER BY list_inner_product(s.nv, c.v) DESC, c.k) AS rn
+    FROM samp s CROSS JOIN cent{i} c
+  ) WHERE rn = 1
+),
+mean{i} AS MATERIALIZED (
+  SELECT k, list(m ORDER BY d) AS mv FROM (
+    SELECT a.k, r.d, AVG(a.nv[r.d + 1]) AS m
+    FROM asg{i} a CROSS JOIN range({dim}) r(d)
+    GROUP BY a.k, r.d
+  ) GROUP BY k
+),
+cent{i + 1} AS MATERIALIZED (
+  SELECT c.k,
+    CASE WHEN m.k IS NULL THEN c.v
+         ELSE list_transform(m.mv,
+                x -> x / GREATEST(sqrt(list_inner_product(m.mv, m.mv)), 1e-12))
+    END AS v
+  FROM cent{i} c LEFT JOIN mean{i} m ON m.k = c.k
+)""")
+    parts.append(f""",
+allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(emb, x -> x / sqrt(list_inner_product(emb, emb))) AS nv
+  FROM e
+),
+vl AS (
+  SELECT vec_id, k FROM (
+    SELECT a.vec_id, c.k,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_inner_product(a.nv, c.v) DESC, c.k) AS rn
+    FROM allv a CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, k FROM (
+    SELECT a.vec_id, c.k,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_inner_product(a.nv, c.v) DESC, c.k) AS rn
+    FROM allv a CROSS JOIN cent{iters} c WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT qp.query_id, vl.vec_id AS neighbor_id
+  FROM qp JOIN vl ON vl.k = qp.k
+  WHERE vl.vec_id != qp.query_id
+),
+sims AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_cosine_similarity(eq.emb, en.emb) AS cosine
+  FROM cand cd
+  JOIN e eq ON eq.vec_id = cd.query_id
+  JOIN e en ON en.vec_id = cd.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM r WHERE rn <= {TOP_K}""")
+    return "".join(parts)
+
+
+SQL_KNN_IVF = _ivf_sql()

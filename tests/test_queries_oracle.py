@@ -112,6 +112,8 @@ def _compare(name, ray_result, sql, con):
         "carma_loglik",
         "carma_forecast",
         "minhash_neardup",
+        "knn_lsh",
+        "knn_ivf",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -122,8 +124,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["knn_lsh",
-     "variability_timescale", "knn_ivf"],
+    ["variability_timescale"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
