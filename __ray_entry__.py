@@ -89,6 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lzc": qe.q_lzc,
         "variability_timescale": qe.q_variability_timescale,
         "carma_loglik": qe.q_carma_loglik,
+        "carma_mle": qe.q_carma_mle,
+        "carma_order": qe.q_carma_order,
+        "carma_mcmc": qe.q_carma_mcmc,
+        "detect_seasonality": qf.q_detect_seasonality,
+        "rolling_fvar": qf.q_rolling_fvar,
         "peak_stats": qf.q_peak_stats_sql,
         # ---- per-series feature kernels (SQL-checked; see queries_features) ----
         "find_peaks": qf.q_find_peaks,
@@ -186,7 +191,13 @@ def oracle_sql() -> dict[str, str]:
         # Lloyd iterations) — see queries_vec.py oracle comments.
         "knn_lsh": qv.SQL_KNN_LSH,
         "knn_ivf": qv.SQL_KNN_IVF,
+        "detect_seasonality": qf.SQL_DETECT_SEASONALITY,
+        "rolling_fvar": qf.SQL_ROLLING_FVAR,
         # Still rows-only:
+        # carma_mle / carma_order / carma_mcmc (seeded random multi-start /
+        # PT-MCMC posterior sampling — deterministic but not SQL-expressible;
+        # the underlying Kalman recursion IS hash-checked via carma_loglik
+        # and carma_forecast),
         # variability_timescale (µs api surface; the hours variant IS
         # hash-checked as variability_tau; µs-scale taus exceed fixed-decimal
         # rounding's noise floor).

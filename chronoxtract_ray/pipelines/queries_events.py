@@ -999,3 +999,101 @@ SELECT r.user_id, ROUND(r.ll, 6) AS loglik
 FROM rec r JOIN o ON o.user_id = r.user_id AND o.i = r.i AND o.i = o.n - 1
 """
 q_peak_stats = _api_query("enhanced_peak_stats", ["n_peaks", "mean_prominence", "mean_spacing", "peak_density"], min_prominence=1.0, min_distance=1)
+
+
+# ---- CARMA fitting family (rows-only: seeded multi-start / PT-MCMC over a
+# per-user Kalman likelihood — deterministic, but random-start evaluation
+# and posterior sampling are not SQL-expressible; kernel correctness is
+# pinned by the OU-recovery and R-hat tests in test_api_and_carma.py) ----
+
+
+def _user_series_hours(group: pa.Table):
+    ts = group["ts_us"].to_numpy()
+    turn = group["turn"].to_numpy()
+    val = group["value"].to_numpy()
+    order = np.lexsort((turn, ts))
+    return (
+        group["user_id"][0].as_py(),
+        ts[order] / 3.6e9,  # hours keep exp(lambda*dt) in a sane regime
+        val[order],
+        np.ones(val.size),
+    )
+
+
+def q_carma_mle(sf_dir: str):
+    """Seeded 8-start CAR(1) MLE per user (kernels/carma.py carma_mle;
+    reference src/carma/mle.rs:32-115 — random multi-start evaluation)."""
+    from chronoxtract_ray.kernels.carma import carma_mle
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, t, v, e = _user_series_hours(group)
+        if t.size < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()), "loglik": pa.array([], pa.float64()), "aicc": pa.array([], pa.float64())})
+        r = carma_mle(t, v, e, 1, 0, n_starts=8)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "loglik": pa.array(_round(np.array([r["loglikelihood"]])), pa.float64()),
+                "aicc": pa.array(_round(np.array([r["aicc"]])), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+def q_carma_order(sf_dir: str):
+    """AICc order selection over p<=2, q<p (kernels/carma.py
+    carma_choose_order; reference src/carma/mod.rs order scan)."""
+    from chronoxtract_ray.kernels.carma import carma_choose_order
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, t, v, e = _user_series_hours(group)
+        if t.size < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()), "best_p": pa.array([], pa.int64()), "best_q": pa.array([], pa.int64())})
+        r = carma_choose_order(t, v, e, 2, 1)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "best_p": pa.array([int(r["best_p"])], pa.int64()),
+                "best_q": pa.array([int(r["best_q"])], pa.int64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+
+
+def q_carma_mcmc(sf_dir: str):
+    """Seeded parallel-tempering MCMC diagnostics for CAR(1), users < 8 to
+    bound driver runtime (kernels/carma.py carma_mcmc; reference
+    src/carma/mcmc.rs:387-566): cold-chain posterior loglik mean, max R-hat,
+    min ESS, acceptance rates."""
+    import pyarrow.compute as pc
+
+    from chronoxtract_ray.kernels.carma import carma_mcmc
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["user_id"], 8))
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, t, v, e = _user_series_hours(group)
+        if t.size < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()), "post_loglik_mean": pa.array([], pa.float64()), "rhat_max": pa.array([], pa.float64()), "ess_min": pa.array([], pa.float64()), "accept_rate": pa.array([], pa.float64())})
+        r = carma_mcmc(t, v, e, 1, 0, n_samples=200, n_burn=200, n_chains=4, seed=42)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "post_loglik_mean": pa.array(_round(np.array([float(np.mean(r["loglikelihoods"]))])), pa.float64()),
+                "rhat_max": pa.array(_round(np.array([float(np.max(r["rhat"]))])), pa.float64()),
+                "ess_min": pa.array(_round(np.array([float(np.min(r["effective_sample_size"]))])), pa.float64()),
+                "accept_rate": pa.array(_round(np.array([float(r["acceptance_rate"])])), pa.float64()),
+            }
+        )
+
+    sub = ds.map_batches(keep, batch_format="pyarrow")
+    return pa.Table.from_pylist(sub.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())

@@ -1204,3 +1204,115 @@ WITH o AS (
 SELECT pair_id, (lo + hi) / 2.0 AS lag, ROUND(avg(udcf), 6) AS corr
 FROM pr GROUP BY pair_id, lo, hi
 """
+
+
+# ---- seasonality detection (|ACF(period)| > threshold) ----
+
+
+def q_detect_seasonality(sf_dir: str):
+    """detect_seasonality per user at period=12 over the (ts, event)-sorted
+    series (kernels/seasonality.py:95; reference src/seasonality/mod.rs:99-110):
+    biased-denominator single-lag ACF, detected = |acf| > 0.3 (threshold
+    applied to the UNROUNDED acf on both sides). Oracle: the same num/den
+    sums via an offset self-join on row_number."""
+    from chronoxtract_ray.kernels.seasonality import autocorrelation
+
+    period = 12
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < period + 1:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "acf_lag12": pa.array([], pa.float64()), "detected": pa.array([], pa.bool_())}
+            )
+        a = autocorrelation(val, period)
+        return pa.table(
+            {
+                "user_id": pa.array([np.int64(uid)], pa.int64()),
+                "acf_lag12": pa.array(_round(np.array([a])), pa.float64()),
+                "detected": pa.array([bool(abs(a) > 0.3)], pa.bool_()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_DETECT_SEASONALITY = """
+WITH o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), st AS (
+  SELECT user_id, count(*) AS n, avg(value) AS mean
+  FROM o GROUP BY 1 HAVING count(*) >= 13
+), num AS (
+  SELECT a.user_id, sum((a.value - st.mean) * (b.value - st.mean)) AS v
+  FROM o a
+  JOIN o b ON b.user_id = a.user_id AND b.i = a.i + 12
+  JOIN st ON st.user_id = a.user_id
+  GROUP BY 1
+), den AS (
+  SELECT o.user_id, sum((o.value - st.mean) * (o.value - st.mean)) AS v
+  FROM o JOIN st ON st.user_id = o.user_id GROUP BY 1
+), acf AS (
+  SELECT num.user_id,
+    CASE WHEN den.v > 0 THEN num.v / den.v ELSE 0.0 END AS a
+  FROM num JOIN den ON den.user_id = num.user_id
+)
+SELECT user_id, ROUND(a, 6) AS acf_lag12, (abs(a) > 0.3) AS detected FROM acf
+"""
+
+
+# ---- rolling fractional variability (sliding-window Fvar) ----
+
+_RFV_W = 16
+
+
+def q_rolling_fvar(sf_dir: str):
+    """rolling_fractional_variability per user (kernels/variability.py:63;
+    reference src/misc/frac.rs:95-115): sliding window of 16 |value| samples
+    with unit errors, emitting (window start index, fvar, fvar_err). Oracle:
+    windowed var_samp/avg over ROWS BETWEEN 15 PRECEDING AND CURRENT ROW —
+    same terms as the hash-green SQL_FVAR_PER_USER, per window."""
+    from chronoxtract_ray.kernels.variability import rolling_fractional_variability
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < _RFV_W:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "win_idx": pa.array([], pa.int64()), "fvar": pa.array([], pa.float64()), "fvar_err": pa.array([], pa.float64())}
+            )
+        fv, fe = rolling_fractional_variability(np.abs(val), np.ones_like(val), _RFV_W)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), fv.size), pa.int64()),
+                "win_idx": pa.array(np.arange(fv.size), pa.int64()),
+                "fvar": pa.array(_round(fv), pa.float64()),
+                "fvar_err": pa.array(_round(fe), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+SQL_ROLLING_FVAR = f"""
+WITH o AS (
+  SELECT user_id, abs(value) AS f,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), w AS (
+  SELECT user_id, i,
+    count(*) OVER win AS n,
+    avg(f) OVER win AS m,
+    var_samp(f) OVER win AS v
+  FROM o
+  WINDOW win AS (PARTITION BY user_id ORDER BY i
+                 ROWS BETWEEN {_RFV_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, i - {_RFV_W - 1} AS win_idx,
+  ROUND(CASE WHEN v <= 1.0 THEN 0.0 ELSE sqrt(v - 1.0) / m END, 6) AS fvar,
+  ROUND(CASE WHEN v <= 1.0 THEN 0.0 ELSE
+    sqrt( pow(sqrt(1.0/(2*{_RFV_W})) * 1.0 / (m*m*(sqrt(v - 1.0)/m)), 2)
+        + pow(sqrt(1.0/{_RFV_W}.0) / m, 2) ) END, 6) AS fvar_err
+FROM w WHERE n = {_RFV_W}
+"""

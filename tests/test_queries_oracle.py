@@ -114,6 +114,8 @@ def _compare(name, ray_result, sql, con):
         "minhash_neardup",
         "knn_lsh",
         "knn_ivf",
+        "detect_seasonality",
+        "rolling_fvar",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -124,7 +126,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["variability_timescale"],
+    ["variability_timescale", "carma_mle", "carma_order", "carma_mcmc"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)

@@ -117,7 +117,9 @@ def run_leg(ncpu: int, convs: int, ep: int) -> dict | None:
     try:
         out = subprocess.run(
             [sys.executable, "bench.py", "--headline-only"],
-            env=env, capture_output=True, text=True, timeout=1800, cwd=REPO,
+            # a valid-window leg finishes in 130-250 s; past 600 s the window
+            # has collapsed and the leg is unusable — recycle early
+            env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
     except Exception as exc:  # noqa: BLE001
