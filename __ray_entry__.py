@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "carma_mcmc": qe.q_carma_mcmc,
         "detect_seasonality": qf.q_detect_seasonality,
         "rolling_fvar": qf.q_rolling_fvar,
+        "stl_decompose": qf.q_stl_decompose,
+        "zdcf_pairs": qf.q_zdcf,
         "peak_stats": qf.q_peak_stats_sql,
         # ---- per-series feature kernels (SQL-checked; see queries_features) ----
         "find_peaks": qf.q_find_peaks,
@@ -193,7 +195,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": qv.SQL_KNN_IVF,
         "detect_seasonality": qf.SQL_DETECT_SEASONALITY,
         "rolling_fvar": qf.SQL_ROLLING_FVAR,
+        "stl_decompose": qf.SQL_STL_DECOMPOSE,
         # Still rows-only:
+        # zdcf_pairs (seeded 100-draw Monte-Carlo error perturbation —
+        # deterministic, not SQL-expressible; determinism + zero-lag tests),
         # carma_mle / carma_order / carma_mcmc (seeded random multi-start /
         # PT-MCMC posterior sampling — deterministic but not SQL-expressible;
         # the underlying Kalman recursion IS hash-checked via carma_loglik

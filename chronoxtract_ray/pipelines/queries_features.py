@@ -1316,3 +1316,128 @@ SELECT user_id, i - {_RFV_W - 1} AS win_idx,
         + pow(sqrt(1.0/{_RFV_W}.0) / m, 2) ) END, 6) AS fvar_err
 FROM w WHERE n = {_RFV_W}
 """
+
+
+# ---- STL decomposition (full trend/seasonal/remainder arrays) ----
+
+_STL_PERIOD = 12
+
+
+def q_stl_decompose(sf_dir: str):
+    """simple_stl_decomposition per user at period=12
+    (kernels/seasonality.py:40; reference src/seasonality/mod.rs:172-213):
+    trend = edge-clipped centered MA (window int(1.5*12)=18 -> half=9),
+    seasonal = per-phase mean of detrended, remainder = x - t - s. The
+    oracle maps 1:1 onto SQL window/group functions: AVG OVER ROWS BETWEEN
+    9 PRECEDING AND 9 FOLLOWING clips at partition edges exactly like the
+    kernel's [i-half, i+half] window."""
+    from chronoxtract_ray.kernels.seasonality import simple_stl_decomposition
+
+    def fn(group: pa.Table) -> pa.Table:
+        uid, _, val, _ = _sorted_series(group)
+        if val.size < 2 * _STL_PERIOD:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "i": pa.array([], pa.int64()), "trend": pa.array([], pa.float64()), "seasonal": pa.array([], pa.float64()), "remainder": pa.array([], pa.float64())}
+            )
+        t, s, r = simple_stl_decomposition(val, _STL_PERIOD)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(uid), val.size), pa.int64()),
+                "i": pa.array(np.arange(val.size), pa.int64()),
+                "trend": pa.array(_round(t), pa.float64()),
+                "seasonal": pa.array(_round(s), pa.float64()),
+                "remainder": pa.array(_round(r), pa.float64()),
+            }
+        )
+
+    return _grouped(sf_dir, fn)
+
+
+# Float-parity notes: the kernel builds the trend from a prefix cumsum
+# (sequential adds) and the seasonal pattern from np.bincount (sequential
+# adds in i order). A plain windowed AVG / grouped AVG differs from those in
+# summation ORDER by ~1e-12, which lands ~1-in-1e6 values on the opposite
+# side of a 6-dp rounding boundary — so the oracle mirrors BOTH: trend as a
+# difference of running cumulative sums (DuckDB computes cumulative frames
+# by sequential accumulation too), pattern as list_sum over an i-ordered
+# list. Identical doubles then flow through the identical final expression.
+SQL_STL_DECOMPOSE = f"""
+WITH o AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), cs AS (
+  SELECT user_id, i, n, value,
+    sum(value) OVER (PARTITION BY user_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS c
+  FROM o WHERE n >= {2 * _STL_PERIOD}
+), t AS (
+  SELECT a.user_id, a.i, a.value,
+    (hi.c - COALESCE(lo.c, 0.0))
+      / (LEAST(a.i + 10, a.n) - GREATEST(a.i - 9, 0)) AS trend
+  FROM cs a
+  JOIN cs hi ON hi.user_id = a.user_id AND hi.i = LEAST(a.i + 9, a.n - 1)
+  LEFT JOIN cs lo ON lo.user_id = a.user_id AND lo.i = GREATEST(a.i - 9, 0) - 1
+), d AS (
+  SELECT *, value - trend AS det, i % {_STL_PERIOD} AS phase FROM t
+), pat AS (
+  SELECT user_id, phase,
+    list_sum(list(det ORDER BY i)) / count(*) AS pattern
+  FROM d GROUP BY 1, 2
+)
+SELECT d.user_id, d.i, ROUND(d.trend, 6) AS trend,
+  ROUND(pat.pattern, 6) AS seasonal,
+  ROUND(d.value - d.trend - pat.pattern, 6) AS remainder
+FROM d JOIN pat ON pat.user_id = d.user_id AND pat.phase = d.phase
+"""
+
+
+# ---- ZDCF (Alexander z-transformed DCF; seeded Monte Carlo -> rows-only) --
+
+
+def q_zdcf(sf_dir: str):
+    """Alexander ZDCF between adjacent-user series pairs (users < 8 paired
+    as (0,1),(2,3),...; kernels/correlation.py:124, reference
+    src/correlation/zdcf.rs:182-239). Rows-only: the seeded 100-draw
+    Monte-Carlo error perturbation is deterministic but not SQL-expressible;
+    determinism and zero-lag behavior are pinned in tests."""
+    import pyarrow.compute as pc
+
+    from chronoxtract_ray.kernels.correlation import zdcf
+
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["user_id"], 8))
+        return t.append_column("pair_id", pc.floor(pc.divide(t["user_id"], 2)).cast(pa.int64()))
+
+    def fn(group: pa.Table) -> pa.Table:
+        pid = group["pair_id"][0].as_py()
+        uids = group["user_id"].to_numpy()
+        lo, hi = 2 * pid, 2 * pid + 1
+        empty = pa.table({"pair_id": pa.array([], pa.int64()), "lag": pa.array([], pa.float64()), "r": pa.array([], pa.float64()), "err": pa.array([], pa.float64())})
+        if not ((uids == lo).any() and (uids == hi).any()):
+            return empty
+        def series(uid):
+            m = uids == uid
+            ts = group["ts_us"].to_numpy()[m] / 3.6e9
+            turn = group["turn"].to_numpy()[m]
+            val = group["value"].to_numpy()[m]
+            order = np.lexsort((turn, ts))
+            return ts[order], val[order]
+        t1, v1 = series(lo)
+        t2, v2 = series(hi)
+        out = zdcf(t1, v1, np.ones_like(v1), t2, v2, np.ones_like(v2), min_points=11, num_mc=100, seed=0)
+        n = out["lags"].size
+        return pa.table(
+            {
+                "pair_id": pa.array(np.repeat(np.int64(pid), n), pa.int64()),
+                "lag": pa.array(_round(out["lags"]), pa.float64()),
+                "r": pa.array(_round(out["correlations"]), pa.float64()),
+                "err": pa.array(_round(out["errors"]), pa.float64()),
+            }
+        )
+
+    sub = ds.map_batches(keep, batch_format="pyarrow")
+    return pa.Table.from_pylist(sub.groupby("pair_id").map_groups(fn, batch_format="pyarrow").take_all())

@@ -116,6 +116,7 @@ def _compare(name, ray_result, sql, con):
         "knn_ivf",
         "detect_seasonality",
         "rolling_fvar",
+        "stl_decompose",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
@@ -126,7 +127,7 @@ def test_query_matches_oracle(entrymod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["variability_timescale", "carma_mle", "carma_order", "carma_mcmc"],
+    ["variability_timescale", "carma_mle", "carma_order", "carma_mcmc", "zdcf_pairs"],
 )
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)

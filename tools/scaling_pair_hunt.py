@@ -35,11 +35,19 @@ sys.path.insert(0, REPO)
 
 # (lo_cpus, hi_cpus, convs, entropy_points): alternate a compute-heavy
 # (entropy unsubsampled on 1d windows) and the plain spec; 64 parts pinned.
+# Sized so a full pair fits inside one host window (~5 min): the host's
+# fast-bandwidth windows rarely outlive 10 minutes, and three 23.76M-turn
+# attempts in a row died to mid-leg collapse.
 CONFIGS = [
-    (4, 16, 400000, 1440),
-    (4, 16, 400000, 0),
+    (4, 16, 300000, 1440),
+    (4, 16, 200000, 0),
 ]
 NUM_PARTS = "64"
+# The host throttles memory bandwidth independently of CPU steal: a 16-way
+# L1-resident burn can get 15+ effective cores while the streaming windowed
+# kernel runs 13x slower (30k vs 400k turns/s observed). Legs are sized for
+# fast-bandwidth windows, so require one to start.
+MIN_KERNEL = 120_000.0
 DEADLINE_S = 4 * 3600
 PAIRS = "/tmp/scaling_pairs.jsonl"
 
@@ -90,6 +98,8 @@ def probe() -> dict:
     t0 = time.time()
     compute_windowed_features(ts, val, 3_600_000_000, FeatureSpec())
     rate = n / (time.time() - t0)
+    if rate < MIN_KERNEL:
+        return {"ok": False, "why": f"slow-bandwidth kernel={rate / 1e3:.0f}k"}
     return {"ok": True, "eff": round(eff, 1), "steal": round(steal, 1), "kernel": round(rate)}
 
 
@@ -147,6 +157,9 @@ def main() -> None:
         try:
             a = run_leg(lo, convs, ep)   # small leg first (see module doc)
             mid_k = fingerprint()
+            if a and mid_k < 0.75 * pr["kernel"]:
+                log(f"abort pair: window collapsed after small leg (mid={mid_k / 1e3:.0f}k)")
+                continue
             b = run_leg(hi, convs, ep)
             post_k = fingerprint()
         finally:
