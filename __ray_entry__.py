@@ -18,6 +18,7 @@ from typing import Any
 from chronoxtract_ray.pipelines import queries_docs as qd
 from chronoxtract_ray.pipelines import queries_events as qe
 from chronoxtract_ray.pipelines import queries_features as qf
+from chronoxtract_ray.pipelines import queries_joins as qj
 from chronoxtract_ray.pipelines import queries_vec as qv
 
 SF0001 = "/root/testdata/sf0.001"
@@ -114,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiscale_entropy": qf.q_multiscale_entropy,
         "dcf_pairs": qf.q_dcf_pairs,
         "carma_forecast": qf.q_carma_forecast,
+        # ---- temporal joins (as-of / range / sessionize) ----
+        "sessionize": qj.q_sessionize,
+        "asof_join": qj.q_asof_join,
+        "range_join": qj.q_range_join,
         # ---- sort/limit + plain aggregates ----
         "top_energy_windows": qe.q_top_energy_windows,
         "event_type_stats": qe.q_event_type_stats,
@@ -151,6 +156,9 @@ def oracle_sql() -> dict[str, str]:
         "tier_cascade_1h": qe.SQL_TIER_CASCADE_1H,
         "gorilla_roundtrip": qe.SQL_GORILLA_ROUNDTRIP,
         "fvar_per_user": qe.SQL_FVAR_PER_USER,
+        "sessionize": qj.SQL_SESSIONIZE,
+        "asof_join": qj.SQL_ASOF_JOIN,
+        "range_join": qj.SQL_RANGE_JOIN,
         "top_energy_windows": qe.SQL_TOP_ENERGY_WINDOWS,
         "event_type_stats": qe.SQL_EVENT_TYPE_STATS,
         "dedup_exact": qd.SQL_DEDUP_EXACT,

@@ -117,6 +117,9 @@ def _compare(name, ray_result, sql, con):
         "detect_seasonality",
         "rolling_fvar",
         "stl_decompose",
+        "sessionize",
+        "asof_join",
+        "range_join",
     ],
 )
 def test_query_matches_oracle(entrymod, duck, name):
