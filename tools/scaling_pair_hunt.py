@@ -39,7 +39,7 @@ sys.path.insert(0, REPO)
 # fast-bandwidth windows rarely outlive 10 minutes, and three 23.76M-turn
 # attempts in a row died to mid-leg collapse.
 CONFIGS = [
-    (4, 16, 300000, 1440),
+    (4, 16, 100000, 1440),
     (4, 16, 200000, 0),
 ]
 NUM_PARTS = "64"
@@ -170,6 +170,10 @@ def main() -> None:
         ks = [pr["kernel"], mid_k, post_k]
         drift = (max(ks) - min(ks)) / max(ks)
         steal_ok = a.get("steal_cores", 99) <= 1.5 and b.get("steal_cores", 99) <= 1.5
+        # contamination guard: a leg's whole-system busy_cores should be close
+        # to its own worker count; foreground work (tests, queries) overlapping
+        # the small leg would dishonestly inflate the ratio — invalidate it.
+        clean = a.get("busy_cores", 99) <= lo + 3.0 and b.get("busy_cores", 99) <= hi + 4.0
         eff = b["throughput_turns_per_s"] / a["throughput_turns_per_s"] / (hi / lo)
         rec = {
             "at": time.strftime("%H:%M:%S"),
@@ -182,7 +186,7 @@ def main() -> None:
             "kernel_pre": pr["kernel"], "kernel_mid": round(mid_k), "kernel_post": round(post_k),
             "window_drift": round(drift, 3),
             "efficiency": round(eff, 3),
-            "valid": bool(steal_ok and drift <= 0.25),
+            "valid": bool(steal_ok and drift <= 0.25 and clean),
         }
         with open(PAIRS, "a") as f:
             f.write(json.dumps(rec) + "\n")
