@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_filled_hourly": qe.q_gap_filled_hourly,
         "tier_cascade_1h": qe.q_tier_cascade_1h,
         "gorilla_roundtrip": qe.q_gorilla_roundtrip,
+        "retention_prune": qe.q_retention_prune,
         # ---- whole-series / astronomy ----
         "fvar_per_user": qe.q_fvar_per_user,
         "lomb_scargle": qe.q_lomb_scargle,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_filled_hourly": qe.SQL_GAP_FILLED_HOURLY,
         "tier_cascade_1h": qe.SQL_TIER_CASCADE_1H,
         "gorilla_roundtrip": qe.SQL_GORILLA_ROUNDTRIP,
+        "retention_prune": qe.SQL_RETENTION_PRUNE,
         "fvar_per_user": qe.SQL_FVAR_PER_USER,
         "sessionize": qj.SQL_SESSIONIZE,
         "asof_join": qj.SQL_ASOF_JOIN,

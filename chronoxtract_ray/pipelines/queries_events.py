@@ -633,6 +633,81 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_retention_prune(sf_dir: str):
+    """Hourly rollup written through the REAL tier store (PartitionWriter:
+    atomic per-partition parquet + Gorilla chunks + manifests), then
+    ``stages.retention`` enforces a 360 h keep horizon against the STORE
+    WATERMARK (max manifest window, not wall clock), and the query returns
+    the surviving tier rows read back from disk — the full
+    write → enforce → read store path, not a shadow filter. Oracle: hourly
+    means at/after max(window) − 360 h."""
+    import shutil
+    import tempfile
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import tier_table
+    from chronoxtract_ray.stages.retention import RetentionPolicy, apply_retention
+    from chronoxtract_ray.state.checkpoint import PartitionWriter, conv_partition
+
+    P = 8
+    keep_us = 360 * HOUR_US
+    spec = FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)
+    ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
+    root = tempfile.mkdtemp(prefix="ctx_retention_q_", dir="/tmp")
+
+    def rollup_group(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        val = group["value"].to_numpy()
+        turn = group["turn"].to_numpy()
+        order = np.lexsort((turn, ts))
+        out = compute_windowed_features(ts[order], val[order], HOUR_US, spec)
+        n = out["window_start"].size
+        # object dtype: pandas' vectorized hasher (conv_partition) rejects
+        # numpy unicode arrays
+        conv = np.repeat(np.array([str(group["user_id"][0].as_py())], dtype=object), n)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "window_start": pa.array(out["window_start"], pa.int64()),
+                # stored means are 6-dp-rounded so the surviving rows read
+                # back from disk compare hash-exact against the SQL oracle
+                "mean": pa.array(_round(out["mean"]), pa.float64()),
+                "n_turns": pa.array(out["n_turns"], pa.int64()),
+                "part": pa.array(conv_partition(conv, P), pa.int64()),
+                "tier_name": pa.array(np.repeat("1h", n), pa.string()),
+            }
+        )
+
+    rows = ds.groupby("user_id").map_groups(rollup_group, batch_format="pyarrow")
+    writer = PartitionWriter(root, P, {"1h": {"width_us": HOUR_US, "points_per_chunk": 256, "value_col": "mean"}})
+
+    def write_part(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    try:
+        rows.groupby("part").map_groups(write_part, batch_format="pyarrow").take_all()
+        apply_retention(root, P, RetentionPolicy({"1h": keep_us}))
+        t = tier_table(root, "1h")
+        return pa.table(
+            {
+                "user_id": t["conv_id"].cast(pa.int64()),
+                "window_start": t["window_start"],
+                "mean": t["mean"],
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_RETENTION_PRUNE = f"""
+WITH m AS (
+  SELECT user_id, {_WS} AS window_start, ROUND(avg(value), 6) AS mean
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, window_start, mean FROM m
+WHERE window_start >= (SELECT max(window_start) FROM m) - {360 * HOUR_US}
+"""
+
+
 # ---- rows-only queries (no SQL-expressible oracle) ----
 
 

@@ -1,0 +1,246 @@
+"""Retention enforcement over a tier store — the "retention" leg of the
+rollup / downsample / retention engine.
+
+A :class:`RetentionPolicy` gives each tier a keep horizon (µs). The cutoff is
+computed from the STORE WATERMARK (max ``watermark_us`` across the governed
+tiers' manifests), never from the wall clock, so a retention run is a pure
+function of the data: deterministic, replayable, and testable. Typical
+policy: raw/1m kept days, 1h kept months, 1d forever (``None``).
+
+Per-partition decision, made from parquet footer statistics only (the
+whole-drop and keep paths never read a data page):
+
+* ``drop``  — partition ``max(window_start) < cutoff`` → remove the tier
+  directory and its Gorilla chunk directory, manifest rewritten with
+  ``rows=0``;
+* ``keep``  — partition ``min(window_start) >= cutoff`` → data untouched,
+  manifest stamped with the enforced cutoff;
+* ``trim``  — the boundary partition → read, filter ``window_start >=
+  cutoff``, atomic rewrite (tmp dir + rename, same protocol as the writer).
+  Gorilla chunks prune row-wise on ``last_window``; a chunk straddling the
+  cutoff is decoded, filtered, and re-encoded so the chunk store and the
+  tier rows always describe the same surviving points.
+
+Scale: partitions are independent, so enforcement fans out as a Ray Data
+pipeline over the (tier, part) list — a metadata-sized dataset (40k
+partitions × 3 tiers at the 100 TB sizing) whose tasks each touch only
+their own files. Idempotent and resumable: the manifest records
+``retention_cutoff_us``; re-running with the same (or older) cutoff skips
+the partition, and a run killed mid-way re-does only unstamped partitions.
+The reference keeps all rolled output forever (no retention op —
+/root/reference/src/lib.rs has no eviction surface); this stage is part of
+the engine's tier-store extension, matching TimescaleDB-style
+retention-policy semantics on top of the reference's rollup math.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chronoxtract_ray.state import gorilla
+from chronoxtract_ray.state.checkpoint import load_manifests, manifest_path
+
+__all__ = ["RetentionPolicy", "store_watermark_us", "apply_retention"]
+
+
+@dataclass(frozen=True)
+class RetentionPolicy:
+    """Per-tier keep horizons in µs; ``None`` (or absence) = keep forever."""
+
+    keep_us: dict = field(default_factory=dict)
+
+    def cutoff_us(self, tier: str, now_us: int) -> int | None:
+        keep = self.keep_us.get(tier)
+        return None if keep is None else int(now_us) - int(keep)
+
+
+def store_watermark_us(root: str, tiers, num_parts: int) -> int | None:
+    """Max manifest watermark across the governed tiers (the store's notion
+    of "now"); None when the store is empty."""
+    wms = [
+        m["watermark_us"]
+        for tier in tiers
+        for m in load_manifests(root, tier, num_parts).values()
+        if m.get("watermark_us") is not None
+    ]
+    return max(wms) if wms else None
+
+
+def _window_start_bounds(path: str) -> tuple[int, int] | None:
+    """(min, max) of window_start from the parquet footer — metadata only."""
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("window_start")
+    if idx is None:
+        return None
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (int(lo), int(hi)) if lo is not None else None
+
+
+def _atomic_rewrite(final_dir: str, table: pa.Table) -> None:
+    tmp_dir = final_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"), row_group_size=max(table.num_rows, 1))
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
+
+
+def _trim_chunks(chunk_dir: str, cutoff: int) -> int:
+    """Prune a partition's Gorilla chunk rows to points >= cutoff. Whole-old
+    rows drop, whole-new rows pass through untouched (their blobs are not
+    re-encoded), straddling rows are decoded, filtered, re-encoded. Returns
+    the number of chunk rows dropped."""
+    path = os.path.join(chunk_dir, "data.parquet")
+    if not os.path.exists(path):
+        return 0
+    t = pq.read_table(path)
+    last = t["last_window"].to_numpy()
+    first = t["first_window"].to_numpy()
+    keep = last >= cutoff
+    straddle = keep & (first < cutoff)
+    if not straddle.any() and keep.all():
+        return 0
+    cols = {name: np.array(t[name].to_numpy(zero_copy_only=False)) for name in t.column_names}
+    for i in np.flatnonzero(straddle):
+        ts = gorilla.decode_timestamps(cols["gorilla_timestamps"][i])
+        vals = gorilla.decode_values(cols["gorilla_values"][i])
+        m = ts >= cutoff
+        cols["gorilla_timestamps"][i] = gorilla.encode_timestamps(ts[m])
+        cols["gorilla_values"][i] = gorilla.encode_values(vals[m])
+        cols["n_points"][i] = int(m.sum())
+        cols["first_window"][i] = int(ts[m][0])
+    out = pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"][keep], pa.string()),
+            "chunk_start": pa.array(cols["chunk_start"][keep], pa.int64()),
+            "n_points": pa.array(cols["n_points"][keep], pa.int64()),
+            "first_window": pa.array(cols["first_window"][keep], pa.int64()),
+            "last_window": pa.array(cols["last_window"][keep], pa.int64()),
+            "gorilla_timestamps": pa.array(list(cols["gorilla_timestamps"][keep]), pa.binary()),
+            "gorilla_values": pa.array(list(cols["gorilla_values"][keep]), pa.binary()),
+        }
+    )
+    _atomic_rewrite(chunk_dir, out)
+    return int((~keep).sum())
+
+
+def _stamp_manifest(root: str, tier: str, part: int, man: dict, cutoff: int, **updates) -> None:
+    man = dict(man, retention_cutoff_us=int(cutoff), retention_at=time.time(), **updates)
+    mp = manifest_path(root, tier, part)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.rename(tmp, mp)
+
+
+def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
+    """Enforce one (tier, part)'s retention cutoff. Self-contained (safe as a
+    distributed task) and idempotent. Returns an action record."""
+    rec = {"tier": tier, "part": part, "action": "skip", "rows_dropped": 0, "chunks_dropped": 0}
+    mp = manifest_path(root, tier, part)
+    if not os.path.exists(mp):
+        return rec  # never prune a partition without a complete manifest
+    with open(mp) as f:
+        man = json.load(f)
+    prior = man.get("retention_cutoff_us")
+    if not man.get("complete") or (prior is not None and prior >= cutoff):
+        return rec
+    part_dir = os.path.join(root, f"tier={tier}", f"part={part:04d}")
+    chunk_dir = os.path.join(root, "chunks", f"tier={tier}", f"part={part:04d}")
+    data = os.path.join(part_dir, "data.parquet")
+    if not os.path.exists(data) or man.get("rows", 0) == 0:
+        _stamp_manifest(root, tier, part, man, cutoff)
+        rec["action"] = "keep"
+        return rec
+    bounds = _window_start_bounds(data)
+    if bounds is None:  # no stats → conservative full read below
+        bounds = (-(1 << 62), 1 << 62)
+    lo, hi = bounds
+    if hi < cutoff:  # metadata-only whole drop
+        shutil.rmtree(part_dir, ignore_errors=True)
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        _stamp_manifest(root, tier, part, man, cutoff, rows=0, watermark_us=None,
+                        retention_rows_dropped=man.get("retention_rows_dropped", 0) + man.get("rows", 0))
+        rec.update(action="drop", rows_dropped=man.get("rows", 0))
+        return rec
+    if lo >= cutoff:  # metadata-only keep
+        _stamp_manifest(root, tier, part, man, cutoff)
+        rec["action"] = "keep"
+        return rec
+    t = pq.read_table(data)
+    mask = pa.array(t["window_start"].to_numpy() >= cutoff)
+    kept = t.filter(mask)
+    dropped = t.num_rows - kept.num_rows
+    _atomic_rewrite(part_dir, kept)
+    rec["chunks_dropped"] = _trim_chunks(chunk_dir, cutoff)
+    _stamp_manifest(root, tier, part, man, cutoff, rows=kept.num_rows,
+                    retention_rows_dropped=man.get("retention_rows_dropped", 0) + dropped)
+    rec.update(action="trim", rows_dropped=dropped)
+    return rec
+
+
+def apply_retention(
+    root: str,
+    num_parts: int,
+    policy: RetentionPolicy,
+    *,
+    now_us: int | None = None,
+    min_parts_for_ray: int = 17,
+) -> dict:
+    """Enforce ``policy`` across the store. ``now_us`` defaults to the store
+    watermark. Fans the per-partition work out through Ray Data when the
+    partition list is big enough to be worth a round of tasks (and Ray is
+    already up — this function never owns a Ray session); the work list is
+    metadata-sized, so the driver-side collect here is bounded by partition
+    COUNT, not data size."""
+    tiers = [t for t, k in policy.keep_us.items() if k is not None]
+    if now_us is None:
+        now_us = store_watermark_us(root, tiers, num_parts)
+    summary: dict = {"now_us": now_us, "tiers": {}}
+    if now_us is None:
+        return summary
+    work = [
+        {"tier": tier, "part": p, "cutoff": policy.cutoff_us(tier, now_us)}
+        for tier in tiers
+        for p in range(num_parts)
+    ]
+    import ray
+
+    if ray.is_initialized() and len(work) >= min_parts_for_ray:
+        import ray.data as rd
+
+        def fn(batch: pa.Table) -> pa.Table:
+            recs = [
+                prune_partition(root, r["tier"], int(r["part"]), int(r["cutoff"]))
+                for r in batch.to_pylist()
+            ]
+            return pa.Table.from_pylist(recs)
+
+        recs = rd.from_items(work).map_batches(fn, batch_format="pyarrow", batch_size=16).take_all()
+    else:
+        recs = [prune_partition(root, w["tier"], w["part"], w["cutoff"]) for w in work]
+    for tier in tiers:
+        rs = [r for r in recs if r["tier"] == tier]
+        summary["tiers"][tier] = {
+            "cutoff_us": policy.cutoff_us(tier, now_us),
+            "parts_dropped": sum(r["action"] == "drop" for r in rs),
+            "parts_trimmed": sum(r["action"] == "trim" for r in rs),
+            "parts_kept": sum(r["action"] == "keep" for r in rs),
+            "rows_dropped": sum(r["rows_dropped"] for r in rs),
+            "chunks_dropped": sum(r["chunks_dropped"] for r in rs),
+        }
+    return summary

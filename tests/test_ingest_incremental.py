@@ -1,0 +1,168 @@
+"""Incremental ingest ≡ batch recompute, bit-exactly.
+
+The contract (stages/ingest.py): splitting one transcript stream into K
+time-ordered batches and ingesting them incrementally yields a store whose
+tier rows AND Gorilla chunks are byte-identical to one from-scratch batch
+run over the union — plus watermark/late-data accounting, exactly-once
+batch ids, and roll-forward crash recovery."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import assert_tables_bitwise_equal
+
+from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline, tier_table
+from chronoxtract_ray.sources.transcripts import generate_table
+from chronoxtract_ray.stages import ingest
+from chronoxtract_ray.state import checkpoint as ckpt
+
+FULL = "/tmp/ctx_ing_full"
+INC = "/tmp/ctx_ing_inc"
+P = 4
+TIERS = ("1m", "1h", "1d")
+
+
+def _split_by_time(tbl: pa.Table, qs=(0.5,)):
+    ts = tbl["ts"].cast(pa.int64()).to_numpy()
+    cuts = np.quantile(ts, qs).astype(np.int64)
+    edges = [ts.min() - 1, *cuts, ts.max() + 1]
+    return [
+        tbl.filter(pa.array((ts > lo) & (ts <= hi)))
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+
+
+def _chunk_tables(root: str, tier: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(root, "chunks", f"tier={tier}", "part=*", "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return t.sort_by([("conv_id", "ascending"), ("chunk_start", "ascending")])
+
+
+@pytest.fixture(scope="module")
+def stores(ray_session):
+    import ray.data as rd
+
+    tbl = generate_table(10, base_turns=40, hot_every=4, hot_factor=6)
+    for d in (FULL, INC):
+        shutil.rmtree(d, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=P)
+    run_rollup_pipeline(rd.from_arrow(tbl), FULL, cfg)
+    batches = _split_by_time(tbl, qs=(1 / 3, 2 / 3))
+    metrics = [
+        ingest.run_incremental_ingest(rd.from_arrow(b), INC, cfg, batch_id=f"b{i}")
+        for i, b in enumerate(batches)
+    ]
+    return tbl, batches, metrics
+
+
+def test_three_batch_ingest_equals_batch_run(stores):
+    for tier in TIERS:
+        assert_tables_bitwise_equal(tier_table(FULL, tier), tier_table(INC, tier), f"tier {tier}")
+
+
+def test_chunks_equal_batch_run(stores):
+    for tier in TIERS:
+        assert_tables_bitwise_equal(_chunk_tables(FULL, tier), _chunk_tables(INC, tier), f"chunks {tier}")
+
+
+def test_no_late_rows_in_ordered_stream(stores):
+    _, _, metrics = stores
+    assert sum(m["late_rows_dropped"] for m in metrics) == 0
+
+
+def test_exactly_once_same_batch_id(stores):
+    import ray.data as rd
+
+    _, batches, _ = stores
+    before = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(INC, "**", "*.parquet"), recursive=True)}
+    m = ingest.run_incremental_ingest(rd.from_arrow(batches[-1]), INC, PipelineConfig(num_parts=P), batch_id="b2")
+    assert m["parts_skipped_exactly_once"] == m["parts_touched"] > 0
+    for f, old in before.items():
+        assert os.path.getmtime(f) == old, f"exactly-once violated: rewrote {f}"
+    for tier in TIERS:
+        assert_tables_bitwise_equal(tier_table(FULL, tier), tier_table(INC, tier), tier)
+
+
+def test_replayed_batch_under_new_id_drops_as_late(stores):
+    """Re-sending an old batch under a NEW id must not double-count: every
+    turn older than the open window is dropped as late; rows at/after the
+    open window are recomputed from the SAME buffered turns (fixpoint)."""
+    import ray.data as rd
+
+    _, batches, _ = stores
+    m = ingest.run_incremental_ingest(rd.from_arrow(batches[0]), INC, PipelineConfig(num_parts=P), batch_id="replay")
+    # turns behind the watermark drop as late; turns still inside an open
+    # window are on-time duplicates and dedup against the buffer instead
+    assert m["late_rows_dropped"] + m["dup_rows_dropped"] == batches[0].num_rows
+    assert m["dup_rows_dropped"] > 0
+    for tier in TIERS:
+        assert_tables_bitwise_equal(tier_table(FULL, tier), tier_table(INC, tier), tier)
+
+
+def test_watermarks_and_buffer_recorded(stores):
+    mans = ckpt.load_manifests(INC, "1m", P)
+    assert mans and all(m.get("open_start_us") is not None and m.get("wm_ts_us") for m in mans.values())
+    for p, m in mans.items():
+        buf = os.path.join(INC, "_open", f"part={p:04d}", "data.parquet")
+        assert os.path.exists(buf)
+        ts = pq.read_table(buf)["ts_us"].to_numpy()
+        assert (ts >= m["open_start_us"]).all()
+        assert m["wm_ts_us"] == (ts.max() if ts.size else m["wm_ts_us"])
+
+
+def test_crash_recovery_rolls_forward(stores, ray_session):
+    """A READY marker is the durability point: kill after READY, before the
+    swap — the next touch of the partition completes the commit."""
+    part = 0
+    # fabricate a staged state: tier_1m with one sentinel row appended
+    cur = pq.read_table(os.path.join(INC, "tier=1m", f"part={part:04d}", "data.parquet"))
+    sentinel = cur.slice(0, 1)
+    staged = pa.concat_tables([cur, sentinel])
+    stage_dir = ingest._staged_dir(INC, "crashed", part)
+    ingest._write_staged(stage_dir, "tier_1m", staged)
+    with open(ckpt.manifest_path(INC, "1m", part)) as f:
+        man = json.load(f)
+    man.update(rows=staged.num_rows, ingest_batch_id="crashed")
+    rp = ingest._ready_path(INC, "crashed", part)
+    with open(rp, "w") as f:
+        json.dump({"1m": man}, f)
+
+    recovered = ingest.recover_partition(INC, part)
+    assert recovered == ["crashed"]
+    after = pq.read_table(os.path.join(INC, "tier=1m", f"part={part:04d}", "data.parquet"))
+    assert after.num_rows == staged.num_rows
+    with open(ckpt.manifest_path(INC, "1m", part)) as f:
+        assert json.load(f)["ingest_batch_id"] == "crashed"
+    assert not os.path.exists(rp) and not os.path.exists(stage_dir)
+    # restore the store for any later test: swap the original rows back
+    ingest._write_staged(ingest._staged_dir(INC, "restore", part), "tier_1m", cur)
+    with open(ingest._ready_path(INC, "restore", part), "w") as f:
+        json.dump({"1m": dict(man, rows=cur.num_rows, ingest_batch_id="restore")}, f)
+    ingest.recover_partition(INC, part)
+
+
+def test_bootstrap_from_batch_store_counts_late(stores):
+    """Appending to a store built by the BATCH pipeline (no open buffer):
+    the finalized region is everything already written; replayed turns all
+    drop as late and the store is untouched."""
+    import ray.data as rd
+
+    tbl, _, _ = stores
+    root = "/tmp/ctx_ing_boot"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=P)
+    run_rollup_pipeline(rd.from_arrow(tbl), root, cfg)
+    before = {t: tier_table(root, t) for t in TIERS}
+    m = ingest.run_incremental_ingest(rd.from_arrow(tbl), root, cfg, batch_id="boot")
+    assert m["late_rows_dropped"] == tbl.num_rows
+    for t in TIERS:
+        assert_tables_bitwise_equal(tier_table(root, t), before[t], t)

@@ -38,16 +38,32 @@ sys.path.insert(0, REPO)
 # Sized so a full pair fits inside one host window (~5 min): the host's
 # fast-bandwidth windows rarely outlive 10 minutes, and three 23.76M-turn
 # attempts in a row died to mid-leg collapse.
+# entropy-heavy (ep=1440) retired: it never completed a 4-CPU leg inside
+# the timeout at ANY accepted window speed (37.9k convs in a 212k-kernel
+# window still blew 600 s) — its cost model under low parallelism is not
+# the linear-in-convs one the plain headline follows.
 CONFIGS = [
-    (4, 16, 100000, 1440),
     (4, 16, 200000, 0),
 ]
+# conv counts above are calibrated to the FASTEST observed window (kernel
+# ≈ 561k turns/s single-thread → 4-CPU leg walls of ~170 s plain / ~160 s
+# entropy-heavy). Slower windows pass the MIN_KERNEL gate but run legs
+# 2-4x longer → 600 s timeouts killed three pairs in a row; scale the
+# input linearly with the window's measured kernel speed so the small
+# leg's wall stays near the calibrated target in ANY accepted window.
+KERNEL_REF = 561_000.0
+CONVS_MIN, CONVS_MAX = 20_000, 400_000
 NUM_PARTS = "64"
 # The host throttles memory bandwidth independently of CPU steal: a 16-way
 # L1-resident burn can get 15+ effective cores while the streaming windowed
 # kernel runs 13x slower (30k vs 400k turns/s observed). Legs are sized for
 # fast-bandwidth windows, so require one to start.
-MIN_KERNEL = 120_000.0
+# pipeline throughput collapses SUPER-linearly below fast-window speeds
+# (observed: kernel 202k → 4-CPU headline rate < 14k turns/s vs 137k at
+# kernel 561k — 2.8x kernel slowdown, 10x pipeline slowdown: four workers
+# + object store + shuffle share the throttled bus the single-thread probe
+# barely stresses). Legs are only feasible in genuinely fast windows.
+MIN_KERNEL = 380_000.0
 DEADLINE_S = 4 * 3600
 PAIRS = "/tmp/scaling_pairs.jsonl"
 
@@ -100,6 +116,8 @@ def probe() -> dict:
     rate = n / (time.time() - t0)
     if rate < MIN_KERNEL:
         return {"ok": False, "why": f"slow-bandwidth kernel={rate / 1e3:.0f}k"}
+    if os.path.exists("/tmp/me_busy"):  # close the probe-spans-15s race:
+        return {"ok": False, "why": "me_busy"}  # foreground work started mid-probe
     return {"ok": True, "eff": round(eff, 1), "steal": round(steal, 1), "kernel": round(rate)}
 
 
@@ -152,6 +170,7 @@ def main() -> None:
             continue
         lo, hi, convs, ep = CONFIGS[idx % len(CONFIGS)]
         idx += 1
+        convs = int(min(CONVS_MAX, max(CONVS_MIN, convs * pr["kernel"] / KERNEL_REF)))
         log(f"window GOOD {pr} -> pair {lo}->{hi} convs={convs} ep={ep}")
         open("/tmp/campaign_running", "w").close()
         try:
