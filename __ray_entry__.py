@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_cascade_1h": qe.q_tier_cascade_1h,
         "gorilla_roundtrip": qe.q_gorilla_roundtrip,
         "retention_prune": qe.q_retention_prune,
+        "continuous_aggregate": qe.q_continuous_aggregate,
         # ---- whole-series / astronomy ----
         "fvar_per_user": qe.q_fvar_per_user,
         "lomb_scargle": qe.q_lomb_scargle,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_cascade_1h": qe.SQL_TIER_CASCADE_1H,
         "gorilla_roundtrip": qe.SQL_GORILLA_ROUNDTRIP,
         "retention_prune": qe.SQL_RETENTION_PRUNE,
+        "continuous_aggregate": qe.SQL_CONTINUOUS_AGGREGATE,
         "fvar_per_user": qe.SQL_FVAR_PER_USER,
         "sessionize": qj.SQL_SESSIONIZE,
         "asof_join": qj.SQL_ASOF_JOIN,

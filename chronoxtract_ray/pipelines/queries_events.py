@@ -698,6 +698,95 @@ def q_retention_prune(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_continuous_aggregate(sf_dir: str):
+    """Incremental ingest ≡ batch: the events stream split at its median
+    timestamp and ingested as TWO batches through the real continuous-
+    aggregate machinery (open-window buffers, staged exactly-once commits,
+    cascade recompute — stages/ingest.py), then the minute tier is read back
+    from disk. The oracle is the plain one-shot minute rollup, so a hash
+    match proves the merge path reproduces the batch result exactly."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import tier_table
+    from chronoxtract_ray.stages.ingest import run_incremental_ingest
+    from chronoxtract_ray.stages.rollup import RollupConfig
+
+    minute = 60_000_000
+    root = tempfile.mkdtemp(prefix="ctx_contagg_q_", dir="/tmp")
+    from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig
+
+    spec = FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False)
+    cfg = PipelineConfig(
+        num_parts=8,
+        rollup=RollupConfig(width_us=minute, bucket_us=HOUR_US, spec=spec, with_checksum=False),
+        cascade_spec=spec,
+    )
+
+    def to_derived(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "conv_id": pc.cast(batch["user_id"], pa.string()),
+                "turn_idx": pc.cast(batch["event_id"], pa.int32()),
+                "bucket": pc.multiply(pc.divide(ts_us, HOUR_US), HOUR_US),
+                "ts_us": ts_us,
+                "value": batch["value"],
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(to_derived, batch_format="pyarrow")
+    # split on the event-time midpoint, read from the parquet FOOTER (no data
+    # scan): batch 1 = history, batch 2 = the live tail
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    idx = next(i for i in range(md.num_columns) if md.schema.column(i).name == "ts")
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        mins.append(st.min)
+        maxs.append(st.max)
+    to_us = lambda d: int(pa.array([min(mins) if d == "lo" else max(maxs)], pa.timestamp("us")).cast(pa.int64())[0].as_py())
+    cut = (to_us("lo") + to_us("hi")) // 2
+
+    def half(keep_le: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["ts_us"].to_numpy() <= cut
+            return b.filter(pa.array(m if keep_le else ~m))
+
+        return f
+
+    try:
+        for i, keep_le in enumerate((True, False)):
+            run_incremental_ingest(
+                ds.map_batches(half(keep_le), batch_format="pyarrow"),
+                root,
+                cfg,
+                batch_id=f"caq-{i}",
+                pre_derived=True,
+            )
+        t = tier_table(root, "1m")
+        return pa.table(
+            {
+                "user_id": t["conv_id"].cast(pa.int64()),
+                "window_start": t["window_start"],
+                "mean": pa.array(_round(t["mean"].to_numpy()), pa.float64()),
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CONTINUOUS_AGGREGATE = """
+SELECT user_id, ((epoch_us(ts) // 60000000) * 60000000) AS window_start,
+       ROUND(avg(value), 6) AS mean
+FROM events GROUP BY 1, 2
+"""
+
+
 SQL_RETENTION_PRUNE = f"""
 WITH m AS (
   SELECT user_id, {_WS} AS window_start, ROUND(avg(value), 6) AS mean

@@ -305,11 +305,19 @@ class IncrementalWriteStage:
         )
 
 
-def run_incremental_ingest(source, out_root: str, cfg: PipelineConfig | None = None, batch_id: str | None = None) -> dict:
+def run_incremental_ingest(
+    source,
+    out_root: str,
+    cfg: PipelineConfig | None = None,
+    batch_id: str | None = None,
+    pre_derived: bool = False,
+) -> dict:
     """Merge a batch of new transcripts into ``out_root``. ``source``: a
-    transcripts Dataset or parquet path. ``batch_id`` keys exactly-once
-    semantics — re-running a killed job with the SAME id never double-counts
-    a turn; defaults to a fresh uuid (every call is a distinct batch).
+    transcripts Dataset or parquet path (or, with ``pre_derived``, a Dataset
+    already in the derived-row schema conv_id/turn_idx/bucket/ts_us/value).
+    ``batch_id`` keys exactly-once semantics — re-running a killed job with
+    the SAME id never double-counts a turn; defaults to a fresh uuid (every
+    call is a distinct batch).
 
     Returns metrics: partitions touched, late rows dropped, 1m rows after
     merge, buffered open-window turns."""
@@ -325,10 +333,19 @@ def run_incremental_ingest(source, out_root: str, cfg: PipelineConfig | None = N
     ensure_hash_shuffle(ds)
 
     t0 = time.time()
-    derived = ds.map_batches(
-        make_derive(cfg.rollup.bucket_us, with_crc=cfg.rollup.with_checksum, num_parts=cfg.num_parts),
-        batch_format="pyarrow",
-    )
+    if pre_derived:
+        P = cfg.num_parts
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            part = ckpt.conv_partition(batch["conv_id"].to_numpy(zero_copy_only=False), P)
+            return batch.append_column("part", pa.array(part, pa.int64()))
+
+        derived = ds.map_batches(add_part, batch_format="pyarrow")
+    else:
+        derived = ds.map_batches(
+            make_derive(cfg.rollup.bucket_us, with_crc=cfg.rollup.with_checksum, num_parts=cfg.num_parts),
+            batch_format="pyarrow",
+        )
     keyed = derived.repartition(cfg.num_parts, keys=["part"], sort=False)
     wconc, w_cpus = _writer_pool(cfg)
     recs = keyed.map_batches(
