@@ -160,7 +160,7 @@ def run_bench() -> dict:
         for name in ("window_moments", "window_quantiles", "gap_filled_hourly", "tier_cascade_1h",
                      "gorilla_roundtrip", "entropy_features", "dedup_exact", "minhash_neardup",
                      "knn_bruteforce", "token_stats", "find_peaks", "dedup_clusters",
-                     "embedding_neardup", "lomb_scargle"):
+                     "embedding_neardup", "lomb_scargle", "retention_prune", "continuous_aggregate"):
             t0 = time.time()
             qs[name](SF_DIR)
             queries[name] = round(time.time() - t0, 3)
