@@ -1,10 +1,12 @@
 """CLI entry point: ``python -m chronoxtract_ray <command>``.
 
 Commands:
-  rollup   --input DIR --out DIR [--num-parts N] [--no-gorilla] [--no-resume]
-  generate --out DIR --convs N
-  query    --name NAME --sf-dir DIR
-  decode   --chunks DIR --tier T      (Gorilla chunks → points, prints head)
+  rollup    --input DIR --out DIR [--num-parts N] [--no-gorilla] [--no-resume]
+  ingest    --input DIR --out DIR [--num-parts N] [--batch-id ID]   (incremental merge)
+  retention --root DIR --num-parts N --keep TIER=DURATION[,...]     (e.g. 1m=7d,1h=90d)
+  generate  --out DIR --convs N
+  query     --name NAME --sf-dir DIR
+  decode    --chunks DIR --tier T     (Gorilla chunks → points, prints head)
 
 Owns the Ray session (scripts own sessions; library code never does).
 """
@@ -42,6 +44,17 @@ def main(argv: list[str] | None = None) -> int:
     p_roll.add_argument("--no-gorilla", action="store_true")
     p_roll.add_argument("--no-resume", action="store_true")
 
+    p_ing = sub.add_parser("ingest", help="incrementally merge a transcript batch into an existing store")
+    p_ing.add_argument("--input", required=True)
+    p_ing.add_argument("--out", required=True)
+    p_ing.add_argument("--num-parts", type=int, default=16)
+    p_ing.add_argument("--batch-id", default=None, help="exactly-once key; rerun a killed job with the same id")
+
+    p_ret = sub.add_parser("retention", help="enforce per-tier keep horizons against the store watermark")
+    p_ret.add_argument("--root", required=True)
+    p_ret.add_argument("--num-parts", type=int, required=True)
+    p_ret.add_argument("--keep", required=True, help="TIER=DURATION[,TIER=DURATION...], units s/m/h/d (e.g. 1m=7d,1h=90d)")
+
     p_gen = sub.add_parser("generate", help="write a deterministic synthetic transcript table")
     p_gen.add_argument("--out", required=True)
     p_gen.add_argument("--convs", type=int, default=1000)
@@ -70,6 +83,24 @@ def main(argv: list[str] | None = None) -> int:
                 ),
             )
             print(json.dumps(metrics, default=str))
+        elif args.cmd == "ingest":
+            from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig
+            from chronoxtract_ray.stages.ingest import run_incremental_ingest
+
+            metrics = run_incremental_ingest(
+                args.input, args.out, PipelineConfig(num_parts=args.num_parts), batch_id=args.batch_id
+            )
+            print(json.dumps(metrics, default=str))
+        elif args.cmd == "retention":
+            from chronoxtract_ray.stages.retention import RetentionPolicy, apply_retention
+
+            units = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
+            keep = {}
+            for spec in args.keep.split(","):
+                tier, dur = spec.split("=")
+                keep[tier.strip()] = int(float(dur[:-1]) * units[dur[-1]])
+            summary = apply_retention(args.root, args.num_parts, RetentionPolicy(keep))
+            print(json.dumps(summary, default=str))
         elif args.cmd == "generate":
             from chronoxtract_ray.sources.transcripts import write_transcripts
 
