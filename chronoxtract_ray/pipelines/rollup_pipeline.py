@@ -186,6 +186,8 @@ def tier_table(root: str, tier: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(root, f"tier={tier}", "part=*", "*.parquet")))
+    if not files:  # e.g. every partition dropped by retention
+        return pa.table({})
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     keys = [k for k in ("conv_id", "window_start", "chunk_start") if k in tbl.column_names]
     return tbl.sort_by([(k, "ascending") for k in keys])

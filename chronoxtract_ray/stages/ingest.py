@@ -192,6 +192,12 @@ class IncrementalWriteStage:
             # retention-dropped partition has no watermark → accept anything)
             wm_win = old_man.get("watermark_us") if old_man else None
             open_start = (wm_win + self.cfg.rollup.width_us) if wm_win is not None else -(1 << 62)
+        # a retention pass may have pruned windows at/after open_start in a
+        # stale partition; anything behind its cutoff is late BY POLICY, so
+        # redelivered pruned turns can never resurrect pruned windows
+        ret_cut = old_man.get("retention_cutoff_us")
+        if ret_cut is not None:
+            open_start = max(open_start, int(ret_cut))
 
         ts = new_turns["ts_us"].to_numpy()
         on_time_mask = ts >= open_start

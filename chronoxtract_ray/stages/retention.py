@@ -147,10 +147,29 @@ def _stamp_manifest(root: str, tier: str, part: int, man: dict, cutoff: int, **u
     os.rename(tmp, mp)
 
 
+def _trim_open_buffer(root: str, part: int, cutoff: int) -> int:
+    """Drop open-buffer turns older than the cutoff so a later incremental
+    ingest cannot resurrect pruned windows of a stale partition (one whose
+    open window itself fell behind the retention horizon). Returns turns
+    dropped."""
+    buf_dir = os.path.join(root, "_open", f"part={part:04d}")
+    path = os.path.join(buf_dir, "data.parquet")
+    if not os.path.exists(path):
+        return 0
+    t = pq.read_table(path)
+    keep = t["ts_us"].to_numpy() >= cutoff
+    if keep.all():
+        return 0
+    _atomic_rewrite(buf_dir, t.filter(pa.array(keep)))
+    return int((~keep).sum())
+
+
 def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
     """Enforce one (tier, part)'s retention cutoff. Self-contained (safe as a
     distributed task) and idempotent. Returns an action record."""
     rec = {"tier": tier, "part": part, "action": "skip", "rows_dropped": 0, "chunks_dropped": 0}
+    if tier == "1m":  # the buffer feeds the finest tier; keep them consistent
+        _trim_open_buffer(root, part, cutoff)
     mp = manifest_path(root, tier, part)
     if not os.path.exists(mp):
         return rec  # never prune a partition without a complete manifest

@@ -166,3 +166,93 @@ def test_bootstrap_from_batch_store_counts_late(stores):
     assert m["late_rows_dropped"] == tbl.num_rows
     for t in TIERS:
         assert_tables_bitwise_equal(tier_table(root, t), before[t], t)
+
+
+def test_retention_then_ingest_composes(stores, ray_session):
+    """Prune a store, then append strictly newer turns: pruned windows must
+    not resurrect, kept history stays bit-identical, and the new windows
+    appear — the compose case a tiered store lives in (hourly ingest batches
+    + a nightly retention job)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from chronoxtract_ray.stages.retention import RetentionPolicy, apply_retention
+
+    tbl, _, _ = stores
+    root = "/tmp/ctx_ing_compose"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=P)
+    # history = everything except the final 2h of the stream; live = the rest
+    ts = tbl["ts"].cast(pa.int64()).to_numpy()
+    cut = int(ts.max()) - 2 * 3_600_000_000
+    hist = tbl.filter(pa.array(ts <= cut))
+    live = tbl.filter(pa.array(ts > cut))
+    ingest.run_incremental_ingest(rd.from_arrow(hist), root, cfg, batch_id="hist")
+
+    keep_us = 12 * 3_600_000_000
+    summary = apply_retention(root, P, RetentionPolicy({"1m": keep_us}))
+    cutoff = summary["tiers"]["1m"]["cutoff_us"]
+    assert summary["tiers"]["1m"]["rows_dropped"] > 0
+    kept_before = tier_table(root, "1m")
+
+    m = ingest.run_incremental_ingest(rd.from_arrow(live), root, cfg, batch_id="live")
+    assert m["late_rows_dropped"] == 0
+    after = tier_table(root, "1m")
+    ws = after["window_start"].to_numpy()
+    # nothing resurrects behind the retention cutoff
+    assert int(ws.min()) >= cutoff
+    # pre-existing finalized windows are untouched by the append
+    open_starts = {p: man["open_start_us"] for p, man in ckpt.load_manifests(root, "1m", P).items()}
+    min_open = min(open_starts.values())
+    old_final = kept_before.filter(pa.array(kept_before["window_start"].to_numpy() < min_open))
+    still = after.filter(pa.array(ws < min_open))
+    # the append can only ADD rows at/after each partition's open window
+    assert old_final.num_rows <= still.num_rows
+    merged = {(c, w) for c, w in zip(still["conv_id"].to_pylist(), still["window_start"].to_pylist())}
+    for c, w in zip(old_final["conv_id"].to_pylist(), old_final["window_start"].to_pylist()):
+        assert (c, w) in merged
+    # and the live tail's windows are present
+    live_ts = live["ts"].cast(pa.int64()).to_numpy()
+    assert int(ws.max()) == (int(live_ts.max()) // 60_000_000) * 60_000_000
+
+
+def test_stale_partition_cannot_resurrect_after_retention(ray_session):
+    """A partition whose OPEN window falls behind the retention horizon:
+    retention empties its rows, chunks, and open buffer; redelivering the
+    original turns must drop them all as late-by-policy (no resurrection)."""
+    import ray.data as rd
+
+    from chronoxtract_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+    from chronoxtract_ray.stages.retention import RetentionPolicy, apply_retention
+
+    root = "/tmp/ctx_ing_stale"
+    shutil.rmtree(root, ignore_errors=True)
+    base = 1_704_067_200_000_000
+    n = 30
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv-x"] * n, pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(["t" * (i % 7 + 1) for i in range(n)], pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array([base + i * 20_000_000 for i in range(n)], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    cfg = PipelineConfig(num_parts=2)
+    ingest.run_incremental_ingest(rd.from_arrow(tbl), root, cfg, batch_id="a")
+    assert tier_table(root, "1m").num_rows > 0
+
+    # horizon entirely beyond the data: cutoff = watermark + 1h
+    wm = max(m["watermark_us"] for m in ckpt.load_manifests(root, "1m", 2).values())
+    apply_retention(root, 2, RetentionPolicy({"1m": -3_600_000_000}))  # negative keep → cutoff past the end
+    assert tier_table(root, "1m").num_rows == 0
+    for p in range(2):
+        buf = os.path.join(root, "_open", f"part={p:04d}", "data.parquet")
+        if os.path.exists(buf):
+            assert pq.read_table(buf).num_rows == 0
+
+    m = ingest.run_incremental_ingest(rd.from_arrow(tbl), root, cfg, batch_id="b")
+    assert m["late_rows_dropped"] == n
+    assert tier_table(root, "1m").num_rows == 0, "pruned windows resurrected"
