@@ -150,10 +150,11 @@ class IncrementalWriteStage:
     rollup kernel live in ``__init__``); fed by ``repartition(P,
     keys=["part"])`` so each call owns whole partitions."""
 
-    def __init__(self, out_root: str, cfg: PipelineConfig, batch_id: str):
+    def __init__(self, out_root: str, cfg: PipelineConfig, batch_id: str, allowed_lateness_us: int = 0):
         self.root = out_root
         self.cfg = cfg
         self.batch_id = batch_id
+        self.allowed_lateness_us = int(allowed_lateness_us)
         self.fn = make_block_rollup(cfg.rollup)
         self.gor = {t: _gorilla_cfg(cfg, t) for t in TIER_ORDER}
         # the writer is used ONLY for its chunk encoder (staged paths differ)
@@ -246,7 +247,11 @@ class IncrementalWriteStage:
         wm_ts = int(work["ts_us"].to_numpy().max()) if work.num_rows else int(old_man.get("wm_ts_us", 0))
         if old_man.get("wm_ts_us"):
             wm_ts = max(wm_ts, int(old_man["wm_ts_us"]))
-        new_open_start = (wm_ts // self.cfg.rollup.width_us) * self.cfg.rollup.width_us
+        # the open region extends back by the lateness allowance: any window
+        # that can still legally receive a turn keeps its raw turns buffered,
+        # so bounded-out-of-order delivery merges bit-exactly
+        width = self.cfg.rollup.width_us
+        new_open_start = ((wm_ts - self.allowed_lateness_us) // width) * width
         keep_buf = work.filter(pa.array(work["ts_us"].to_numpy() >= new_open_start))
 
         # ---- stage everything, then READY (durability point) ----
@@ -317,13 +322,16 @@ def run_incremental_ingest(
     cfg: PipelineConfig | None = None,
     batch_id: str | None = None,
     pre_derived: bool = False,
+    allowed_lateness_us: int = 0,
 ) -> dict:
     """Merge a batch of new transcripts into ``out_root``. ``source``: a
     transcripts Dataset or parquet path (or, with ``pre_derived``, a Dataset
     already in the derived-row schema conv_id/turn_idx/bucket/ts_us/value).
     ``batch_id`` keys exactly-once semantics — re-running a killed job with
     the SAME id never double-counts a turn; defaults to a fresh uuid (every
-    call is a distinct batch).
+    call is a distinct batch). ``allowed_lateness_us`` widens the open
+    region: a turn up to that far behind the partition watermark still
+    merges exactly (its windows stay buffered); only older ones drop late.
 
     Returns metrics: partitions touched, late rows dropped, 1m rows after
     merge, buffered open-window turns."""
@@ -356,7 +364,7 @@ def run_incremental_ingest(
     wconc, w_cpus = _writer_pool(cfg)
     recs = keyed.map_batches(
         IncrementalWriteStage,
-        fn_constructor_args=(out_root, cfg, batch_id),
+        fn_constructor_args=(out_root, cfg, batch_id, allowed_lateness_us),
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -256,3 +256,34 @@ def test_stale_partition_cannot_resurrect_after_retention(ray_session):
     m = ingest.run_incremental_ingest(rd.from_arrow(tbl), root, cfg, batch_id="b")
     assert m["late_rows_dropped"] == n
     assert tier_table(root, "1m").num_rows == 0, "pruned windows resurrected"
+
+
+def test_out_of_order_delivery_within_lateness_merges_exactly(stores, ray_session):
+    """allowed_lateness widens the open region: turns displaced into the NEXT
+    batch (arriving ~10-11 h behind the advanced watermark) still merge, and
+    the final store is bit-identical to the one-shot batch run."""
+    import ray.data as rd
+
+    tbl, _, _ = stores
+    root = "/tmp/ctx_ing_ooo"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=P)
+    HOUR = 3_600_000_000
+    ts = tbl["ts"].cast(pa.int64()).to_numpy()
+    q = np.quantile(ts, (1 / 3, 2 / 3)).astype(np.int64)
+    disp1 = (ts > q[0] - HOUR) & (ts <= q[0])  # arrive one batch late
+    disp2 = (ts > q[1] - HOUR) & (ts <= q[1])
+    assert disp1.any() and disp2.any()
+    b1 = tbl.filter(pa.array((ts <= q[0]) & ~disp1))
+    b2 = tbl.filter(pa.array(((ts > q[0]) & (ts <= q[1]) & ~disp2) | disp1))
+    b3 = tbl.filter(pa.array((ts > q[1]) | disp2))
+    ms = [
+        ingest.run_incremental_ingest(
+            rd.from_arrow(b), root, cfg, batch_id=f"o{i}", allowed_lateness_us=12 * HOUR
+        )
+        for i, b in enumerate((b1, b2, b3))
+    ]
+    assert sum(m["late_rows_dropped"] for m in ms) == 0
+    assert sum(m["dup_rows_dropped"] for m in ms) == 0
+    for tier in TIERS:
+        assert_tables_bitwise_equal(tier_table(FULL, tier), tier_table(root, tier), f"ooo {tier}")
