@@ -240,8 +240,79 @@ def run_scaling() -> None:
     )
 
 
+def run_ingest_bench() -> dict:
+    """Continuous-aggregate merge throughput: build a live store from the
+    stream's first half, then time merging the second half into it through
+    the incremental path (open-window buffers, staged exactly-once commits,
+    per-partition cascade recompute)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig
+    from chronoxtract_ray.stages.ingest import run_incremental_ingest
+
+    src = _cached_transcripts(N_CONVS)
+    import glob as _glob
+
+    lo = hi = None
+    for f in _glob.glob(os.path.join(src, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(i for i in range(md.num_columns) if md.schema.column(i).name == "ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    to_us = lambda v: int(pa.array([v], pa.timestamp("us")).cast(pa.int64())[0].as_py())
+    cut = (to_us(lo) + to_us(hi)) // 2
+
+    def half(keep_le: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["ts"].cast(pa.int64()).to_numpy() <= cut
+            return b.filter(pa.array(m if keep_le else ~m))
+
+        return f
+
+    out = "/tmp/ctx_bench_ingest_out"
+    shutil.rmtree(out, ignore_errors=True)
+    n_parts = NUM_PARTS or max(2 * NUM_CPUS, 16)
+    cfg = PipelineConfig(num_parts=n_parts)
+    ds = rd.read_parquet(src)
+    run_incremental_ingest(ds.map_batches(half(True), batch_format="pyarrow"), out, cfg, batch_id="half1")
+    live = ds.map_batches(half(False), batch_format="pyarrow")
+    turns2 = live.count()
+    t0 = time.time()
+    m = run_incremental_ingest(live, out, cfg, batch_id="half2")
+    wall = time.time() - t0
+    result = {
+        "metric": "incremental ingest: merge the stream's second half into the live store",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "turns_merged": int(turns2),
+        "throughput_turns_per_s": round(turns2 / wall, 1),
+        "rows_1m_after": m["rows_1m"],
+        "parts_touched": m["parts_touched"],
+        "num_cpus": NUM_CPUS,
+        "num_parts": n_parts,
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--ingest" in sys.argv:
+        print(json.dumps(run_ingest_bench()))
     else:
         print(json.dumps(run_bench()))
