@@ -37,6 +37,10 @@ swap can never be read. Crash before READY leaves the old state fully
 intact. The dataflow is the flagship's: derive → ONE hash shuffle on
 ``part`` → partition-local actor work; at 100 TB an hourly batch touches
 its own partitions only, each in one task.
+
+Concurrency contract: ONE ingest job per store at a time (batches are
+sequential by nature — each builds on the previous watermark). Partitions
+WITHIN a batch commit independently and in parallel.
 """
 
 from __future__ import annotations
@@ -371,6 +375,9 @@ def run_incremental_ingest(
         concurrency=wconc,
         num_cpus=w_cpus,
     ).take_all()
+    # every touched partition has committed; drop this batch's (now empty)
+    # staging tree so crashed-and-rerun batches don't accumulate leftovers
+    shutil.rmtree(os.path.join(out_root, "_staged", batch_id), ignore_errors=True)
     return {
         "batch_id": batch_id,
         "wall_s": time.time() - t0,
