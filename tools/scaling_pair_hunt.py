@@ -175,6 +175,10 @@ def main() -> None:
         lo, hi, convs, ep = CONFIGS[idx % len(CONFIGS)]
         idx += 1
         convs = int(min(CONVS_MAX, max(CONVS_MIN, convs * pr["kernel"] / KERNEL_REF)))
+        # quantize to 25k so the bench's cached transcript tables are reused
+        # (a fresh conv count would regenerate a multi-minute table INSIDE
+        # the window, before timing starts — wasting the fast window)
+        convs = max(25_000, round(convs / 25_000) * 25_000)
         log(f"window GOOD {pr} -> pair {lo}->{hi} convs={convs} ep={ep}")
         open("/tmp/campaign_running", "w").close()
         try:
