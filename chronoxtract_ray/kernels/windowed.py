@@ -88,7 +88,15 @@ def _seg_sums_ranges(arr: np.ndarray, starts: np.ndarray, ends_excl: np.ndarray,
     n_seg = starts.size
     if arr.size == 0:
         return np.zeros(n_seg)
-    a = arr.copy()
+    # pad so the LAST segment's reduceat slice has the same length it would
+    # have mid-block (own positions + boundary_width zeros). np.add.reduceat
+    # sums pairwise, so a slice's LENGTH shapes its summation tree: without
+    # the pad, the same window summed as "last segment of a block" vs
+    # "followed by another conversation" could differ by 1 ulp — per-window
+    # results must depend on the window alone, never on block composition
+    # (bit-reproducibility across shuffle packings; caught by the
+    # incremental-vs-batch equality tests).
+    a = np.concatenate((arr, np.zeros(boundary_width, dtype=arr.dtype)))
     for k in range(1, boundary_width + 1):
         zp = ends_excl[:-1] + (boundary_width - k)
         zp = zp[(zp >= 0) & (zp < a.size)]

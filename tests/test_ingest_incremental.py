@@ -287,3 +287,30 @@ def test_out_of_order_delivery_within_lateness_merges_exactly(stores, ray_sessio
     assert sum(m["dup_rows_dropped"] for m in ms) == 0
     for tier in TIERS:
         assert_tables_bitwise_equal(tier_table(FULL, tier), tier_table(root, tier), f"ooo {tier}")
+
+
+def test_edge_batches_empty_single_and_many_splits(ray_session):
+    """Degenerate batch shapes: an EMPTY batch is a no-op, a single-turn
+    batch merges, and a 5-way split still equals the one-shot run."""
+    import ray.data as rd
+
+    tbl = generate_table(6, base_turns=30, hot_every=3, hot_factor=5)
+    full_root, inc_root = "/tmp/ctx_ing_edge_full", "/tmp/ctx_ing_edge_inc"
+    for d in (full_root, inc_root):
+        shutil.rmtree(d, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=P)
+    run_rollup_pipeline(rd.from_arrow(tbl), full_root, cfg)
+
+    batches = _split_by_time(tbl, qs=(0.2, 0.4, 0.6, 0.8))
+    # make the stream lumpy: an empty batch and a single-turn batch in between
+    ts = tbl["ts"].cast(pa.int64()).to_numpy()
+    order = np.argsort(ts, kind="stable")
+    lone = tbl.take(order[-1:])  # the final turn alone
+    rest4 = batches[4].filter(pa.array(batches[4]["ts"].cast(pa.int64()).to_numpy() < ts[order[-1]]))
+    seq = [batches[0], tbl.slice(0, 0), batches[1], batches[2], batches[3], rest4, lone]
+    for i, b in enumerate(seq):
+        m = ingest.run_incremental_ingest(rd.from_arrow(b), inc_root, cfg, batch_id=f"e{i}")
+        if b.num_rows == 0:
+            assert m["parts_touched"] == 0 and m["rows_1m"] == 0
+    for tier in TIERS:
+        assert_tables_bitwise_equal(tier_table(full_root, tier), tier_table(inc_root, tier), f"edge {tier}")
