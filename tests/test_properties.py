@@ -127,3 +127,43 @@ def test_batched_entropy_equals_scalar(v):
     else:
         assert np.isclose(se[0], exp_se)
     assert np.isclose(ae[0], k.approximate_entropy(v, 2, r))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(5, 120), st.integers(0, 10_000))
+def test_windowed_features_independent_of_block_composition(n, seed):
+    """Per-window outputs must depend on the window's own rows alone — never
+    on what else shares the block (shuffle packing varies across cluster
+    shapes and ingest batches). np.add.reduceat sums pairwise, so slice
+    LENGTHS must be normalized (windowed._seg_sums_ranges pads); this pins
+    the invariant bit-for-bit, including the diff-based hjorth/slope path."""
+    rng = np.random.default_rng(seed)
+    width = 60_000_000
+    ts = np.sort(rng.integers(0, width * 7, size=n)).astype(np.int64)
+    val = rng.standard_normal(n) * 50 + 100
+    spec = FeatureSpec()
+
+    def run(ts_all, val_all, codes):
+        return compute_windowed_features(ts_all, val_all, width, spec, series_ids=codes)
+
+    alone = run(ts, val, np.zeros(n, dtype=np.int64))
+    # embed the same series between two neighbor series in one block
+    m1, m2 = rng.integers(3, 40), rng.integers(3, 40)
+    pre_ts = np.sort(rng.integers(0, width * 5, size=m1)).astype(np.int64)
+    post_ts = np.sort(rng.integers(0, width * 5, size=m2)).astype(np.int64)
+    ts_all = np.concatenate((pre_ts, ts, post_ts))
+    val_all = np.concatenate((rng.standard_normal(m1), val, rng.standard_normal(m2)))
+    codes = np.concatenate((np.zeros(m1, np.int64), np.ones(n, np.int64), np.full(m2, 2, np.int64)))
+    embedded = run(ts_all, val_all, codes)
+
+    sel = np.flatnonzero(np.isin(embedded["row_index"], m1 + np.arange(n)))
+    assert sel.size == alone["window_start"].size
+    for key, arr in alone.items():
+        if key == "row_index":
+            continue
+        got = embedded[key][sel]
+        want = np.asarray(arr)
+        if want.dtype.kind == "f":
+            assert np.array_equal(got.view(np.uint64), want.view(np.uint64)), key
+        else:
+            assert np.array_equal(got, want), key
