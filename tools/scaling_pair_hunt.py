@@ -108,7 +108,7 @@ def probe() -> dict:
     b1, s1 = _stat()
     eff = (b1 - b0) / 100.0 / dt
     steal = (s1 - s0) / 100.0 / dt
-    if eff < 14.5 or steal >= 1.0:
+    if eff < 14.5 or steal >= 1.5:  # match the legs' own validity bar
         return {"ok": False, "why": f"eff={eff:.1f} steal={steal:.1f}"}
     from chronoxtract_ray.kernels.windowed import FeatureSpec, compute_windowed_features
 
