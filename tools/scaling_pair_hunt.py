@@ -67,7 +67,7 @@ NUM_PARTS = "64"
 # kernel 561k — 2.8x kernel slowdown, 10x pipeline slowdown: four workers
 # + object store + shuffle share the throttled bus the single-thread probe
 # barely stresses). Legs are only feasible in genuinely fast windows.
-MIN_KERNEL = 250_000.0
+MIN_KERNEL = 180_000.0
 DEADLINE_S = 4 * 3600
 PAIRS = "/tmp/scaling_pairs.jsonl"
 
