@@ -138,6 +138,22 @@ def run_bench() -> dict:
             rollup=RollupConfig(spec=spec),
             cascade_spec=spec,
         )
+    # single-thread window-speed fingerprint (untimed): this host modulates
+    # per-core memory bandwidth ~15x between minutes-scale windows (see
+    # BASELINE.md scaling section); recording the fingerprint lets a reader
+    # normalize a wall time by the window the run happened to land in
+    import numpy as _np
+
+    _n = 600_000
+    _ts = _np.arange(_n, dtype=_np.int64) * 60_000_000
+    _val = _np.random.default_rng(0).standard_normal(_n) * 30 + 100
+    _t0 = time.time()
+    from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
+    from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
+
+    _cwf(_ts, _val, 3_600_000_000, _FS())
+    kernel_fp = _n / (time.time() - _t0)
+
     busy0, steal0 = _cpu_sample()
     t0 = time.time()
     metrics = run_rollup_pipeline(src, out, cfg)
@@ -181,6 +197,7 @@ def run_bench() -> dict:
         # windows — see BASELINE.md)
         "busy_cores": round(busy_cores, 2),
         "steal_cores": round(steal_cores, 2),
+        "window_kernel_fingerprint": round(kernel_fp),
     }
     ray.shutdown()
     return result
