@@ -47,8 +47,8 @@ sys.path.insert(0, REPO)
 # its wall (a true-0.85 engine still measures >= 0.8), small enough that
 # the pair fits one fast window.
 CONFIGS = [
-    (4, 16, 300000, 0),   # stable fast window: 16-leg fixed cost < ~12%
     (4, 16, 150000, 0),   # decaying fast window: whole pair in ~4 min
+    (4, 16, 300000, 0),   # stable fast window: 16-leg fixed cost < ~12%
 ]
 # conv counts above are calibrated to the FASTEST observed window (kernel
 # ≈ 561k turns/s single-thread → 4-CPU leg walls of ~170 s plain / ~160 s
@@ -68,7 +68,7 @@ NUM_PARTS = "64"
 # kernel 561k — 2.8x kernel slowdown, 10x pipeline slowdown: four workers
 # + object store + shuffle share the throttled bus the single-thread probe
 # barely stresses). Legs are only feasible in genuinely fast windows.
-MIN_KERNEL = 380_000.0
+MIN_KERNEL = 330_000.0
 DEADLINE_S = 4 * 3600
 PAIRS = "/tmp/scaling_pairs.jsonl"
 
