@@ -62,69 +62,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so every family lands inside the driver's 50-query check
+    window each round. Round 2 verified exactly the first 50 entries, so the
+    16 entries that sat last (the whole dedup/ANN/join-extension family) got
+    no CORRECTNESS row despite having SQL oracles. This round they go FIRST;
+    13 simple scans that were driver-green in round 2 (rolling/expanding
+    scans, matrix transforms, scalar per-series stats — see CORRECTNESS_r02)
+    rotate behind the window together with the 3 declared rows-only entries.
+    """
     return {
-        # ---- windowed feature rollups over events (time-series core) ----
-        "window_moments": qe.q_window_moments,
-        "window_skew_kurt": qe.q_window_skew_kurt,
-        "window_quantiles": qe.q_window_quantiles,
-        "window_mode": qe.q_window_mode,
-        "slope_features": qe.q_slope_features,
-        "hjorth": qe.q_hjorth,
-        "turning_points": qe.q_turning_points,
-        # ---- rolling / expanding scans ----
-        "rolling_mean": qe.q_rolling_mean,
-        "expanding_sum": qe.q_expanding_sum,
-        "ema": qe.q_ema,
-        # ---- tiers / gap-fill / compression ----
-        "gap_filled_hourly": qe.q_gap_filled_hourly,
-        "tier_cascade_1h": qe.q_tier_cascade_1h,
-        "gorilla_roundtrip": qe.q_gorilla_roundtrip,
-        "retention_prune": qe.q_retention_prune,
-        "continuous_aggregate": qe.q_continuous_aggregate,
-        # ---- whole-series / astronomy ----
-        "fvar_per_user": qe.q_fvar_per_user,
-        "lomb_scargle": qe.q_lomb_scargle,
-        # ---- entropy / spectral / model-fitting (non-SQL) ----
-        "entropy_features": qe.q_entropy_features,
-        "fft_bands": qe.q_fft_bands,
-        "stl_strengths": qe.q_stl_strengths,
-        "dfa": qe.q_dfa,
-        "lzc": qe.q_lzc,
-        "variability_timescale": qe.q_variability_timescale,
-        "carma_loglik": qe.q_carma_loglik,
-        "carma_mle": qe.q_carma_mle,
-        "carma_order": qe.q_carma_order,
-        "carma_mcmc": qe.q_carma_mcmc,
-        "detect_seasonality": qf.q_detect_seasonality,
-        "rolling_fvar": qf.q_rolling_fvar,
-        "stl_decompose": qf.q_stl_decompose,
-        "zdcf_pairs": qf.q_zdcf,
-        "peak_stats": qf.q_peak_stats_sql,
-        # ---- per-series feature kernels (SQL-checked; see queries_features) ----
-        "find_peaks": qf.q_find_peaks,
-        "peak_to_peak": qf.q_peak_to_peak,
-        "variability_features": qf.q_variability_features,
-        "zero_crossing_rate": qf.q_zero_crossing_rate,
-        "energy_distribution": qf.q_energy_distribution,
-        "higher_moments": qf.q_higher_moments,
-        "rolling_variance": qf.q_rolling_variance,
-        "sliding_window_entropy": qf.q_sliding_window_entropy,
-        "variability_tau": qf.q_variability_tau,
-        "tde": qf.q_tde,
-        "gasf": qf.q_gasf,
-        "mtf": qf.q_mtf,
-        "acf_binned": qf.q_acf_binned,
-        "multiscale_entropy": qf.q_multiscale_entropy,
-        "dcf_pairs": qf.q_dcf_pairs,
-        "carma_forecast": qf.q_carma_forecast,
-        # ---- temporal joins (as-of / range / sessionize) ----
-        "sessionize": qj.q_sessionize,
-        "asof_join": qj.q_asof_join,
-        "range_join": qj.q_range_join,
-        # ---- sort/limit + plain aggregates ----
-        "top_energy_windows": qe.q_top_energy_windows,
-        "event_type_stats": qe.q_event_type_stats,
-        # ---- dedup + text analysis over documents ----
+        # ---- dedup + text analysis over documents (unchecked in r02) ----
         "dedup_exact": qd.q_dedup_exact,
         "doc_fingerprint": qd.q_doc_fingerprint,
         "token_stats": qd.q_token_stats,
@@ -134,11 +81,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": qd.q_lang_id,
         "ngram_jaccard_pairs": qd.q_ngram_jaccard_pairs,
         "dedup_clusters": qd.q_dedup_clusters,
-        # ---- similarity search over embeddings ----
+        # ---- similarity search over embeddings (unchecked in r02) ----
         "knn_bruteforce": qv.q_knn_bruteforce,
         "embedding_neardup": qv.q_embedding_neardup,
         "knn_lsh": qv.q_knn_lsh,
         "knn_ivf": qv.q_knn_ivf,
+        # ---- joins / sort-limit / aggregates (unchecked in r02) ----
+        "range_join": qj.q_range_join,
+        "top_energy_windows": qe.q_top_energy_windows,
+        "event_type_stats": qe.q_event_type_stats,
+        # ---- fixed / newly hash-checked this round ----
+        "entropy_features": qe.q_entropy_features,
+        "carma_mle": qe.q_carma_mle,
+        "carma_order": qe.q_carma_order,
+        # ---- tiers / gap-fill / compression ----
+        "continuous_aggregate": qe.q_continuous_aggregate,
+        "tier_cascade_1h": qe.q_tier_cascade_1h,
+        "gorilla_roundtrip": qe.q_gorilla_roundtrip,
+        "retention_prune": qe.q_retention_prune,
+        "gap_filled_hourly": qe.q_gap_filled_hourly,
+        # ---- windowed feature rollups over events (time-series core) ----
+        "window_moments": qe.q_window_moments,
+        "window_skew_kurt": qe.q_window_skew_kurt,
+        "window_quantiles": qe.q_window_quantiles,
+        "window_mode": qe.q_window_mode,
+        "slope_features": qe.q_slope_features,
+        "hjorth": qe.q_hjorth,
+        "turning_points": qe.q_turning_points,
+        # ---- spectral / entropy / seasonality ----
+        "fft_bands": qe.q_fft_bands,
+        "lomb_scargle": qe.q_lomb_scargle,
+        "stl_strengths": qe.q_stl_strengths,
+        "dfa": qe.q_dfa,
+        "lzc": qe.q_lzc,
+        "multiscale_entropy": qf.q_multiscale_entropy,
+        "detect_seasonality": qf.q_detect_seasonality,
+        "stl_decompose": qf.q_stl_decompose,
+        "rolling_fvar": qf.q_rolling_fvar,
+        # ---- temporal joins ----
+        "sessionize": qj.q_sessionize,
+        "asof_join": qj.q_asof_join,
+        # ---- whole-series / astronomy / model fitting ----
+        "fvar_per_user": qe.q_fvar_per_user,
+        "variability_tau": qf.q_variability_tau,
+        "carma_loglik": qe.q_carma_loglik,
+        "carma_forecast": qf.q_carma_forecast,
+        "acf_binned": qf.q_acf_binned,
+        "dcf_pairs": qf.q_dcf_pairs,
+        "peak_stats": qf.q_peak_stats_sql,
+        "find_peaks": qf.q_find_peaks,
+        # ==== entries 51+ (past the driver's 50-row cap this round; all of
+        # these were driver-hash-verified green in CORRECTNESS_r02, except
+        # the final 3 declared rows-only) ====
+        "rolling_mean": qe.q_rolling_mean,
+        "rolling_variance": qf.q_rolling_variance,
+        "expanding_sum": qe.q_expanding_sum,
+        "ema": qe.q_ema,
+        "sliding_window_entropy": qf.q_sliding_window_entropy,
+        "tde": qf.q_tde,
+        "gasf": qf.q_gasf,
+        "mtf": qf.q_mtf,
+        "higher_moments": qf.q_higher_moments,
+        "peak_to_peak": qf.q_peak_to_peak,
+        "zero_crossing_rate": qf.q_zero_crossing_rate,
+        "energy_distribution": qf.q_energy_distribution,
+        "variability_features": qf.q_variability_features,
+        "zdcf_pairs": qf.q_zdcf,
+        "carma_mcmc": qe.q_carma_mcmc,
+        "variability_timescale": qe.q_variability_timescale,
     }
 
 
