@@ -37,6 +37,17 @@ class FeatureSpec:
     hjorth: bool = True
     entropy_m: int = 2
     entropy_r_factor: float = 0.2  # r = factor * window std
+    # Bit-stable tolerance mode: when set (e.g. 100 for 2-decimal data), the
+    # entropy tolerance r is derived from INTEGER-EXACT power sums of
+    # round(value * scale) — integer sums are summation-order-independent, so
+    # r is bit-identical no matter how blocks are packed AND reproducible by
+    # any external oracle (SQL) that evaluates the same canonical float
+    # expression on the same integers. The `<= r` Chebyshev match predicate
+    # is discontinuous; a 1-ulp disagreement in r flips integer pair counts
+    # and moves SampEn/ApEn by far more than output rounding absorbs
+    # (CORRECTNESS_r02 entropy_features failure). None = float-std path.
+    # Requires sum(round(v*scale)^2) per window to fit int64.
+    entropy_r_int_scale: int | None = None
     perm_m: int = 3
     perm_delay: int = 1
     n_fft_bands: int = 4
@@ -308,7 +319,26 @@ def compute_windowed_features(
             samp = np.full(n_win, np.nan)
             apen = np.full(n_win, np.nan)
             perm = np.full(n_win, np.nan)
-            r_all = np.where(np.isfinite(std), spec.entropy_r_factor * std, 0.0)
+            if spec.entropy_r_int_scale is not None:
+                # integer-exact variance → canonical float expression; the op
+                # sequence below (div, div, mul, sub, sqrt, mul, div — each a
+                # single correctly-rounded IEEE op) is mirrored verbatim by
+                # the SQL oracle, so r is bit-identical on both sides.
+                sc = spec.entropy_r_int_scale
+                ivi = np.rint(v * sc).astype(np.int64)
+                s1i = np.add.reduceat(ivi, starts).astype(np.float64)
+                s2i = np.add.reduceat(ivi * ivi, starts).astype(np.float64)
+                m2i = s2i / fn
+                m1i = s1i / fn
+                vari = m2i - m1i * m1i
+                with np.errstate(invalid="ignore"):
+                    r_all = np.where(
+                        vari > 0.0,
+                        spec.entropy_r_factor * np.sqrt(np.maximum(vari, 0.0)) / sc,
+                        0.0,
+                    )
+            else:
+                r_all = np.where(np.isfinite(std), spec.entropy_r_factor * std, 0.0)
         if spec.fft:
             bands = np.full((n_win, nb), np.nan)
         uniq_lens = np.unique(counts)

@@ -808,12 +808,23 @@ def q_entropy_features(sf_dir: str):
     the oracle reproduces the exact SampEn/ApEn normalizations
     (kernels/entropy.py:47-85, parity with the reference
     /root/reference/src/entropy/mod.rs:139-222) pair-for-pair, the
-    tolerance r = 0.2*std from the same power-sum expression as the
-    engine, and permutation patterns via stable-tie comparisons. Rows with
+    tolerance r from the same expression as the engine, and permutation
+    patterns via stable-tie comparisons. Rows with
     NaN sample entropy (n=3 windows whose only m-template pair matches:
     phi_{m+1} = 0/0 in the engine) are filtered on BOTH sides; SampEn
-    +inf (no matches) is produced identically by both."""
-    spec = FeatureSpec(order_stats=False, fft=False, shape=False, hjorth=False, entropy=True)
+    +inf (no matches) is produced identically by both.
+
+    Bit-stability of the `<= r` match predicate: r is derived from
+    INTEGER-EXACT power sums of round(value*100) (events.value is 2-decimal
+    by construction) through a canonical float expression the SQL mirrors
+    op-for-op, so r — and therefore every discontinuous pair-count decision
+    — is bit-identical between engine and oracle regardless of summation
+    order (fixes the CORRECTNESS_r02 hash mismatch: a 1-ulp float-std
+    disagreement flipped boundary pairs)."""
+    spec = FeatureSpec(
+        order_stats=False, fft=False, shape=False, hjorth=False, entropy=True,
+        entropy_r_int_scale=100,
+    )
     t = _windowed(sf_dir, spec, DAY_US)
     keep = ~np.isnan(t["sample_entropy"].to_numpy())
     return pa.table(
@@ -833,15 +844,25 @@ def q_entropy_features(sf_dir: str):
 # verbatim: phi_m = b/(n-2), phi_{m+1} = a/(n-3), Phi(m) = mean ln(c/T).
 SQL_ENTROPY_FEATURES = f"""
 WITH e AS (
-  SELECT user_id, {_WD} AS ws, value, ts, event_id FROM events
+  SELECT user_id, {_WD} AS ws, value, ts, event_id,
+    CAST(round(value * 100) AS BIGINT) AS iv
+  FROM events
 ), o AS (
-  SELECT user_id, ws, value,
+  SELECT user_id, ws, value, iv,
     row_number() OVER (PARTITION BY user_id, ws ORDER BY ts, event_id) - 1 AS i,
     count(*) OVER (PARTITION BY user_id, ws) AS n
   FROM e
 ), st AS (
+  -- r from INTEGER-EXACT power sums of iv = round(value*100): summation
+  -- order can't perturb integer sums, and the float expression below is
+  -- evaluated op-for-op identically by the engine
+  -- (kernels/windowed.py entropy_r_int_scale path) → bit-identical r.
   SELECT user_id, ws, any_value(n) AS n,
-    0.2 * sqrt(sum(value*value)/count(*) - (sum(value)/count(*))*(sum(value)/count(*))) AS r
+    CASE WHEN (CAST(sum(iv*iv) AS DOUBLE) / count(*))
+              - (CAST(sum(iv) AS DOUBLE) / count(*)) * (CAST(sum(iv) AS DOUBLE) / count(*)) > 0
+         THEN 0.2 * sqrt((CAST(sum(iv*iv) AS DOUBLE) / count(*))
+              - (CAST(sum(iv) AS DOUBLE) / count(*)) * (CAST(sum(iv) AS DOUBLE) / count(*))) / 100.0
+         ELSE 0.0 END AS r
   FROM o GROUP BY 1, 2
 ), w AS (
   SELECT user_id, ws, i, n, value AS v0,
