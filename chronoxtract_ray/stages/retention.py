@@ -99,15 +99,25 @@ def _atomic_rewrite(final_dir: str, table: pa.Table) -> None:
     os.rename(tmp_dir, final_dir)
 
 
+def _read_dir(d: str) -> pa.Table | None:
+    """All parquet segment files of one artifact dir (the incremental ingest
+    writes several per partition; the batch pipeline writes one)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
 def _trim_chunks(chunk_dir: str, cutoff: int) -> int:
     """Prune a partition's Gorilla chunk rows to points >= cutoff. Whole-old
     rows drop, whole-new rows pass through untouched (their blobs are not
     re-encoded), straddling rows are decoded, filtered, re-encoded. Returns
     the number of chunk rows dropped."""
-    path = os.path.join(chunk_dir, "data.parquet")
-    if not os.path.exists(path):
+    t = _read_dir(chunk_dir)
+    if t is None:
         return 0
-    t = pq.read_table(path)
     last = t["last_window"].to_numpy()
     first = t["first_window"].to_numpy()
     keep = last >= cutoff
@@ -147,29 +157,39 @@ def _stamp_manifest(root: str, tier: str, part: int, man: dict, cutoff: int, **u
     os.rename(tmp, mp)
 
 
-def _trim_open_buffer(root: str, part: int, cutoff: int) -> int:
-    """Drop open-buffer turns older than the cutoff so a later incremental
-    ingest cannot resurrect pruned windows of a stale partition (one whose
-    open window itself fell behind the retention horizon). Returns turns
-    dropped."""
+def _trim_open_buffer(root: str, part: int, cutoff: int, width_us: int) -> int:
+    """Drop open-buffer turns whose WINDOW is older than the cutoff so a
+    later incremental ingest cannot resurrect pruned windows of a stale
+    partition (one whose open window itself fell behind the retention
+    horizon). The predicate matches the tier rows' window_start >= cutoff
+    exactly — window-floor the turn timestamp, don't compare raw ts (a
+    non-window-aligned cutoff would otherwise strand partial turn sets of a
+    pruned window in the buffer). Returns turns dropped."""
     buf_dir = os.path.join(root, "_open", f"part={part:04d}")
-    path = os.path.join(buf_dir, "data.parquet")
-    if not os.path.exists(path):
+    t = _read_dir(buf_dir)
+    if t is None:
         return 0
-    t = pq.read_table(path)
-    keep = t["ts_us"].to_numpy() >= cutoff
+    ts = t["ts_us"].to_numpy()
+    keep = (ts // width_us) * width_us >= cutoff
     if keep.all():
         return 0
     _atomic_rewrite(buf_dir, t.filter(pa.array(keep)))
     return int((~keep).sum())
 
 
+def _invalidate_conv_sidecar(root: str, part: int) -> None:
+    """Pruning 1m rows can invalidate the incremental-ingest per-conv
+    anchors (a conv's p0/a windows may be gone); drop the sidecar so the
+    next ingest re-bootstraps it from the surviving rows."""
+    shutil.rmtree(os.path.join(root, "_convs", f"part={part:04d}"), ignore_errors=True)
+
+
 def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
     """Enforce one (tier, part)'s retention cutoff. Self-contained (safe as a
     distributed task) and idempotent. Returns an action record."""
+    import glob
+
     rec = {"tier": tier, "part": part, "action": "skip", "rows_dropped": 0, "chunks_dropped": 0}
-    if tier == "1m":  # the buffer feeds the finest tier; keep them consistent
-        _trim_open_buffer(root, part, cutoff)
     mp = manifest_path(root, tier, part)
     if not os.path.exists(mp):
         return rec  # never prune a partition without a complete manifest
@@ -178,20 +198,26 @@ def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
     prior = man.get("retention_cutoff_us")
     if not man.get("complete") or (prior is not None and prior >= cutoff):
         return rec
+    if tier == "1m":  # the buffer feeds the finest tier; keep them consistent
+        from chronoxtract_ray.pipelines.rollup_pipeline import MINUTE_US
+
+        _trim_open_buffer(root, part, cutoff, MINUTE_US)
     part_dir = os.path.join(root, f"tier={tier}", f"part={part:04d}")
     chunk_dir = os.path.join(root, "chunks", f"tier={tier}", f"part={part:04d}")
-    data = os.path.join(part_dir, "data.parquet")
-    if not os.path.exists(data) or man.get("rows", 0) == 0:
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    if not files or man.get("rows", 0) == 0:
         _stamp_manifest(root, tier, part, man, cutoff)
         rec["action"] = "keep"
         return rec
-    bounds = _window_start_bounds(data)
-    if bounds is None:  # no stats → conservative full read below
-        bounds = (-(1 << 62), 1 << 62)
-    lo, hi = bounds
+    lo, hi = 1 << 62, -(1 << 62)
+    for f in files:
+        b = _window_start_bounds(f) or (-(1 << 62), 1 << 62)
+        lo, hi = min(lo, b[0]), max(hi, b[1])
     if hi < cutoff:  # metadata-only whole drop
         shutil.rmtree(part_dir, ignore_errors=True)
         shutil.rmtree(chunk_dir, ignore_errors=True)
+        if tier == "1m":
+            _invalidate_conv_sidecar(root, part)
         _stamp_manifest(root, tier, part, man, cutoff, rows=0, watermark_us=None,
                         retention_rows_dropped=man.get("retention_rows_dropped", 0) + man.get("rows", 0))
         rec.update(action="drop", rows_dropped=man.get("rows", 0))
@@ -200,11 +226,14 @@ def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
         _stamp_manifest(root, tier, part, man, cutoff)
         rec["action"] = "keep"
         return rec
-    t = pq.read_table(data)
+    t = _read_dir(part_dir)
     mask = pa.array(t["window_start"].to_numpy() >= cutoff)
     kept = t.filter(mask)
     dropped = t.num_rows - kept.num_rows
-    _atomic_rewrite(part_dir, kept)
+    keys = [k for k in ("conv_id", "window_start") if k in kept.column_names]
+    _atomic_rewrite(part_dir, kept.sort_by([(k, "ascending") for k in keys]))
+    if tier == "1m":
+        _invalidate_conv_sidecar(root, part)
     rec["chunks_dropped"] = _trim_chunks(chunk_dir, cutoff)
     _stamp_manifest(root, tier, part, man, cutoff, rows=kept.num_rows,
                     retention_rows_dropped=man.get("retention_rows_dropped", 0) + dropped)
@@ -226,6 +255,13 @@ def apply_retention(
     already up — this function never owns a Ray session); the work list is
     metadata-sized, so the driver-side collect here is bounded by partition
     COUNT, not data size."""
+    # complete any torn ingest commit BEFORE pruning: a READY-marked staged
+    # state that rolled forward AFTER this retention pass would resurrect
+    # pruned rows and erase the cutoff stamps (one-job-at-a-time contract
+    # makes this start-of-run roll-forward sufficient)
+    from chronoxtract_ray.stages.ingest import recover_all_partitions
+
+    recover_all_partitions(root)
     tiers = [t for t, k in policy.keep_us.items() if k is not None]
     if now_us is None:
         now_us = store_watermark_us(root, tiers, num_parts)

@@ -124,7 +124,10 @@ def test_crash_recovery_rolls_forward(stores, ray_session):
     swap — the next touch of the partition completes the commit."""
     part = 0
     # fabricate a staged state: tier_1m with one sentinel row appended
-    cur = pq.read_table(os.path.join(INC, "tier=1m", f"part={part:04d}", "data.parquet"))
+    part_dir = os.path.join(INC, "tier=1m", f"part={part:04d}")
+    cur = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet")))]
+    )
     sentinel = cur.slice(0, 1)
     staged = pa.concat_tables([cur, sentinel])
     stage_dir = ingest._staged_dir(INC, "crashed", part)
@@ -138,7 +141,9 @@ def test_crash_recovery_rolls_forward(stores, ray_session):
 
     recovered = ingest.recover_partition(INC, part)
     assert recovered == ["crashed"]
-    after = pq.read_table(os.path.join(INC, "tier=1m", f"part={part:04d}", "data.parquet"))
+    after = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet")))]
+    )
     assert after.num_rows == staged.num_rows
     with open(ckpt.manifest_path(INC, "1m", part)) as f:
         assert json.load(f)["ingest_batch_id"] == "crashed"
@@ -314,3 +319,41 @@ def test_edge_batches_empty_single_and_many_splits(ray_session):
             assert m["parts_touched"] == 0 and m["rows_1m"] == 0
     for tier in TIERS:
         assert_tables_bitwise_equal(tier_table(full_root, tier), tier_table(inc_root, tier), f"edge {tier}")
+
+
+def test_closed_segments_survive_by_hard_link(ray_session):
+    """The write-amplification contract: an ingest batch rewrites only
+    segment files overlapping its recompute region — every closed segment
+    is hard-linked through the staged commit, so its INODE (not just its
+    content) survives, and the store still equals a from-scratch run."""
+    import ray.data as rd
+
+    tbl = generate_table(8, base_turns=60, hot_every=4, hot_factor=5)
+    full_root, inc_root = "/tmp/ctx_ing_link_full", "/tmp/ctx_ing_link_inc"
+    for d in (full_root, inc_root):
+        shutil.rmtree(d, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=P)
+    run_rollup_pipeline(rd.from_arrow(tbl), full_root, cfg)
+    batches = _split_by_time(tbl, qs=(0.4, 0.7, 0.9))
+    for i, b in enumerate(batches[:-1]):
+        ingest.run_incremental_ingest(rd.from_arrow(b), inc_root, cfg, batch_id=f"l{i}")
+
+    def seg_inodes():
+        out = {}
+        for pat in ("tier=*/part=*/*.parquet", "chunks/tier=*/part=*/*.parquet"):
+            for f in glob.glob(os.path.join(inc_root, pat)):
+                out[f] = os.stat(f).st_ino
+        return out
+
+    before = seg_inodes()
+    ingest.run_incremental_ingest(rd.from_arrow(batches[-1]), inc_root, cfg, batch_id="l-last")
+    after = seg_inodes()
+    preserved = [f for f, ino in before.items() if after.get(f) == ino]
+    rewritten = [f for f in before if f not in after]
+    # the final small batch must not have rewritten the whole store
+    assert preserved, f"no segment survived the batch: rewrote {len(rewritten)} files"
+    assert len(preserved) >= len(rewritten), (
+        f"batch rewrote {len(rewritten)} of {len(before)} segments (kept {len(preserved)})"
+    )
+    for tier in TIERS:
+        assert_tables_bitwise_equal(tier_table(full_root, tier), tier_table(inc_root, tier), f"link {tier}")
