@@ -211,18 +211,70 @@ def _minhash_batch(texts: list[str], seed: int = 7) -> np.ndarray:
     return sigs
 
 
-def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
-    """MinHash+LSH near-duplicate candidate pairs verified by signature
-    Jaccard >= ``min_sig_jaccard``. Shape: shingle→minhash per batch
-    (map_batches) → explode to (band, band_hash, doc_id) →
-    groupby(band, band_hash) → pairs → verify. SQL-checked: the polynomial
-    shingle hash, the (a*h + b) mod 2^64 hash family (constants embedded
-    from the same seeded RNG), banded bucket hashing and the signature
-    Jaccard all reproduce in DuckDB — 64-bit wraparound is emulated with
-    HUGEINT split-multiplication, so the oracle re-derives every candidate
-    pair bit-for-bit. With ``min_sig_jaccard=0`` this returns EVERY
-    same-bucket pair — the candidate generator for the exact-Jaccard
-    stages below."""
+# One LSH bucket block holds at most this many distinct docs. A bucket of
+# k docs costs O(k^2) signature comparisons; block decomposition spreads a
+# degenerate bucket (k >> CAP: empty/boilerplate texts all landing in one
+# band_hash) across ceil(k/CAP)*(ceil(k/CAP)+1)/2 independent tasks instead
+# of one quadratic worker. Per-task payload: 2 blocks = 2*CAP*(64+1)*8 bytes
+# (~0.5 MiB at 512).
+_BUCKET_CAP = 512
+
+_EMPTY_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "sig_jaccard": pa.array([], pa.float64())}
+)
+_TASK_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("sig_jaccard", pa.float64()),
+        ("ids_a", pa.list_(pa.int64())),
+        ("sigs_a", pa.list_(pa.uint64())),
+        ("ids_b", pa.list_(pa.int64())),
+        ("sigs_b", pa.list_(pa.uint64())),
+    ]
+)
+
+
+def _pair_block(ids_a, sigs_a, ids_b, sigs_b, thr: float, triu: bool):
+    """Vectorized signature-Jaccard for one block pair. ``triu=True`` scores
+    the upper triangle of a self-block; otherwise the full cross product
+    (blocks are consecutive ranges of the sorted unique ids, so a<b holds by
+    construction). Chunked over rows of block a to bound the boolean
+    intermediate at ~chunk*CAP*64 bytes."""
+    out_a, out_b, out_j = [], [], []
+    chunk = max(1, (1 << 22) // max(64 * ids_b.size, 1))  # ~4 MiB bools
+    for s in range(0, ids_a.size, chunk):
+        e = min(s + chunk, ids_a.size)
+        j = (sigs_a[s:e, None, :] == sigs_b[None, :, :]).mean(axis=2)
+        if triu:
+            # mask at/below the diagonal of the full matrix
+            ii, jj = np.nonzero(j >= thr)
+            keep = (ii + s) < jj
+            ii, jj = ii[keep], jj[keep]
+        else:
+            ii, jj = np.nonzero(j >= thr)
+        out_a.append(ids_a[ii + s])
+        out_b.append(ids_b[jj])
+        out_j.append(j[ii, jj])
+    return (
+        np.concatenate(out_a) if out_a else np.array([], np.int64),
+        np.concatenate(out_b) if out_b else np.array([], np.int64),
+        np.concatenate(out_j) if out_j else np.array([], np.float64),
+    )
+
+
+def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
+    """MinHash+LSH candidate pairs as a DATASET (doc_a, doc_b, sig_jaccard),
+    doc_a < doc_b, each unordered pair exactly once.
+
+    Shape: shingle→minhash per batch (map_batches) → explode to
+    (band, band_hash, doc_id, sig) → groupby(band, band_hash). A bucket of
+    k <= _BUCKET_CAP docs scores its pairs in-place (vectorized); an
+    oversized bucket emits one TASK row per block pair, resolved by a
+    downstream map_batches — so no single worker owns a degenerate bucket's
+    O(k^2). Cross-bucket duplicate pairs are deduped DISTRIBUTED via
+    groupby(doc_a, doc_b).min (sig_jaccard is a pure pair function, so min
+    is just "pick one"); nothing lands on the driver."""
     ds = _docs(sf_dir)
 
     def sig_batch(t: pa.Table) -> pa.Table:
@@ -242,33 +294,118 @@ def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
             }
         )
 
+    def _rows(da, db, jj, tasks=None) -> pa.Table:
+        n = da.size
+        empty = [[]] * n
+        cols = {
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "sig_jaccard": pa.array(jj, pa.float64()),
+            "ids_a": pa.array(empty, pa.list_(pa.int64())),
+            "sigs_a": pa.array(empty, pa.list_(pa.uint64())),
+            "ids_b": pa.array(empty, pa.list_(pa.int64())),
+            "sigs_b": pa.array(empty, pa.list_(pa.uint64())),
+        }
+        t = pa.table(cols, schema=_TASK_SCHEMA)
+        return t if tasks is None else pa.concat_tables([t, tasks])
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy()
         if ids.size < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "sig_jaccard": pa.array([], pa.float64())})
-        sigs = np.stack([np.asarray(s) for s in group["sig"].to_pylist()])
+            return _rows(*(np.array([]),) * 3)
         uniq, idx = np.unique(ids, return_index=True)
-        out_a, out_b, out_j = [], [], []
-        for x in range(uniq.size):
-            for y in range(x + 1, uniq.size):
-                j = float((sigs[idx[x]] == sigs[idx[y]]).mean())
-                if j >= min_sig_jaccard:
-                    out_a.append(int(uniq[x]))
-                    out_b.append(int(uniq[y]))
-                    out_j.append(j)
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()), "sig_jaccard": pa.array(out_j, pa.float64())})
+        sigs = np.stack([np.asarray(group["sig"][int(i)].as_py()) for i in idx]).astype(np.uint64)
+        if uniq.size <= _BUCKET_CAP:
+            da, db, jj = _pair_block(uniq, sigs, uniq, sigs, min_sig_jaccard, triu=True)
+            return _rows(da, db, jj)
+        # degenerate bucket: emit block-pair tasks instead of scoring here
+        nb = -(-uniq.size // _BUCKET_CAP)
+        bounds = [(i * _BUCKET_CAP, min((i + 1) * _BUCKET_CAP, uniq.size)) for i in range(nb)]
+        recs = []
+        for x in range(nb):
+            for y in range(x, nb):
+                (sa, ea), (sb, eb) = bounds[x], bounds[y]
+                recs.append(
+                    {
+                        "doc_a": -1,
+                        "doc_b": -1,
+                        "sig_jaccard": -1.0,
+                        "ids_a": uniq[sa:ea].tolist(),
+                        "sigs_a": sigs[sa:ea].ravel().tolist(),
+                        "ids_b": uniq[sb:eb].tolist(),
+                        "sigs_b": sigs[sb:eb].ravel().tolist(),
+                    }
+                )
+        return _rows(*(np.array([]),) * 3, tasks=pa.Table.from_pylist(recs, schema=_TASK_SCHEMA))
 
-    pairs = (
+    def resolve(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        direct = t.filter(pc.field("doc_a") >= 0).select(["doc_a", "doc_b", "sig_jaccard"])
+        tasks = t.filter(pc.field("doc_a") < 0)
+        parts = [direct]
+        for r in range(tasks.num_rows):
+            ia = np.asarray(tasks["ids_a"][r].as_py(), np.int64)
+            ib = np.asarray(tasks["ids_b"][r].as_py(), np.int64)
+            sa = np.asarray(tasks["sigs_a"][r].as_py(), np.uint64).reshape(ia.size, _N_HASHES)
+            sb = np.asarray(tasks["sigs_b"][r].as_py(), np.uint64).reshape(ib.size, _N_HASHES)
+            same = ia.size == ib.size and (ia == ib).all()
+            da, db, jj = _pair_block(ia, sa, ib, sb, min_sig_jaccard, triu=same)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_a": pa.array(da, pa.int64()),
+                        "doc_b": pa.array(db, pa.int64()),
+                        "sig_jaccard": pa.array(jj, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "sig_jaccard": t["min(sig_jaccard)"],
+            }
+        )
+
+    return (
         ds.map_batches(sig_batch, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-    ).take_all()
-    if not pairs:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "sig_jaccard": pa.array([], pa.float64())})
-    t = pa.Table.from_pylist(pairs)
-    df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
-    df["sig_jaccard"] = _round(df["sig_jaccard"].to_numpy())
-    return pa.Table.from_pandas(df, preserve_index=False)
+        .map_batches(resolve, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .min("sig_jaccard")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
+    """MinHash+LSH near-duplicate candidate pairs verified by signature
+    Jaccard >= ``min_sig_jaccard``. SQL-checked: the polynomial shingle
+    hash, the (a*h + b) mod 2^64 hash family (constants embedded from the
+    same seeded RNG), banded bucket hashing and the signature Jaccard all
+    reproduce in DuckDB — 64-bit wraparound is emulated with HUGEINT
+    split-multiplication, so the oracle re-derives every candidate pair
+    bit-for-bit. With ``min_sig_jaccard=0`` this returns EVERY same-bucket
+    pair — the candidate generator for the exact-Jaccard stages below.
+    All pair work (bucket scoring, mega-bucket block tasks, cross-bucket
+    dedup) is distributed; only the final result table is collected."""
+    t = pa.Table.from_pylist(
+        _minhash_pairs_ds(sf_dir, min_sig_jaccard).take_all(),
+    )
+    if t.num_rows == 0:
+        return _EMPTY_PAIRS
+    t = t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    return pa.table(
+        {
+            "doc_a": t["doc_a"].cast(pa.int64()),
+            "doc_b": t["doc_b"].cast(pa.int64()),
+            "sig_jaccard": pa.array(_round(t["sig_jaccard"].to_numpy()), pa.float64()),
+        }
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -461,6 +598,12 @@ def _shingle_set(s: str) -> set:
     return {s[i : i + _SHINGLE_K] for i in range(max(len(s) - _SHINGLE_K + 1, 1))}
 
 
+# Exact-Jaccard edge tables memoized per sf_dir: q_ngram_jaccard_pairs and
+# q_dedup_clusters share one edge computation instead of re-running the
+# whole minhash→LSH→verify chain twice (VERDICT r2 #6).
+_EDGE_CACHE: dict[str, pa.Table] = {}
+
+
 def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
     """LSH candidates → exact 5-gram Jaccard >= _JACCARD_T, distributed:
 
@@ -471,52 +614,62 @@ def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
        ~1000x larger background of incidental bucket collisions before the
        O(|shingles|) exact stage; candidate coverage of every exact pair is
        verified against the all-pairs SQL oracle on every test sf.
-    2. semi-join: shingle sets are computed WORKER-side, only for docs whose
-       id is in the broadcast candidate-id set (tiny by construction — the
-       near-dup population, not the corpus), via map_batches over documents.
-    3. pair scoring runs as map_batches over the candidate-pair dataset with
-       the candidate shingle sets broadcast once via ray.put.
+    2. the candidate-id set is a distributed distinct (groupby on exploded
+       pair endpoints); documents are SEMI-JOINED to it with a hash join, so
+       shingle sets are computed worker-side only for the near-dup
+       population — never for the corpus, never on the driver.
+    3. shingle sets reach each pair through two hash joins (on doc_a, then
+       doc_b) instead of a driver-built dict broadcast; the scoring stage is
+       a map_batches over the joined pair dataset.
 
-    The documents table itself is never materialized on the driver."""
-    import ray
-    import ray.data as rd
-
-    cands = q_minhash_neardup(sf_dir, min_sig_jaccard=0.35)
+    The candidate pair set and shingle-set table ARE materialized as
+    Datasets (object store, not driver) because each feeds two downstream
+    consumers — both are near-dup-population-sized, not corpus-sized. Only
+    the final edge table is collected."""
+    if sf_dir in _EDGE_CACHE:
+        return _EDGE_CACHE[sf_dir]
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
-    if cands.num_rows == 0:
+
+    cands = _minhash_pairs_ds(sf_dir, min_sig_jaccard=0.35).select_columns(["doc_a", "doc_b"]).materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
+        _EDGE_CACHE[sf_dir] = empty
         return empty
-    ids = np.unique(np.concatenate([cands["doc_a"].to_numpy(), cands["doc_b"].to_numpy()]))
-    id_ref = ray.put(ids)
+    n_parts = max(2, min(32, n_cands // 2048 + 1))
 
-    def shingle_sets(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def endpoints(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t["doc_a"].to_numpy(), t["doc_b"].to_numpy()])
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
-        keep = pc.is_in(t["doc_id"], value_set=pa.array(ray.get(id_ref), pa.int64()))
-        sub = t.filter(keep)
-        sets = [sorted(_shingle_set(s)) for s in sub["text"].to_pylist()]
-        return pa.table({"doc_id": sub["doc_id"], "sh": pa.array(sets, pa.list_(pa.string()))})
+    cand_ids = cands.map_batches(endpoints, batch_format="pyarrow").groupby("doc_id").count().select_columns(["doc_id"])
 
-    set_rows = _docs(sf_dir).map_batches(shingle_sets, batch_format="pyarrow").take_all()
-    lookup = {r["doc_id"]: frozenset(r["sh"]) for r in set_rows}
-    lk_ref = ray.put(lookup)
+    # Acero hash joins reject list-typed payload columns, so the join payload
+    # is the candidate doc's raw TEXT (string); shingle sets are derived at
+    # score time (O(len) per pair side — the near-dup population is small).
+    cand_docs = _docs(sf_dir).join(cand_ids, join_type="inner", num_partitions=n_parts, on=("doc_id",)).materialize()
+
+    joined = cands.join(
+        cand_docs, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",), right_suffix="_a"
+    ).join(cand_docs, join_type="inner", num_partitions=n_parts, on=("doc_b",), right_on=("doc_id",), left_suffix="_a", right_suffix="_b")
 
     def score(t: pa.Table) -> pa.Table:
-        lk = ray.get(lk_ref)
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa, sb = lk[a], lk[b]
+        tx_a = t["text" if "text" in t.column_names else "text_a"]
+        tx_b = t["text_b"]
+        for i in range(t.num_rows):
+            sa, sb = _shingle_set(tx_a[i].as_py()), _shingle_set(tx_b[i].as_py())
             inter = len(sa & sb)
             j = inter / (len(sa) + len(sb) - inter)  # same DOUBLE division as SQL
             if j >= _JACCARD_T:
-                out_a.append(a)
-                out_b.append(b)
+                out_a.append(t["doc_a"][i].as_py())
+                out_b.append(t["doc_b"][i].as_py())
                 out_j.append(j)
         return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()), "jaccard": pa.array(out_j, pa.float64())})
 
-    rows = rd.from_arrow(cands.select(["doc_a", "doc_b"])).map_batches(score, batch_format="pyarrow").take_all()
-    if not rows:
-        return empty
-    return pa.Table.from_pylist(rows).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    rows = joined.map_batches(score, batch_format="pyarrow").take_all()
+    out = empty if not rows else pa.Table.from_pylist(rows).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    _EDGE_CACHE[sf_dir] = out
+    return out
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
