@@ -1186,6 +1186,78 @@ FROM rec r JOIN o ON o.user_id = r.user_id AND o.i = r.i AND o.i = o.n - 1
 q_peak_stats = _api_query("enhanced_peak_stats", ["n_peaks", "mean_prominence", "mean_spacing", "peak_density"], min_prominence=1.0, min_distance=1)
 
 
+def _build_carma_mle_sql() -> str:
+    """Hash-checked oracle for the seeded multi-start CAR(1) MLE, following
+    the knn_lsh precedent: the engine's 8 seeded random starts reduce, for
+    p=1/q=0, to per-start constants (lam = -a1, q_base = sigma^2/(2|lam|),
+    h = ma0 = 1) — non-stationary draws (a1 <= 0) raise in the engine and are
+    simply absent from the VALUES list. Each valid start runs the same scalar
+    Kalman recursion as SQL_CARMA_LOGLIK (times in HOURS, matching
+    _user_series_hours); best loglik per user = max over starts (the engine's
+    first-strict-max scan picks the same double), AICc with k = p+q+2 = 3
+    exactly as kernels/carma.py information_criteria."""
+    from chronoxtract_ray.kernels.carma import _StateSpace, _random_start
+
+    starts = []
+    for i in range(8):
+        try:
+            params = _random_start(1, 0, i)
+            ss = _StateSpace(params)
+            starts.append((i, float(ss.lam[0].real), float(ss.q_base[0, 0])))
+        except ValueError:
+            continue  # engine skips non-stationary starts identically
+    vals = ", ".join(f"({k}, {lam!r}::DOUBLE, {qb!r}::DOUBLE)" for k, lam, qb in starts)
+    return f"""
+WITH RECURSIVE o AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0 AS t, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), ok AS (
+  SELECT user_id FROM (
+    SELECT user_id, t - lag(t) OVER (PARTITION BY user_id ORDER BY i) AS dt, n FROM o
+  ) GROUP BY user_id HAVING min(coalesce(dt, 1.0)) > 0 AND any_value(n) >= 3
+), c AS (
+  SELECT * FROM (VALUES {vals}) s(k, lam, qb)
+), rec AS (
+  SELECT o.user_id, c.k, o.i, o.t,
+    ((-c.qb) / (c.lam + c.lam)) / (((-c.qb) / (c.lam + c.lam)) + 1.0) * o.value AS x,
+    (1.0 - ((-c.qb) / (c.lam + c.lam)) / (((-c.qb) / (c.lam + c.lam)) + 1.0)) * ((-c.qb) / (c.lam + c.lam)) AS p,
+    -0.5 * (o.value * o.value / (((-c.qb) / (c.lam + c.lam)) + 1.0)
+            + ln(((-c.qb) / (c.lam + c.lam)) + 1.0) + 2.0 * ln(pi())) AS ll
+  FROM o CROSS JOIN c JOIN ok ON ok.user_id = o.user_id
+  WHERE o.i = 0
+  UNION ALL
+  SELECT o.user_id, r.k, o.i, o.t,
+    st.xp + (st.pp / (st.pp + 1.0)) * (o.value - st.xp) AS x,
+    (1.0 - st.pp / (st.pp + 1.0)) * st.pp AS p,
+    r.ll + (-0.5) * ((o.value - st.xp) * (o.value - st.xp) / (st.pp + 1.0)
+                     + ln(st.pp + 1.0) + 2.0 * ln(pi())) AS ll
+  FROM rec r
+  JOIN o ON o.user_id = r.user_id AND o.i = r.i + 1
+  JOIN c ON c.k = r.k,
+  LATERAL (
+    SELECT exp(c.lam * (o.t - r.t)) * r.x AS xp,
+      (exp(c.lam * (o.t - r.t)) * r.p) * exp(c.lam * (o.t - r.t))
+        + c.qb * ((exp((c.lam + c.lam) * (o.t - r.t)) - 1.0) / (c.lam + c.lam)) AS pp
+  ) st
+), fin AS (
+  SELECT r.user_id, r.ll, o.n
+  FROM rec r JOIN o ON o.user_id = r.user_id AND o.i = r.i AND o.i = o.n - 1
+), best AS (
+  SELECT user_id, max(ll) AS ll, any_value(n) AS n FROM fin GROUP BY user_id
+)
+SELECT user_id, ROUND(ll, 6) AS loglik,
+  ROUND(CASE WHEN n > 4.0
+        THEN (2.0 * 3.0 - 2.0 * ll) + (2.0 * 3.0 * (3.0 + 1.0)) / (n - 3.0 - 1.0)
+        ELSE 'infinity'::DOUBLE END, 6) AS aicc
+FROM best
+"""
+
+
+SQL_CARMA_MLE = _build_carma_mle_sql()
+
+
 # ---- CARMA fitting family (rows-only: seeded multi-start / PT-MCMC over a
 # per-user Kalman likelihood — deterministic, but random-start evaluation
 # and posterior sampling are not SQL-expressible; kernel correctness is
