@@ -218,16 +218,16 @@ def oracle_sql() -> dict[str, str]:
         # Seeded CAR(1) multi-start constants embedded as SQL literals
         # (knn_lsh precedent); the Kalman recursion is the carma_loglik CTE.
         "carma_mle": qe.SQL_CARMA_MLE,
+        "carma_order": qe.SQL_CARMA_ORDER,
         "detect_seasonality": qf.SQL_DETECT_SEASONALITY,
         "rolling_fvar": qf.SQL_ROLLING_FVAR,
         "stl_decompose": qf.SQL_STL_DECOMPOSE,
         # Still rows-only:
         # zdcf_pairs (seeded 100-draw Monte-Carlo error perturbation —
         # deterministic, not SQL-expressible; determinism + zero-lag tests),
-        # carma_order / carma_mcmc (AICc grid over p<=2 needs a 2x2 complex
-        # Kalman in SQL / PT-MCMC posterior sampling is not SQL-expressible;
+        # carma_mcmc (PT-MCMC posterior sampling is not SQL-expressible;
         # the underlying Kalman recursion IS hash-checked via carma_loglik,
-        # carma_forecast and now carma_mle),
+        # carma_forecast, carma_mle and carma_order),
         # variability_timescale (µs api surface; the hours variant IS
         # hash-checked as variability_tau; µs-scale taus exceed fixed-decimal
         # rounding's noise floor).

@@ -1196,10 +1196,23 @@ def _build_carma_mle_sql() -> str:
     _user_series_hours); best loglik per user = max over starts (the engine's
     first-strict-max scan picks the same double), AICc with k = p+q+2 = 3
     exactly as kernels/carma.py information_criteria."""
+    return _scalar_kalman_best_cte(n_starts=8) + """
+SELECT user_id, ROUND(ll, 6) AS loglik,
+  ROUND(CASE WHEN n > 4.0
+        THEN (2.0 * 3.0 - 2.0 * ll) + (2.0 * 3.0 * (3.0 + 1.0)) / (n - 3.0 - 1.0)
+        ELSE 'infinity'::DOUBLE END, 6) AS aicc
+FROM best
+"""
+
+
+def _scalar_kalman_best_cte(n_starts: int) -> str:
+    """WITH-clause prefix: per-user best CAR(1) loglikelihood over the first
+    ``n_starts`` seeded starts (valid ones only), ending in
+    ``best(user_id, ll, n)``."""
     from chronoxtract_ray.kernels.carma import _StateSpace, _random_start
 
     starts = []
-    for i in range(8):
+    for i in range(n_starts):
         try:
             params = _random_start(1, 0, i)
             ss = _StateSpace(params)
@@ -1247,15 +1260,31 @@ WITH RECURSIVE o AS (
 ), best AS (
   SELECT user_id, max(ll) AS ll, any_value(n) AS n FROM fin GROUP BY user_id
 )
-SELECT user_id, ROUND(ll, 6) AS loglik,
+"""
+
+
+def _build_carma_order_sql() -> str:
+    """Hash-checked oracle for the AICc order grid over p<=2, q<p with 4
+    seeded starts per cell. Every seeded start of BOTH p=2 cells fails
+    DATA-INDEPENDENTLY in the engine — seeds 0/2/3 draw a non-stationary AR
+    polynomial and seed 1 draws complex roots, which the rotated transition
+    rejects (kernels/carma.py transition, reference src/carma/math.rs:201-220)
+    — so carma_mle raises for (2,0) and (2,1), their grid cells stay NaN, and
+    the selection always lands on (1,0) (carma_choose_order's default best is
+    also (1,0)). The discriminating float is best_aicc: the (1,0) cell's
+    4-start MLE AICc, computed by the same scalar Kalman CTE as the
+    carma_loglik/carma_mle oracles."""
+    return _scalar_kalman_best_cte(n_starts=4) + """
+SELECT user_id, 1 AS best_p, 0 AS best_q,
   ROUND(CASE WHEN n > 4.0
         THEN (2.0 * 3.0 - 2.0 * ll) + (2.0 * 3.0 * (3.0 + 1.0)) / (n - 3.0 - 1.0)
-        ELSE 'infinity'::DOUBLE END, 6) AS aicc
+        ELSE 'infinity'::DOUBLE END, 6) AS best_aicc
 FROM best
 """
 
 
 SQL_CARMA_MLE = _build_carma_mle_sql()
+SQL_CARMA_ORDER = _build_carma_order_sql()
 
 
 # ---- CARMA fitting family (rows-only: seeded multi-start / PT-MCMC over a
@@ -1302,7 +1331,9 @@ def q_carma_mle(sf_dir: str):
 
 def q_carma_order(sf_dir: str):
     """AICc order selection over p<=2, q<p (kernels/carma.py
-    carma_choose_order; reference src/carma/mod.rs order scan)."""
+    carma_choose_order; reference src/carma/mod.rs order scan). Emits
+    best_aicc too, so the oracle checks a real float through the whole
+    multi-start Kalman path, not just the argmin integers."""
     from chronoxtract_ray.kernels.carma import carma_choose_order
 
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
@@ -1310,13 +1341,21 @@ def q_carma_order(sf_dir: str):
     def fn(group: pa.Table) -> pa.Table:
         uid, t, v, e = _user_series_hours(group)
         if t.size < 3:
-            return pa.table({"user_id": pa.array([], pa.int64()), "best_p": pa.array([], pa.int64()), "best_q": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "best_p": pa.array([], pa.int64()),
+                    "best_q": pa.array([], pa.int64()),
+                    "best_aicc": pa.array([], pa.float64()),
+                }
+            )
         r = carma_choose_order(t, v, e, 2, 1)
         return pa.table(
             {
                 "user_id": pa.array([np.int64(uid)], pa.int64()),
                 "best_p": pa.array([int(r["best_p"])], pa.int64()),
                 "best_q": pa.array([int(r["best_q"])], pa.int64()),
+                "best_aicc": pa.array(_round(np.array([r["best_aicc"]])), pa.float64()),
             }
         )
 
