@@ -19,6 +19,7 @@ from chronoxtract_ray.pipelines import queries_docs as qd
 from chronoxtract_ray.pipelines import queries_events as qe
 from chronoxtract_ray.pipelines import queries_features as qf
 from chronoxtract_ray.pipelines import queries_joins as qj
+from chronoxtract_ray.pipelines import queries_merged as qm
 from chronoxtract_ray.pipelines import queries_vec as qv
 
 SF0001 = "/root/testdata/sf0.001"
@@ -62,16 +63,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Ordered so every family lands inside the driver's 50-query check
-    window each round. Round 2 verified exactly the first 50 entries, so the
-    16 entries that sat last (the whole dedup/ANN/join-extension family) got
-    no CORRECTNESS row despite having SQL oracles. This round they go FIRST;
-    13 simple scans that were driver-green in round 2 (rolling/expanding
-    scans, matrix transforms, scalar per-series stats — see CORRECTNESS_r02)
-    rotate behind the window together with the 3 declared rows-only entries.
-    """
+    """53 entries: every operator family from SURVEY.md §2 + the
+    training-data extensions, with same-row-set families merged into
+    compositional queries (queries_merged.py) so that ALL 50 hash-checkable
+    entries fit inside the driver's 50-query check window; the 3 rows-only
+    entries (seeded MC / MCMC / µs-surface, declared at the bottom of
+    oracle_sql) sit past it by construction."""
     return {
-        # ---- dedup + text analysis over documents (unchecked in r02) ----
+        # ---- dedup + text analysis over documents ----
         "dedup_exact": qd.q_dedup_exact,
         "doc_fingerprint": qd.q_doc_fingerprint,
         "token_stats": qd.q_token_stats,
@@ -81,16 +80,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": qd.q_lang_id,
         "ngram_jaccard_pairs": qd.q_ngram_jaccard_pairs,
         "dedup_clusters": qd.q_dedup_clusters,
-        # ---- similarity search over embeddings (unchecked in r02) ----
+        # ---- similarity search over embeddings ----
         "knn_bruteforce": qv.q_knn_bruteforce,
         "embedding_neardup": qv.q_embedding_neardup,
         "knn_lsh": qv.q_knn_lsh,
         "knn_ivf": qv.q_knn_ivf,
-        # ---- joins / sort-limit / aggregates (unchecked in r02) ----
+        # ---- joins / sort-limit / aggregates ----
         "range_join": qj.q_range_join,
         "top_energy_windows": qe.q_top_energy_windows,
         "event_type_stats": qe.q_event_type_stats,
-        # ---- fixed / newly hash-checked this round ----
+        # ---- entropy + model fitting (hash-checked since r3) ----
         "entropy_features": qe.q_entropy_features,
         "carma_mle": qe.q_carma_mle,
         "carma_order": qe.q_carma_order,
@@ -101,19 +100,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_prune": qe.q_retention_prune,
         "gap_filled_hourly": qe.q_gap_filled_hourly,
         # ---- windowed feature rollups over events (time-series core) ----
-        "window_moments": qe.q_window_moments,
+        "window_summary": qm.q_window_summary,  # moments + quantiles + mode
         "window_skew_kurt": qe.q_window_skew_kurt,
-        "window_quantiles": qe.q_window_quantiles,
-        "window_mode": qe.q_window_mode,
         "slope_features": qe.q_slope_features,
         "hjorth": qe.q_hjorth,
         "turning_points": qe.q_turning_points,
+        # ---- rolling scans ----
+        "rolling_scans": qm.q_rolling_scans,  # mean + variance + esum + ema
+        "sliding_window_entropy": qf.q_sliding_window_entropy,
         # ---- spectral / entropy / seasonality ----
         "fft_bands": qe.q_fft_bands,
         "lomb_scargle": qe.q_lomb_scargle,
         "stl_strengths": qe.q_stl_strengths,
-        "dfa": qe.q_dfa,
-        "lzc": qe.q_lzc,
+        "complexity_stats": qm.q_complexity_stats,  # dfa + lzc
         "multiscale_entropy": qf.q_multiscale_entropy,
         "detect_seasonality": qf.q_detect_seasonality,
         "stl_decompose": qf.q_stl_decompose,
@@ -122,30 +121,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": qj.q_sessionize,
         "asof_join": qj.q_asof_join,
         # ---- whole-series / astronomy / model fitting ----
-        "fvar_per_user": qe.q_fvar_per_user,
-        "variability_tau": qf.q_variability_tau,
+        "variability_summary": qm.q_variability_summary,  # fvar + tau stats
         "carma_loglik": qe.q_carma_loglik,
         "carma_forecast": qf.q_carma_forecast,
         "acf_binned": qf.q_acf_binned,
         "dcf_pairs": qf.q_dcf_pairs,
         "peak_stats": qf.q_peak_stats_sql,
         "find_peaks": qf.q_find_peaks,
-        # ==== entries 51+ (past the driver's 50-row cap this round; all of
-        # these were driver-hash-verified green in CORRECTNESS_r02, except
-        # the final 3 declared rows-only) ====
-        "rolling_mean": qe.q_rolling_mean,
-        "rolling_variance": qf.q_rolling_variance,
-        "expanding_sum": qe.q_expanding_sum,
-        "ema": qe.q_ema,
-        "sliding_window_entropy": qf.q_sliding_window_entropy,
-        "tde": qf.q_tde,
-        "gasf": qf.q_gasf,
-        "mtf": qf.q_mtf,
-        "higher_moments": qf.q_higher_moments,
-        "peak_to_peak": qf.q_peak_to_peak,
-        "zero_crossing_rate": qf.q_zero_crossing_rate,
-        "energy_distribution": qf.q_energy_distribution,
-        "variability_features": qf.q_variability_features,
+        "matrix_transforms": qm.q_matrix_transforms,  # tde + gasf + mtf
+        "series_stats": qm.q_series_stats,  # m5-m8 + p2p + zcr + energy + cv
+        # ==== entries 51-53: rows-only by declared reason (see oracle_sql
+        # trailing comment); everything hash-checkable sits above ====
         "zdcf_pairs": qf.q_zdcf,
         "carma_mcmc": qe.q_carma_mcmc,
         "variability_timescale": qe.q_variability_timescale,
@@ -154,22 +140,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "window_moments": qe.SQL_WINDOW_MOMENTS,
+        # merged families (queries_merged.py): joins/unions of the component
+        # oracle texts as subqueries — no re-derived arithmetic
+        "window_summary": qm.SQL_WINDOW_SUMMARY,
+        "rolling_scans": qm.SQL_ROLLING_SCANS,
+        "complexity_stats": qm.SQL_COMPLEXITY_STATS,
+        "variability_summary": qm.SQL_VARIABILITY_SUMMARY,
+        "matrix_transforms": qm.SQL_MATRIX_TRANSFORMS,
+        "series_stats": qm.SQL_SERIES_STATS,
         "window_skew_kurt": qe.SQL_WINDOW_SKEW_KURT,
-        "window_quantiles": qe.SQL_WINDOW_QUANTILES,
-        "window_mode": qe.SQL_WINDOW_MODE,
         "slope_features": qe.SQL_SLOPE_FEATURES,
         "hjorth": qe.SQL_HJORTH,
         "turning_points": qe.SQL_TURNING_POINTS,
-        "rolling_mean": qe.SQL_ROLLING_MEAN,
-        "expanding_sum": qe.SQL_EXPANDING_SUM,
-        "ema": qe.SQL_EMA,
         "gap_filled_hourly": qe.SQL_GAP_FILLED_HOURLY,
         "tier_cascade_1h": qe.SQL_TIER_CASCADE_1H,
         "gorilla_roundtrip": qe.SQL_GORILLA_ROUNDTRIP,
         "retention_prune": qe.SQL_RETENTION_PRUNE,
         "continuous_aggregate": qe.SQL_CONTINUOUS_AGGREGATE,
-        "fvar_per_user": qe.SQL_FVAR_PER_USER,
         "sessionize": qj.SQL_SESSIONIZE,
         "asof_join": qj.SQL_ASOF_JOIN,
         "range_join": qj.SQL_RANGE_JOIN,
@@ -188,23 +175,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,
         "peak_stats": qf.SQL_PEAK_STATS,
         "find_peaks": qf.SQL_FIND_PEAKS,
-        "peak_to_peak": qf.SQL_PEAK_TO_PEAK,
-        "variability_features": qf.SQL_VARIABILITY_FEATURES,
-        "zero_crossing_rate": qf.SQL_ZERO_CROSSING_RATE,
-        "energy_distribution": qf.SQL_ENERGY_DISTRIBUTION,
-        "higher_moments": qf.SQL_HIGHER_MOMENTS,
-        "rolling_variance": qf.SQL_ROLLING_VARIANCE,
         "sliding_window_entropy": qf.SQL_SLIDING_WINDOW_ENTROPY,
-        "variability_tau": qf.SQL_VARIABILITY_TAU,
         "stl_strengths": qf.SQL_STL_STRENGTHS,
         "fft_bands": qe.SQL_FFT_BANDS,
         "entropy_features": qe.SQL_ENTROPY_FEATURES,
-        "dfa": qf.SQL_DFA,
-        "lzc": qf.SQL_LZC,
         "lomb_scargle": qe.SQL_LOMB_SCARGLE,
-        "tde": qf.SQL_TDE,
-        "gasf": qf.SQL_GASF,
-        "mtf": qf.SQL_MTF,
         "acf_binned": qf.SQL_ACF_BINNED,
         "dcf_pairs": qf.SQL_DCF_PAIRS,
         "multiscale_entropy": qf.SQL_MULTISCALE_ENTROPY,
@@ -229,6 +204,6 @@ def oracle_sql() -> dict[str, str]:
         # the underlying Kalman recursion IS hash-checked via carma_loglik,
         # carma_forecast, carma_mle and carma_order),
         # variability_timescale (µs api surface; the hours variant IS
-        # hash-checked as variability_tau; µs-scale taus exceed fixed-decimal
-        # rounding's noise floor).
+        # hash-checked inside variability_summary; µs-scale taus exceed
+        # fixed-decimal rounding's noise floor).
     }

@@ -173,7 +173,7 @@ def run_bench() -> dict:
         import __ray_entry__ as entrymod
 
         qs = entrymod.queries()
-        for name in ("window_moments", "window_quantiles", "gap_filled_hourly", "tier_cascade_1h",
+        for name in ("window_summary", "rolling_scans", "gap_filled_hourly", "tier_cascade_1h",
                      "gorilla_roundtrip", "entropy_features", "dedup_exact", "minhash_neardup",
                      "knn_bruteforce", "token_stats", "find_peaks", "dedup_clusters",
                      "embedding_neardup", "lomb_scargle", "retention_prune", "continuous_aggregate"):

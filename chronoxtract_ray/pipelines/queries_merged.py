@@ -1,0 +1,129 @@
+"""Compositional merges of same-row-set query families.
+
+The driver hash-verifies only the FIRST 50 entries of ``queries()``; round 2
+left 16 entries unchecked purely because the surface had 66 entries. These
+merges shrink the surface to <= 50 WITHOUT dropping any operator: each merged
+query is a pure composition — the engine side inner-joins (or unions) the
+existing per-operator query results, and the oracle side joins (or unions)
+the existing oracle SQL texts as subqueries. No arithmetic is re-derived on
+either side, so the bit-exactness each component already proved is preserved
+by construction; join keys and filters match because both sides compose the
+SAME component row sets the same way.
+
+Operator -> merged-query map (every name below was a standalone round-2
+query; kernels and docstring citations live at the component definitions):
+
+- rolling_scans      = rolling_mean + rolling_variance + expanding_sum + ema
+                       (rows: rn >= 5, the rolling windows' support)
+- window_summary     = window_moments + window_quantiles + window_mode
+                       (rows: every (user, hourly window))
+- series_stats       = higher_moments + peak_to_peak + zero_crossing_rate
+                       + energy_distribution + variability_features
+                       (rows: users passing every component filter)
+- matrix_transforms  = tde + gasf + mtf, tagged by ``kind``
+- complexity_stats   = dfa + lzc (per-user scalars)
+- variability_summary = fvar_per_user + variability_tau (per-user scalars)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from chronoxtract_ray.pipelines import queries_events as qe
+from chronoxtract_ray.pipelines import queries_features as qf
+
+
+def _merge(parts, keys):
+    """Inner-join component pyarrow tables on ``keys`` (pandas merge; the
+    driver's comparison is row-order-insensitive)."""
+    df = parts[0].to_pandas()
+    for p in parts[1:]:
+        df = df.merge(p.to_pandas(), on=keys, how="inner")
+    return pa.Table.from_pandas(df.sort_values(keys), preserve_index=False)
+
+
+def _join_sql(parts: list[str], keys: list[str]) -> str:
+    using = ", ".join(keys)
+    sql = f"({parts[0]}) q0"
+    for i, p in enumerate(parts[1:], 1):
+        sql += f" JOIN ({p}) q{i} USING ({using})"
+    return f"SELECT * FROM {sql}"
+
+
+def q_rolling_scans(sf_dir: str):
+    return _merge(
+        [qe.q_rolling_mean(sf_dir), qf.q_rolling_variance(sf_dir), qe.q_expanding_sum(sf_dir), qe.q_ema(sf_dir)],
+        ["user_id", "event_id"],
+    )
+
+
+SQL_ROLLING_SCANS = _join_sql(
+    [qe.SQL_ROLLING_MEAN, qf.SQL_ROLLING_VARIANCE, qe.SQL_EXPANDING_SUM, qe.SQL_EMA],
+    ["user_id", "event_id"],
+)
+
+
+def q_window_summary(sf_dir: str):
+    return _merge(
+        [qe.q_window_moments(sf_dir), qe.q_window_quantiles(sf_dir), qe.q_window_mode(sf_dir)],
+        ["user_id", "window_start"],
+    )
+
+
+SQL_WINDOW_SUMMARY = _join_sql(
+    [qe.SQL_WINDOW_MOMENTS, qe.SQL_WINDOW_QUANTILES, qe.SQL_WINDOW_MODE],
+    ["user_id", "window_start"],
+)
+
+
+def q_series_stats(sf_dir: str):
+    return _merge(
+        [
+            qf.q_higher_moments(sf_dir),
+            qf.q_peak_to_peak(sf_dir),
+            qf.q_zero_crossing_rate(sf_dir),
+            qf.q_energy_distribution(sf_dir),
+            qf.q_variability_features(sf_dir),
+        ],
+        ["user_id"],
+    )
+
+
+SQL_SERIES_STATS = _join_sql(
+    [
+        qf.SQL_HIGHER_MOMENTS,
+        qf.SQL_PEAK_TO_PEAK,
+        qf.SQL_ZERO_CROSSING_RATE,
+        qf.SQL_ENERGY_DISTRIBUTION,
+        qf.SQL_VARIABILITY_FEATURES,
+    ],
+    ["user_id"],
+)
+
+
+def q_complexity_stats(sf_dir: str):
+    return _merge([qe.q_dfa(sf_dir), qe.q_lzc(sf_dir)], ["user_id"])
+
+
+SQL_COMPLEXITY_STATS = _join_sql([qf.SQL_DFA, qf.SQL_LZC], ["user_id"])
+
+
+def q_variability_summary(sf_dir: str):
+    return _merge([qe.q_fvar_per_user(sf_dir), qf.q_variability_tau(sf_dir)], ["user_id"])
+
+
+SQL_VARIABILITY_SUMMARY = _join_sql([qe.SQL_FVAR_PER_USER, qf.SQL_VARIABILITY_TAU], ["user_id"])
+
+
+def q_matrix_transforms(sf_dir: str):
+    parts = []
+    for kind, fn in (("tde", qf.q_tde), ("gasf", qf.q_gasf), ("mtf", qf.q_mtf)):
+        t = fn(sf_dir)
+        parts.append(t.add_column(0, "kind", pa.array([kind] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
+SQL_MATRIX_TRANSFORMS = "\nUNION ALL\n".join(
+    f"SELECT '{kind}' AS kind, * FROM ({sql})"
+    for kind, sql in (("tde", qf.SQL_TDE), ("gasf", qf.SQL_GASF), ("mtf", qf.SQL_MTF))
+)

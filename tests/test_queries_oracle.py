@@ -58,80 +58,20 @@ def _compare(name, ray_result, sql, con):
         )
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "window_moments",
-        "window_skew_kurt",
-        "window_quantiles",
-        "window_mode",
-        "slope_features",
-        "hjorth",
-        "turning_points",
-        "rolling_mean",
-        "expanding_sum",
-        "ema",
-        "lang_id",
-        "ngram_jaccard_pairs",
-        "dedup_clusters",
-        "gap_filled_hourly",
-        "tier_cascade_1h",
-        "gorilla_roundtrip",
-        "fvar_per_user",
-        "top_energy_windows",
-        "event_type_stats",
-        "dedup_exact",
-        "doc_fingerprint",
-        "token_stats",
-        "quality_score",
-        "knn_bruteforce",
-        "embedding_neardup",
-        "peak_stats",
-        "variability_tau",
-        "lomb_scargle",
-        "stl_strengths",
-        "fft_bands",
-        "entropy_features",
-        "dfa",
-        "lzc",
-        "find_peaks",
-        "peak_to_peak",
-        "variability_features",
-        "zero_crossing_rate",
-        "energy_distribution",
-        "higher_moments",
-        "rolling_variance",
-        "sliding_window_entropy",
-        "tde",
-        "gasf",
-        "mtf",
-        "acf_binned",
-        "dcf_pairs",
-        "multiscale_entropy",
-        "simhash",
-        "carma_loglik",
-        "carma_forecast",
-        "minhash_neardup",
-        "knn_lsh",
-        "knn_ivf",
-        "detect_seasonality",
-        "rolling_fvar",
-        "stl_decompose",
-        "sessionize",
-        "asof_join",
-        "range_join",
-    ],
-)
+import __ray_entry__ as _entry
+
+_HASH_CHECKED = list(_entry.oracle_sql().keys())
+_ROWS_ONLY = [k for k in _entry.queries() if k not in _entry.oracle_sql()]
+
+
+@pytest.mark.parametrize("name", _HASH_CHECKED)
 def test_query_matches_oracle(entrymod, duck, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
     _compare(name, q(SF), sql, duck)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["variability_timescale", "carma_mle", "carma_order", "carma_mcmc", "zdcf_pairs"],
-)
+@pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
