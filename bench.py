@@ -57,6 +57,36 @@ ENTROPY_POINTS = int(os.environ.get("GRAFT_BENCH_ENTROPY_POINTS", "0"))
 NUM_PARTS = int(os.environ.get("GRAFT_BENCH_NUM_PARTS", "0"))
 
 
+# Round-1 baseline window speed: the single-thread fused-window kernel rate
+# measured in the window BASELINE.md's headline numbers were captured in.
+# Wall times from other windows are normalized by (fingerprint / this).
+KERNEL_REF = 561_000.0
+
+
+def _kernel_fingerprint() -> float:
+    """Single-thread fused-window kernel rate (turns/s) — the window-speed
+    fingerprint. This host modulates per-core memory bandwidth ~15-29x
+    between minutes-scale windows (BASELINE.md "Scaling protocol"), so a
+    wall time is only interpretable next to the fingerprint of the window
+    it ran in. Adaptive sizing keeps the probe ~1-2 s in ANY window (a
+    fixed 600k-point probe costs 20 s in a 30k-rate window)."""
+    import numpy as _np
+
+    from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
+    from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
+
+    def _run(n: int) -> float:
+        ts = _np.arange(n, dtype=_np.int64) * 60_000_000
+        val = _np.random.default_rng(0).standard_normal(n) * 30 + 100
+        t0 = time.time()
+        _cwf(ts, val, 3_600_000_000, _FS())
+        return n / (time.time() - t0)
+
+    est = _run(60_000)  # cheap probe of the current window
+    n = int(min(600_000, max(120_000, est * 1.5)))  # ~1.5 s main sample
+    return _run(n)
+
+
 def _cached_transcripts(n_convs: int) -> str:
     path = f"/tmp/ctx_bench_transcripts_{n_convs}_h{HOLE_EVERY}"
     if not os.path.exists(os.path.join(path, "_DONE")):
@@ -138,27 +168,18 @@ def run_bench() -> dict:
             rollup=RollupConfig(spec=spec),
             cascade_spec=spec,
         )
-    # single-thread window-speed fingerprint (untimed): this host modulates
-    # per-core memory bandwidth ~15x between minutes-scale windows (see
-    # BASELINE.md scaling section); recording the fingerprint lets a reader
-    # normalize a wall time by the window the run happened to land in
-    import numpy as _np
-
-    _n = 600_000
-    _ts = _np.arange(_n, dtype=_np.int64) * 60_000_000
-    _val = _np.random.default_rng(0).standard_normal(_n) * 30 + 100
-    _t0 = time.time()
-    from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
-    from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
-
-    _cwf(_ts, _val, 3_600_000_000, _FS())
-    kernel_fp = _n / (time.time() - _t0)
+    # window-speed fingerprints BEFORE and AFTER the timed run (untimed):
+    # recording both lets a reader (a) normalize the wall time by the window
+    # it landed in and (b) check the window held for the run's duration
+    kernel_fp_pre = _kernel_fingerprint()
 
     busy0, steal0 = _cpu_sample()
     t0 = time.time()
     metrics = run_rollup_pipeline(src, out, cfg)
     headline = time.time() - t0
     busy1, steal1 = _cpu_sample()
+    kernel_fp_post = _kernel_fingerprint()
+    kernel_fp = (kernel_fp_pre * kernel_fp_post) ** 0.5
     busy_cores = (busy1 - busy0) / 100.0 / headline
     steal_cores = (steal1 - steal0) / 100.0 / headline
 
@@ -198,6 +219,13 @@ def run_bench() -> dict:
         "busy_cores": round(busy_cores, 2),
         "steal_cores": round(steal_cores, 2),
         "window_kernel_fingerprint": round(kernel_fp),
+        "window_kernel_fingerprint_pre": round(kernel_fp_pre),
+        "window_kernel_fingerprint_post": round(kernel_fp_post),
+        # wall time renormalized to the BASELINE.md capture window
+        # (KERNEL_REF single-thread rate): what this run would have cost in
+        # the window the baseline was measured in
+        "baseline_window_kernel": round(KERNEL_REF),
+        "headline_normalized_sec": round(headline * kernel_fp / KERNEL_REF, 3),
     }
     ray.shutdown()
     return result

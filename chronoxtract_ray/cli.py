@@ -110,7 +110,12 @@ def main(argv: list[str] | None = None) -> int:
             sys.path.insert(0, ".")
             import __ray_entry__ as entry
 
-            res = entry.queries()[args.name](args.sf_dir)
+            qs = entry.queries()
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; available: {', '.join(sorted(qs))}",
+                      file=sys.stderr)
+                return 2
+            res = qs[args.name](args.sf_dir)
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             print(df.head(20).to_string())
             print(f"... {len(df)} rows")
