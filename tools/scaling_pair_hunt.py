@@ -113,12 +113,19 @@ def probe() -> dict:
         return {"ok": False, "why": f"eff={eff:.1f} steal={steal:.1f}"}
     from chronoxtract_ray.kernels.windowed import FeatureSpec, compute_windowed_features
 
-    n = 600_000
-    ts = np.arange(n, dtype=np.int64) * 60_000_000
-    val = np.random.default_rng(0).standard_normal(n) * 30 + 100
-    t0 = time.time()
-    compute_windowed_features(ts, val, 3_600_000_000, FeatureSpec())
-    rate = n / (time.time() - t0)
+    def _krate(n: int) -> float:
+        ts = np.arange(n, dtype=np.int64) * 60_000_000
+        val = np.random.default_rng(0).standard_normal(n) * 30 + 100
+        t0 = time.time()
+        compute_windowed_features(ts, val, 3_600_000_000, FeatureSpec())
+        return n / (time.time() - t0)
+
+    # cheap screen first: a fixed 600k-point probe costs ~20 s in a 30k-rate
+    # window — screen with 60k points (~2 s) and only run the full-precision
+    # fingerprint when the window might actually clear the gate
+    if _krate(60_000) < 0.8 * MIN_KERNEL:
+        return {"ok": False, "why": "slow-bandwidth (screen)"}
+    rate = _krate(600_000)
     if rate < MIN_KERNEL:
         return {"ok": False, "why": f"slow-bandwidth kernel={rate / 1e3:.0f}k"}
     if os.path.exists("/tmp/me_busy"):  # close the probe-spans-15s race:
@@ -139,7 +146,7 @@ def fingerprint() -> float:
     return n / (time.time() - t0)
 
 
-def run_leg(ncpu: int, convs: int, ep: int) -> dict | None:
+def run_leg(ncpu: int, convs: int, ep: int, expected_wall_s: float = 200.0) -> dict | None:
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
@@ -147,12 +154,15 @@ def run_leg(ncpu: int, convs: int, ep: int) -> dict | None:
         GRAFT_BENCH_ENTROPY_POINTS=str(ep),
         GRAFT_BENCH_NUM_PARTS=NUM_PARTS,
     )
+    # a leg that runs 3x past its window-speed-predicted wall is in a
+    # collapsed window and unusable — recycle the hunter instead of burning
+    # a flat 600 s (the 08:45 attempt sat 10 min in a dead window); floor at
+    # 180 s so fixed session/setup cost can never trip the early abort
+    timeout_s = max(180.0, 3.0 * expected_wall_s + 60.0)
     try:
         out = subprocess.run(
             [sys.executable, "bench.py", "--headline-only"],
-            # a valid-window leg finishes in 130-250 s; past 600 s the window
-            # has collapsed and the leg is unusable — recycle early
-            env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
+            env=env, capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
     except Exception as exc:  # noqa: BLE001
@@ -171,9 +181,18 @@ def main() -> None:
         pr = probe()
         if not pr["ok"]:
             log(f"skip: {pr['why']}")
-            time.sleep(120)
+            # fast windows live ~5 min: a 2-min probe cadence can miss half a
+            # window's life before the pair even starts — probe every 60 s
+            # (the cheap screen keeps slow-window probe cost at ~10 s)
+            time.sleep(60)
             continue
-        lo, hi, convs, ep = CONFIGS[idx % len(CONFIGS)]
+        # windows are scarce: run the SHORT pair config until a valid pair is
+        # on the books, only then spend windows on the bigger-margin config
+        have_valid = False
+        if os.path.exists(PAIRS):
+            with open(PAIRS) as f:
+                have_valid = any(json.loads(ln).get("valid") for ln in f if ln.strip())
+        lo, hi, convs, ep = CONFIGS[min(idx, 1)] if have_valid else CONFIGS[0]
         idx += 1
         # pipeline rate collapses SUPER-linearly with window speed (two
         # measured points: kernel 561k → 137k turns/s, kernel 202k → <14k
@@ -184,17 +203,22 @@ def main() -> None:
         # (a fresh conv count would regenerate a multi-minute table INSIDE
         # the window, before timing starts — wasting the fast window)
         convs = max(25_000, round(convs / 25_000) * 25_000)
-        log(f"window GOOD {pr} -> pair {lo}->{hi} convs={convs} ep={ep}")
+        # predicted small-leg wall from the two measured (kernel, 4-CPU rate)
+        # points: rate ∝ kernel^2.2 anchored at (561k kernel, 137k turns/s)
+        rate_lo = 137_000.0 * (pr["kernel"] / KERNEL_REF) ** 2.2 * (lo / 4.0)
+        exp_lo = convs * 59.4 / max(rate_lo, 1.0)
+        log(f"window GOOD {pr} -> pair {lo}->{hi} convs={convs} ep={ep} "
+            f"exp_lo={exp_lo:.0f}s")
         open("/tmp/campaign_running", "w").close()
         try:
-            a = run_leg(lo, convs, ep)   # small leg first (see module doc)
+            a = run_leg(lo, convs, ep, expected_wall_s=exp_lo)  # small leg first (see module doc)
             if a is None:
                 continue  # don't burn the window on a 4N leg with no pair
             mid_k = fingerprint()
             if mid_k < 0.75 * pr["kernel"]:
                 log(f"abort pair: window collapsed after small leg (mid={mid_k / 1e3:.0f}k)")
                 continue
-            b = run_leg(hi, convs, ep)
+            b = run_leg(hi, convs, ep, expected_wall_s=exp_lo / 3.0 + 15.0)
             post_k = fingerprint()
         finally:
             if os.path.exists("/tmp/campaign_running"):
