@@ -218,6 +218,9 @@ def run_bench() -> dict:
         # windows — see BASELINE.md)
         "busy_cores": round(busy_cores, 2),
         "steal_cores": round(steal_cores, 2),
+        # steal-normalized: throughput per core the hypervisor actually
+        # delivered — comparable across windows with different steal levels
+        "turns_per_s_per_busy_core": round(turns / headline / max(busy_cores, 1e-9), 1),
         "window_kernel_fingerprint": round(kernel_fp),
         "window_kernel_fingerprint_pre": round(kernel_fp_pre),
         "window_kernel_fingerprint_post": round(kernel_fp_post),
