@@ -155,6 +155,55 @@ def test_crash_recovery_rolls_forward(stores, ray_session):
     ingest.recover_partition(INC, part)
 
 
+def test_retention_completes_torn_swap_first(stores, ray_session):
+    """A crash after READY but before the swap must never let a later
+    roll-forward undo a retention pass (resurrecting pruned rows / erasing
+    retention_cutoff_us). apply_retention completes ALL pending READY
+    markers before pruning, so the recovered rows are pruned in the same
+    pass and the READY marker is consumed."""
+    import ray.data as rd
+
+    from chronoxtract_ray.stages.retention import RetentionPolicy, apply_retention
+
+    tbl, _, _ = stores
+    root = "/tmp/ctx_ing_torn_ret"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = PipelineConfig(num_parts=P)
+    ingest.run_incremental_ingest(rd.from_arrow(tbl), root, cfg, batch_id="base")
+
+    # fabricate a torn commit on partition 0: staged rows (full pre-prune
+    # span) + READY marker, crash before the swap
+    part = 0
+    part_dir = os.path.join(root, "tier=1m", f"part={part:04d}")
+    cur = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet")))]
+    )
+    ingest._write_staged(ingest._staged_dir(root, "torn", part), "tier_1m", cur)
+    with open(ckpt.manifest_path(root, "1m", part)) as f:
+        man = json.load(f)
+    man.update(rows=cur.num_rows, ingest_batch_id="torn")
+    with open(ingest._ready_path(root, "torn", part), "w") as f:
+        json.dump({"1m": man}, f)
+
+    summary = apply_retention(root, P, RetentionPolicy({"1m": 12 * 3_600_000_000}))
+    cutoff = summary["tiers"]["1m"]["cutoff_us"]
+    assert summary["tiers"]["1m"]["rows_dropped"] > 0
+
+    # roll-forward happened BEFORE pruning: READY consumed, manifest holds
+    # both the rolled-forward batch id and the enforced cutoff
+    assert not os.path.exists(ingest._ready_path(root, "torn", part))
+    with open(ckpt.manifest_path(root, "1m", part)) as f:
+        man2 = json.load(f)
+    assert man2["ingest_batch_id"] == "torn"
+    assert man2["retention_cutoff_us"] == cutoff
+
+    # no pruned window resurrects — not even after a later recovery pass
+    # (the scenario that silently undid retention before the fix)
+    ingest.recover_all_partitions(root)
+    t = tier_table(root, "1m")
+    assert int(t["window_start"].to_numpy().min()) >= cutoff
+
+
 def test_bootstrap_from_batch_store_counts_late(stores):
     """Appending to a store built by the BATCH pipeline (no open buffer):
     the finalized region is everything already written; replayed turns all
