@@ -283,6 +283,20 @@ def run_scaling() -> None:
                 f"steal_cores_{hi}": results[hi].get("steal_cores"),
                 f"busy_cores_{lo}": results[lo].get("busy_cores"),
                 f"busy_cores_{hi}": results[hi].get("busy_cores"),
+                # window evidence: a pair is only meaningful when both legs
+                # ran at matched window speed with ~0 steal (BASELINE.md)
+                f"kernel_fp_{lo}": results[lo].get("window_kernel_fingerprint"),
+                f"kernel_fp_{hi}": results[hi].get("window_kernel_fingerprint"),
+                "window_matched": bool(
+                    results[lo].get("window_kernel_fingerprint")
+                    and results[hi].get("window_kernel_fingerprint")
+                    and abs(results[lo]["window_kernel_fingerprint"]
+                            - results[hi]["window_kernel_fingerprint"])
+                    <= 0.25 * max(results[lo]["window_kernel_fingerprint"],
+                                  results[hi]["window_kernel_fingerprint"])
+                    and results[lo].get("steal_cores", 99) <= 1.5
+                    and results[hi].get("steal_cores", 99) <= 1.5
+                ),
             }
         )
     )
