@@ -71,6 +71,12 @@ NUM_PARTS = "64"
 MIN_KERNEL = 330_000.0
 DEADLINE_S = 4 * 3600
 PAIRS = "/tmp/scaling_pairs.jsonl"
+# One window-matched 32-CPU full-size headline (the round-1 baseline shape:
+# 100k convs / 5.94M turns / 64 parts) is the other host-gated deliverable —
+# capture it opportunistically from the same scarce fast windows the pairs
+# need (pair first: it is the unmet bar).
+HEADLINE_DONE = "/tmp/headline_matched_done"
+BASELINE_TP = 336_900.0  # round-1 capture-window headline throughput (turns/s)
 
 
 def _stat():
@@ -187,16 +193,74 @@ def log(msg: str) -> None:
     print(f"{time.strftime('%H:%M:%S')} {msg}", flush=True)
 
 
+def capture_headline(window_kernel: float) -> None:
+    """Run ONE 32-CPU, full-size (100k-conv / 64-part) headline — the exact
+    round-1 baseline shape — inside a verified fast window and append the
+    record to BASELINE.md. Marks HEADLINE_DONE only when the run's own
+    embedded window evidence holds up (steal ~0, pre/post fingerprints agree
+    and sit near the gate), so a window that dies mid-run is retried later."""
+    if os.path.exists(HEADLINE_DONE) or window_kernel < MIN_KERNEL:
+        return
+    rate = BASELINE_TP * (window_kernel / KERNEL_REF) ** 2.2
+    exp = 5_940_000.0 / max(rate, 1.0)
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS="32",
+        GRAFT_BENCH_CONVS="100000",
+        GRAFT_BENCH_NUM_PARTS=NUM_PARTS,
+    )
+    log(f"headline capture: 32 cpus, 100k convs, exp={exp:.0f}s")
+    open("/tmp/campaign_running", "w").close()
+    try:
+        out = subprocess.run(
+            [sys.executable, "bench.py", "--headline-only"],
+            env=env, capture_output=True, text=True,
+            timeout=max(240.0, 3.0 * exp + 120.0), cwd=REPO,
+        ).stdout
+        rec = json.loads(out.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001
+        log(f"headline capture failed: {exc}")
+        return
+    finally:
+        if os.path.exists("/tmp/campaign_running"):
+            os.remove("/tmp/campaign_running")
+    fp_pre = rec.get("window_kernel_fingerprint_pre", 0)
+    fp_post = rec.get("window_kernel_fingerprint_post", 0)
+    drift = abs(fp_pre - fp_post) / max(fp_pre, fp_post, 1)
+    valid = (
+        rec.get("steal_cores", 99) <= 1.5
+        and drift <= 0.25
+        and min(fp_pre, fp_post) >= MIN_KERNEL
+    )
+    rec["window_matched"] = valid
+    with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+        f.write("\nWindow-matched headline capture (hunter, appended "
+                "automatically):\n"
+                f"`{json.dumps(rec)}`\n")
+    log(f"HEADLINE wall={rec.get('value')}s tp={rec.get('throughput_turns_per_s')} "
+        f"fp={fp_pre}/{fp_post} steal={rec.get('steal_cores')} valid={valid}")
+    if valid:
+        open(HEADLINE_DONE, "w").write(str(rec.get("value")))
+
+
 def main() -> None:
     t_end = time.time() + DEADLINE_S
     idx = 0
-    while time.time() < t_end and not os.path.exists("/tmp/scaling_done"):
+    while time.time() < t_end and not (
+        os.path.exists("/tmp/scaling_done") and os.path.exists(HEADLINE_DONE)
+    ):
         pr = probe()
         if not pr["ok"]:
             log(f"skip: {pr['why']}")
             # fast windows live ~5 min: a 2-min probe cadence can miss half a
             # window's life before the pair even starts — probe every 60 s
             # (the cheap screen keeps slow-window probe cost at ~10 s)
+            time.sleep(60)
+            continue
+        if os.path.exists("/tmp/scaling_done"):
+            # the pair bar is met: spend this window on the other host-gated
+            # deliverable, the window-matched full-size headline
+            capture_headline(pr["kernel"])
             time.sleep(60)
             continue
         # windows are scarce: run the SHORT pair config until a valid pair is
@@ -240,6 +304,10 @@ def main() -> None:
             if os.path.exists("/tmp/campaign_running"):
                 os.remove("/tmp/campaign_running")
         if not a or not b:
+            # no pair, but the window may have survived the failed 16-leg —
+            # don't waste it (post_k is defined whenever the 4-leg completed)
+            if post_k >= MIN_KERNEL:
+                capture_headline(post_k)
             continue
         ks = [pr["kernel"], mid_k, post_k]
         drift = (max(ks) - min(ks)) / max(ks)
@@ -295,7 +363,10 @@ def main() -> None:
         if eff >= 0.8 and (rec["valid"] or rec["valid_delivered"]):
             open("/tmp/scaling_done", "w").write(f"{eff:.3f}")
             log("DONE >= 0.8")
-            return
+        # the window just produced a complete pair — if it is still fast,
+        # spend its tail on the window-matched headline before it decays
+        if post_k >= MIN_KERNEL:
+            capture_headline(post_k)
         time.sleep(60)
     log("deadline or done")
 
