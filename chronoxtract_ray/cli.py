@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     p_roll = sub.add_parser("rollup", help="run the tier rollup pipeline")
     p_roll.add_argument("--input", required=True)
     p_roll.add_argument("--out", required=True)
+    p_roll.add_argument("--format", default=None, choices=["parquet", "jsonl", "json", "csv"],
+                        help="input format (default: sniff from file extensions)")
     p_roll.add_argument("--num-parts", type=int, default=16)
     p_roll.add_argument("--no-gorilla", action="store_true")
     p_roll.add_argument("--no-resume", action="store_true")
@@ -47,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     p_ing = sub.add_parser("ingest", help="incrementally merge a transcript batch into an existing store")
     p_ing.add_argument("--input", required=True)
     p_ing.add_argument("--out", required=True)
+    p_ing.add_argument("--format", default=None, choices=["parquet", "jsonl", "json", "csv"],
+                        help="input format (default: sniff from file extensions)")
     p_ing.add_argument("--num-parts", type=int, default=16)
     p_ing.add_argument("--batch-id", default=None, help="exactly-once key; rerun a killed job with the same id")
 
@@ -72,9 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "rollup":
             from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline
+            from chronoxtract_ray.sources.transcripts import open_transcripts
 
             metrics = run_rollup_pipeline(
-                args.input,
+                open_transcripts(args.input, args.format),
                 args.out,
                 PipelineConfig(
                     num_parts=args.num_parts,
@@ -85,10 +90,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(metrics, default=str))
         elif args.cmd == "ingest":
             from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig
+            from chronoxtract_ray.sources.transcripts import open_transcripts
             from chronoxtract_ray.stages.ingest import run_incremental_ingest
 
             metrics = run_incremental_ingest(
-                args.input, args.out, PipelineConfig(num_parts=args.num_parts), batch_id=args.batch_id
+                open_transcripts(args.input, args.format),
+                args.out, PipelineConfig(num_parts=args.num_parts), batch_id=args.batch_id
             )
             print(json.dumps(metrics, default=str))
         elif args.cmd == "retention":

@@ -23,6 +23,12 @@ __all__ = [
     "transcripts_dataset",
     "write_transcripts",
     "read_transcripts",
+    "read_transcripts_jsonl",
+    "read_transcripts_csv",
+    "write_transcripts_jsonl",
+    "write_transcripts_csv",
+    "open_transcripts",
+    "normalize_transcripts",
     "TRANSCRIPT_SCHEMA",
 ]
 
@@ -128,3 +134,117 @@ def read_transcripts(path: str):
     import ray.data as rd
 
     return rd.read_parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Alternative source formats. Real transcript logs arrive as JSONL (one turn
+# per line) or CSV exports at least as often as parquet; both readers stream
+# block-by-block through the same normalization, so every downstream stage
+# (rollup, ingest, queries) sees one canonical schema regardless of the wire
+# format. Normalization is a vectorized per-batch Arrow transform — no Python
+# row loop, no driver materialization — so it costs one map over the read.
+# ---------------------------------------------------------------------------
+
+_TS_ALIASES = ("ts", "ts_us", "timestamp", "timestamp_us")
+_STRING_DEFAULTS = {"role": "", "text": "", "tool": ""}
+
+
+def normalize_transcripts(t: pa.Table) -> pa.Table:
+    """Cast one Arrow batch of raw transcript rows to ``TRANSCRIPT_SCHEMA``.
+
+    Accepts the timestamp as ``ts``/``ts_us``/``timestamp``/``timestamp_us``
+    carrying either a timestamp type, int64 epoch-microseconds (the JSONL
+    convention), or an ISO-8601 string (the CSV convention). Missing
+    ``role``/``text``/``tool`` columns (and nulls inside them) become ``""``;
+    extra columns are dropped. Raises on a missing conv_id/turn_idx/ts — a
+    transcript row without an identity or a time is not recoverable."""
+    import pyarrow.compute as pc
+
+    names = set(t.column_names)
+    ts_name = next((n for n in _TS_ALIASES if n in names), None)
+    if ts_name is None or "conv_id" not in names or "turn_idx" not in names:
+        missing = {"conv_id", "turn_idx", "ts"} - names
+        raise ValueError(f"transcript source is missing required columns: {sorted(missing)}")
+    c = t.column(ts_name)
+    if pa.types.is_timestamp(c.type):
+        ts = c.cast(pa.timestamp("us"))
+    elif pa.types.is_integer(c.type):
+        ts = c.cast(pa.int64()).cast(pa.timestamp("us"))
+    else:
+        ts = c.cast(pa.string()).cast(pa.timestamp("us"))
+    cols = {
+        "conv_id": t.column("conv_id").cast(pa.string()),
+        "turn_idx": t.column("turn_idx").cast(pa.int32()),
+    }
+    for name, default in _STRING_DEFAULTS.items():
+        if name in names and not pa.types.is_null(t.column(name).type):
+            cols[name] = pc.fill_null(t.column(name).cast(pa.string()), default)
+        else:
+            cols[name] = pa.chunked_array([pa.array([default] * len(t), pa.string())])
+    cols["ts"] = ts
+    return pa.table({f.name: cols[f.name] for f in TRANSCRIPT_SCHEMA})
+
+
+def read_transcripts_jsonl(path: str):
+    """Streaming read of newline-delimited JSON transcript files (one turn
+    per line), normalized to ``TRANSCRIPT_SCHEMA``."""
+    import ray.data as rd
+
+    return rd.read_json(path).map_batches(normalize_transcripts, batch_format="pyarrow")
+
+
+def read_transcripts_csv(path: str):
+    """Streaming read of CSV transcript files, normalized to
+    ``TRANSCRIPT_SCHEMA`` (timestamps as ISO strings or epoch micros)."""
+    import ray.data as rd
+
+    return rd.read_csv(path).map_batches(normalize_transcripts, batch_format="pyarrow")
+
+
+def _ts_to_epoch_us(t: pa.Table) -> pa.Table:
+    idx = t.column_names.index("ts")
+    return t.set_column(idx, "ts", t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()))
+
+
+def write_transcripts_jsonl(source, path: str) -> None:
+    """Write transcripts as JSONL, timestamps as int64 epoch micros (the
+    lossless JSON convention ``read_transcripts_jsonl`` accepts)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(source) if isinstance(source, pa.Table) else source
+    ds.map_batches(_ts_to_epoch_us, batch_format="pyarrow").write_json(path)
+
+
+def write_transcripts_csv(source, path: str) -> None:
+    """Write transcripts as CSV (Arrow writer; timestamps become ISO strings)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(source) if isinstance(source, pa.Table) else source
+    ds.write_csv(path)
+
+
+_FORMAT_READERS = {
+    "parquet": read_transcripts,
+    "jsonl": read_transcripts_jsonl,
+    "json": read_transcripts_jsonl,
+    "csv": read_transcripts_csv,
+}
+
+
+def open_transcripts(path: str, format: str | None = None):
+    """Open a transcript source in any supported format as a normalized
+    streaming Dataset. ``format=None`` sniffs the extension of the first
+    matching file under ``path`` (directories of .jsonl/.csv/.parquet)."""
+    if format is None:
+        import os
+
+        exts = {os.path.splitext(f)[1].lstrip(".").lower()
+                for f in (os.listdir(path) if os.path.isdir(path) else [path])}
+        found = [f for f in ("parquet", "jsonl", "json", "csv") if f in exts]
+        if len(found) != 1:
+            raise ValueError(f"cannot sniff a unique transcript format from extensions {sorted(exts)}")
+        format = found[0]
+    reader = _FORMAT_READERS.get(format.lower())
+    if reader is None:
+        raise ValueError(f"unsupported transcript format {format!r} (supported: {sorted(_FORMAT_READERS)})")
+    return reader(path)
