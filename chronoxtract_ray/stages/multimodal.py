@@ -1,27 +1,143 @@
 """Multimodal (image/audio/video) column plumbing — actor-pool stages.
 
-Real decoders (PIL/libav/etc.) are NOT in this container, so the decode step
-is STUBBED two ways (per round instructions):
+Decoder tiers (per round instructions — compressed codecs' libraries are NOT
+in this container):
 
-- ``decoder="none"`` raises NotImplementedError at actor construction —
-  the honest production placeholder.
-- ``decoder="fake"`` (default in tests) derives deterministic pseudo-features
-  purely from the payload bytes, so the Ray-side plumbing — binary columns,
-  typed metadata, batch sizing, actor signature, output layout — is real and
-  testable end to end.
+- ``decoder="raw"`` — REAL decode of uncompressed formats with pure numpy:
+  PPM (P6) images and WAV (RIFF PCM16) audio. Features are computed from the
+  actual pixels/samples (channel stats, luminance histogram moments / RMS,
+  zero-crossings, spectral centroid and band energies via rFFT). Corrupt or
+  unsupported payloads set ``decode_ok=false`` with NaN features instead of
+  killing the job — at 100 TB some records are always broken.
+- ``decoder="fake"`` — deterministic pseudo-features from payload bytes
+  (plumbing tests that don't care about codecs).
+- ``decoder="none"`` — raises NotImplementedError at actor construction: the
+  honest placeholder for compressed codecs (JPEG/PNG/MP3/H.264) whose
+  libraries are absent here.
 
-Shape notes for the real thing: binary payloads make rows huge, so run with
-small ``batch_size`` (16-64), keep ``batch_format="pyarrow"`` (binary columns
+Shape notes for scale: binary payloads make rows huge, so run with small
+``batch_size`` (16-64), keep ``batch_format="pyarrow"`` (binary columns
 don't survive pandas object dtype well), and size ``concurrency`` by decoder
 memory, not CPU.
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MediaDecoder", "decode_media", "frame_sample", "MEDIA_SCHEMA"]
+__all__ = [
+    "MediaDecoder",
+    "decode_media",
+    "frame_sample",
+    "resize_images",
+    "decode_ppm",
+    "encode_ppm",
+    "decode_wav",
+    "encode_wav",
+    "resize_nearest",
+    "MEDIA_SCHEMA",
+]
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs for the uncompressed formats (no external libraries).
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) image → uint8 array of shape (h, w, 3).
+
+    Handles the standard header: magic, whitespace/comments, width, height,
+    maxval (must be 255), single whitespace byte, then raw RGB. Raises
+    ValueError on anything malformed."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: P6 <w> <h> <maxval>, '#' comments run to end-of-line
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM geometry w={w} h={h} maxval={maxval}")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) array → binary PPM (P6) payload."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects (h, w, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF WAV with 16-bit PCM → (sample_rate, int16 samples).
+
+    Multi-channel input is downmixed to mono by averaging channels (the
+    standard feature-extraction convention). Raises ValueError on anything
+    that is not plain PCM16."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    sr = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding fmt={fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))], dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
+    return sr, samples
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """int16 mono samples → RIFF WAV PCM16 payload."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index gather (no interpolation lib)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows[:, None], cols[None, :]]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -44,31 +160,88 @@ class MediaDecoder:
         self.n_features = n_features
         if decoder == "none":
             raise NotImplementedError(
-                "real media decoding requires image/audio libraries not present "
-                "in this environment; use decoder='fake' for plumbing tests"
+                "compressed-codec decoding (JPEG/PNG/MP3/H.264) requires "
+                "libraries not present in this environment; use decoder='raw' "
+                "for PPM/WAV payloads or decoder='fake' for plumbing tests"
             )
-        if decoder != "fake":
+        if decoder not in ("fake", "raw"):
             raise ValueError(f"unknown decoder: {decoder}")
+        self.decoder = decoder
         # per-actor state: a fixed projection 'model' (stands in for weights)
         rng = np.random.default_rng(42)
         self.projection = rng.standard_normal((256, n_features))
 
-    def _features(self, payload: bytes) -> np.ndarray:
+    def _fake_features(self, payload: bytes) -> np.ndarray:
         """Deterministic pseudo-decode: byte histogram → projection."""
         b = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
         hist = np.bincount(b, minlength=256).astype(np.float64)
         hist /= max(hist.sum(), 1.0)
         return hist @ self.projection
 
+    def _image_features(self, payload: bytes) -> np.ndarray:
+        """PPM pixels → [w, h, mean RGB, std RGB, luma mean/std/p10/p50/p90,
+        gradient energy, aspect] (padded/truncated to n_features)."""
+        img = decode_ppm(payload)
+        f = img.astype(np.float64)
+        luma = f @ np.array([0.2126, 0.7152, 0.0722])
+        p10, p50, p90 = np.percentile(luma, [10.0, 50.0, 90.0])
+        grad = float(np.abs(np.diff(luma, axis=1)).mean()) if img.shape[1] > 1 else 0.0
+        vec = np.array([
+            img.shape[1], img.shape[0],
+            *f.reshape(-1, 3).mean(axis=0), *f.reshape(-1, 3).std(axis=0),
+            luma.mean(), luma.std(), p10, p50, p90, grad,
+            img.shape[1] / img.shape[0],
+        ])
+        return self._pad(vec)
+
+    def _audio_features(self, payload: bytes) -> np.ndarray:
+        """WAV samples → [sr, n, rms, zero-cross rate, spectral centroid,
+        4 band-energy fractions, peak] (padded/truncated to n_features)."""
+        sr, x = decode_wav(payload)
+        xf = x.astype(np.float64) / 32768.0
+        if xf.size == 0:
+            raise ValueError("empty WAV data")
+        rms = float(np.sqrt((xf * xf).mean()))
+        zcr = float((np.diff(np.signbit(xf)) != 0).mean()) if xf.size > 1 else 0.0
+        spec = np.abs(np.fft.rfft(xf)) ** 2
+        freqs = np.fft.rfftfreq(xf.size, d=1.0 / sr)
+        total = spec.sum()
+        centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+        bands = np.array_split(spec, 4)
+        band_frac = [float(b.sum() / total) if total > 0 else 0.0 for b in bands]
+        vec = np.array([sr, xf.size, rms, zcr, centroid, *band_frac, float(np.abs(xf).max())])
+        return self._pad(vec)
+
+    def _pad(self, vec: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.n_features)
+        k = min(self.n_features, vec.size)
+        out[:k] = vec[:k]
+        return out
+
+    def _features(self, payload: bytes, kind: str) -> tuple[np.ndarray, bool]:
+        if self.decoder == "fake":
+            return self._fake_features(payload), True
+        try:
+            if kind == "image":
+                return self._image_features(payload), True
+            if kind == "audio":
+                return self._audio_features(payload), True
+            raise ValueError(f"raw decoder has no codec for kind={kind!r}")
+        except (ValueError, struct.error):
+            # broken records must not kill a 100 TB job — flag and continue
+            return np.full(self.n_features, np.nan), False
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(p.as_py()) for p in batch["payload"]]
+        kinds = batch["kind"].to_pylist()
+        pairs = [self._features(p.as_py() or b"", k) for p, k in zip(batch["payload"], kinds)]
         sizes = [len(p.as_py() or b"") for p in batch["payload"]]
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
                 "n_bytes": pa.array(sizes, pa.int64()),
-                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
+                "decode_ok": pa.array([ok for _, ok in pairs], pa.bool_()),
+                "features": pa.array([f.tolist() for f, _ in pairs], pa.list_(pa.float64())),
             }
         )
 
@@ -82,6 +255,31 @@ def decode_media(ds, kind: str = "image", n_features: int = 16, decoder: str = "
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def resize_images(ds, out_h: int, out_w: int, batch_size: int = 32, concurrency=(1, 4)):
+    """Real image transform stage: PPM payload → nearest-neighbor resize →
+    PPM payload. Broken payloads pass through with ``resize_ok=false`` and a
+    null output payload (same no-poison-pill policy as decode)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs, oks = [], []
+        for p in batch["payload"]:
+            try:
+                outs.append(encode_ppm(resize_nearest(decode_ppm(p.as_py() or b""), out_h, out_w)))
+                oks.append(True)
+            except ValueError:
+                outs.append(None)
+                oks.append(False)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(outs, pa.binary()),
+                "resize_ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_size=batch_size, batch_format="pyarrow")
 
 
 def frame_sample(ds, every_n_bytes: int = 1024, frame_bytes: int = 64, batch_size: int = 32):

@@ -43,3 +43,98 @@ def test_frame_sampling(media_ds):
     frames = frame_sample(media_ds, every_n_bytes=512, frame_bytes=32).to_pandas()
     assert (frames.groupby("media_id")["frame_idx"].min() == 0).all()
     assert frames["frame"].map(len).max() <= 32
+
+
+# ---------------------------------------------------------------------------
+# Real raw-codec path (round 3): pure-numpy PPM/WAV decode, features from
+# actual pixels/samples, nearest-neighbor resize, corrupt-payload tolerance.
+# ---------------------------------------------------------------------------
+
+from chronoxtract_ray.stages.multimodal import (  # noqa: E402
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    resize_images,
+    resize_nearest,
+)
+
+
+def test_ppm_roundtrip_and_comments():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments + CRLF-ish whitespace are legal PPM
+    with_comment = b"P6\n# a comment\n7 5\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+    for bad in (b"P5\n1 1\n255\n\x00", b"P6\n2 2\n255\n\x00\x00"):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_wav_roundtrip_and_stereo_downmix():
+    x = (np.sin(np.arange(800) * 0.05) * 20000).astype(np.int16)
+    sr, back = decode_wav(encode_wav(16000, x))
+    assert sr == 16000 and np.array_equal(back, x)
+    # stereo: interleave L=x, R=-x -> mono mean == 0
+    import struct as st
+
+    stereo_pcm = np.empty(x.size * 2, dtype="<i2")
+    stereo_pcm[0::2], stereo_pcm[1::2] = x, -x
+    hdr = st.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + stereo_pcm.nbytes, b"WAVE",
+                  b"fmt ", 16, 1, 2, 8000, 32000, 4, 16, b"data", stereo_pcm.nbytes)
+    sr2, mono = decode_wav(hdr + stereo_pcm.tobytes())
+    assert sr2 == 8000 and np.abs(mono.astype(np.int64)).max() == 0
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")
+
+
+def test_resize_nearest_exact():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_nearest(img, 2, 2)
+    assert np.array_equal(small, img[::2, ::2])
+    big = resize_nearest(img, 8, 8)
+    assert big.shape == (8, 8, 3)
+    assert np.array_equal(big[::2, ::2], img)
+
+
+def test_raw_decoder_features_and_corrupt_tolerance(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    wav = (np.sin(np.arange(2048) * 0.1) * 15000).astype(np.int16)
+    items = [
+        {"media_id": "img-0", "kind": "image", "payload": encode_ppm(img), "meta": "{}"},
+        {"media_id": "aud-0", "kind": "audio", "payload": encode_wav(8000, wav), "meta": "{}"},
+        {"media_id": "bad-0", "kind": "image", "payload": b"JFIF not a ppm", "meta": "{}"},
+    ]
+    out = (
+        decode_media(rd.from_items(items), decoder="raw", n_features=16)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert bool(out.loc["img-0", "decode_ok"]) and bool(out.loc["aud-0", "decode_ok"])
+    assert not bool(out.loc["bad-0", "decode_ok"])
+    fi = np.asarray(out.loc["img-0", "features"])
+    assert fi[0] == 9 and fi[1] == 6  # w, h
+    assert np.allclose(fi[2:5], img.reshape(-1, 3).mean(axis=0))
+    fa = np.asarray(out.loc["aud-0", "features"])
+    assert fa[0] == 8000 and fa[1] == 2048
+    xf = wav.astype(np.float64) / 32768.0
+    assert np.isclose(fa[2], np.sqrt((xf * xf).mean()))
+    assert np.all(np.isnan(np.asarray(out.loc["bad-0", "features"])))
+
+
+def test_resize_stage_roundtrip(ray_session):
+    import ray.data as rd
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    items = [
+        {"media_id": "ok", "kind": "image", "payload": encode_ppm(img), "meta": "{}"},
+        {"media_id": "bad", "kind": "image", "payload": b"nope", "meta": "{}"},
+    ]
+    out = resize_images(rd.from_items(items), 2, 2).to_pandas().set_index("media_id")
+    assert bool(out.loc["ok", "resize_ok"]) and not bool(out.loc["bad", "resize_ok"])
+    assert np.array_equal(decode_ppm(out.loc["ok", "payload"]), img[::2, ::2])
+    assert out.loc["bad", "payload"] is None
