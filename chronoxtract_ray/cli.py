@@ -7,6 +7,7 @@ Commands:
   generate  --out DIR --convs N
   query     --name NAME --sf-dir DIR
   decode    --chunks DIR --tier T     (Gorilla chunks → points, prints head)
+  export    --root DIR --tier T --out DIR --format parquet|jsonl|csv [--columns a,b]
 
 Owns the Ray session (scripts own sessions; library code never does).
 """
@@ -71,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
     p_d.add_argument("--root", required=True)
     p_d.add_argument("--tier", default="1m")
 
+    p_x = sub.add_parser("export", help="export a tier table to parquet/jsonl/csv")
+    p_x.add_argument("--root", required=True)
+    p_x.add_argument("--tier", default="1h")
+    p_x.add_argument("--out", required=True)
+    p_x.add_argument("--format", default="parquet", choices=["parquet", "jsonl", "csv"])
+    p_x.add_argument("--columns", default=None, help="comma-separated column projection")
+
     args = ap.parse_args(argv)
     ray = _init_ray(args.num_cpus)
     try:
@@ -126,6 +134,23 @@ def main(argv: list[str] | None = None) -> int:
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             print(df.head(20).to_string())
             print(f"... {len(df)} rows")
+        elif args.cmd == "export":
+            import os
+
+            import ray.data as rd
+
+            src = os.path.join(args.root, f"tier={args.tier}")
+            cols = args.columns.split(",") if args.columns else None
+            # streaming read → streaming write; never materialized on the driver
+            ds = rd.read_parquet(src, columns=cols)
+            if args.format == "parquet":
+                ds.write_parquet(args.out)
+            elif args.format == "jsonl":
+                ds.write_json(args.out)
+            else:
+                ds.write_csv(args.out)
+            print(json.dumps({"exported": args.out, "tier": args.tier,
+                              "format": args.format, "rows": ds.count()}))
         elif args.cmd == "decode":
             import os
 
