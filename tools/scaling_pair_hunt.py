@@ -69,7 +69,7 @@ NUM_PARTS = "64"
 # + object store + shuffle share the throttled bus the single-thread probe
 # barely stresses). Legs are only feasible in genuinely fast windows.
 MIN_KERNEL = 330_000.0
-DEADLINE_S = 4 * 3600
+DEADLINE_S = 8 * 3600
 PAIRS = "/tmp/scaling_pairs.jsonl"
 # One window-matched 32-CPU full-size headline (the round-1 baseline shape:
 # 100k convs / 5.94M turns / 64 parts) is the other host-gated deliverable —
