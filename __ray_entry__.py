@@ -20,6 +20,7 @@ from chronoxtract_ray.pipelines import queries_events as qe
 from chronoxtract_ray.pipelines import queries_features as qf
 from chronoxtract_ray.pipelines import queries_joins as qj
 from chronoxtract_ray.pipelines import queries_merged as qm
+from chronoxtract_ray.pipelines import queries_textqc as qt
 from chronoxtract_ray.pipelines import queries_vec as qv
 
 SF0001 = "/root/testdata/sf0.001"
@@ -64,20 +65,20 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """53 entries: every operator family from SURVEY.md §2 + the
-    training-data extensions, with same-row-set families merged into
-    compositional queries (queries_merged.py) so that ALL 50 hash-checkable
-    entries fit inside the driver's 50-query check window; the 3 rows-only
-    entries (seeded MC / MCMC / µs-surface, declared at the bottom of
-    oracle_sql) sit past it by construction."""
+    training-data extensions (dedup/ANN/text-QC/sampling), with same-row-set
+    families merged into compositional queries (queries_merged.py) so that
+    ALL 50 hash-checkable entries fit inside the driver's 50-query check
+    window; the 3 rows-only entries (seeded MC / MCMC / µs-surface, declared
+    at the bottom of oracle_sql) sit past it by construction."""
     return {
         # ---- dedup + text analysis over documents ----
         "dedup_exact": qd.q_dedup_exact,
-        "doc_fingerprint": qd.q_doc_fingerprint,
-        "token_stats": qd.q_token_stats,
-        "quality_score": qd.q_quality_score,
+        "doc_text_stats": qm.q_doc_text_stats,  # fingerprint+tokens+quality+lang+simhash
+        "c4_filters": qt.q_c4_filters,
+        "vocab_topk": qt.q_vocab_topk,
+        "unigram_logprob": qt.q_unigram_logprob,
+        "stratified_sample": qt.q_stratified_sample,
         "minhash_neardup": qd.q_minhash_neardup,
-        "simhash": qd.q_simhash,
-        "lang_id": qd.q_lang_id,
         "ngram_jaccard_pairs": qd.q_ngram_jaccard_pairs,
         "dedup_clusters": qd.q_dedup_clusters,
         # ---- similarity search over embeddings ----
@@ -163,13 +164,13 @@ def oracle_sql() -> dict[str, str]:
         "top_energy_windows": qe.SQL_TOP_ENERGY_WINDOWS,
         "event_type_stats": qe.SQL_EVENT_TYPE_STATS,
         "dedup_exact": qd.SQL_DEDUP_EXACT,
-        "doc_fingerprint": qd.SQL_DOC_FINGERPRINT,
-        "token_stats": qd.SQL_TOKEN_STATS,
-        "quality_score": qd.SQL_QUALITY_SCORE,
-        "lang_id": qd.SQL_LANG_ID,
+        "doc_text_stats": qm.SQL_DOC_TEXT_STATS,
+        "c4_filters": qt.SQL_C4_FILTERS,
+        "vocab_topk": qt.SQL_VOCAB_TOPK,
+        "unigram_logprob": qt.SQL_UNIGRAM_LOGPROB,
+        "stratified_sample": qt.SQL_STRATIFIED_SAMPLE,
         "ngram_jaccard_pairs": qd.SQL_NGRAM_JACCARD_PAIRS,
         "dedup_clusters": qd.SQL_DEDUP_CLUSTERS,
-        "simhash": qd.SQL_SIMHASH,
         "minhash_neardup": qd.SQL_MINHASH_NEARDUP,
         "knn_bruteforce": qv.SQL_KNN_BRUTEFORCE,
         "embedding_neardup": qv.SQL_EMBEDDING_NEARDUP,

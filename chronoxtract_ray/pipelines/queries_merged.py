@@ -127,3 +127,40 @@ SQL_MATRIX_TRANSFORMS = "\nUNION ALL\n".join(
     f"SELECT '{kind}' AS kind, * FROM ({sql})"
     for kind, sql in (("tde", qf.SQL_TDE), ("gasf", qf.SQL_GASF), ("mtf", qf.SQL_MTF))
 )
+
+
+def q_doc_text_stats(sf_dir: str):
+    """Per-doc text-analysis family merged on doc_id: fingerprint +
+    token stats + quality score + language ID + SimHash (all components
+    are full-corpus per-doc rows; see their definitions in
+    queries_docs.py for kernels and oracle derivations)."""
+    from chronoxtract_ray.pipelines import queries_docs as qd
+
+    return _merge(
+        [
+            qd.q_doc_fingerprint(sf_dir),
+            qd.q_token_stats(sf_dir),
+            qd.q_quality_score(sf_dir),
+            qd.q_lang_id(sf_dir),
+            qd.q_simhash(sf_dir),
+        ],
+        ["doc_id"],
+    )
+
+
+def _sql_doc_text_stats() -> str:
+    from chronoxtract_ray.pipelines import queries_docs as qd
+
+    return _join_sql(
+        [
+            qd.SQL_DOC_FINGERPRINT,
+            qd.SQL_TOKEN_STATS,
+            qd.SQL_QUALITY_SCORE,
+            qd.SQL_LANG_ID,
+            qd.SQL_SIMHASH,
+        ],
+        ["doc_id"],
+    )
+
+
+SQL_DOC_TEXT_STATS = _sql_doc_text_stats()

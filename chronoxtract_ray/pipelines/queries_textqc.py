@@ -1,0 +1,275 @@
+"""Corpus-level text QC for training-data pipelines: C4-style quality
+filters, a global token histogram, unigram language-model scoring, and
+deterministic stratified sampling — the filter/score/sample trio every
+LLM-data pipeline runs in front of dedup (reference has no counterpart;
+these extend SURVEY.md §2.12's engine-side surface like queries_docs.py).
+
+Dataflow shapes (the point at 100 TB):
+
+* ``c4_filters``       — stateless vectorized ``map_batches``; no shuffle.
+* ``vocab_topk``       — per-batch PARTIAL token counts (pandas
+  ``value_counts`` inside the batch) → one small ``groupby(token).sum``
+  shuffle whose input is vocab-sized per batch, not token-occurrence-sized:
+  the pre-aggregate-before-groupby combiner pattern.
+* ``unigram_logprob``  — the same distributed histogram, collected once
+  (vocab-sized, tiny) and BROADCAST into a scoring ``map_batches`` via
+  ``ray.put`` — small-side broadcast instead of a token-level join.
+* ``stratified_sample``— per-stratum deterministic top-k by a content hash
+  (md5 of the key): a uniform per-group sample that is reproducible across
+  runs/workers and needs only a per-group bounded heap, never a global sort.
+
+Bit-exactness vs the DuckDB oracles: integer counts divide as float64 on
+both sides (exact); the unigram score accumulates count·ln(freq) terms
+SEQUENTIALLY in token-ascending order on both sides (engine: one
+vectorized-across-docs pass per vocab token; oracle:
+``list_aggregate(list(term ORDER BY token), 'sum')``) so the float
+summation tree is identical — zero-count terms add ``±0.0`` which is
+bitwise-neutral. Verified exact at sf0.001 before wiring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from chronoxtract_ray.pipelines.queries_docs import _docs, _round
+
+# ---- C4-style quality filters --------------------------------------------
+
+_MIN_WORDS = 40  # splits the synthetic corpus ~69/31 (10..99 words/doc)
+_MEAN_WL_LO, _MEAN_WL_HI = 3.0, 10.0
+_MAX_WORD_LEN = 15
+_MIN_ALPHA_RATIO = 0.6
+
+
+def q_c4_filters(sf_dir: str):
+    """Per-doc C4-style filter verdict: word count, mean/max word length and
+    alphabetic-character ratio rules, combined into a ``keep`` flag. One
+    stateless vectorized map_batches — at 100 TB this runs as a pure
+    streaming projection with no shuffle and no driver contact."""
+    ds = _docs(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        st = s.str.strip()
+        toks = st.str.split()
+        n_words = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        word_chars = st.str.replace(r"\s+", "", regex=True).str.len().fillna(0).astype(np.int64).to_numpy()
+        max_wl = toks.map(
+            lambda ws: max((len(w) for w in ws), default=0) if isinstance(ws, list) else 0
+        ).to_numpy(np.int64)
+        n_chars = s.str.len().to_numpy(np.int64)
+        n_alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+        mwl = np.where(n_words > 0, word_chars / np.maximum(n_words, 1), 0.0)
+        ar = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+        keep = (
+            (n_words >= _MIN_WORDS)
+            & (mwl >= _MEAN_WL_LO)
+            & (mwl <= _MEAN_WL_HI)
+            & (max_wl <= _MAX_WORD_LEN)
+            & (ar >= _MIN_ALPHA_RATIO)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "max_word_len": pa.array(max_wl, pa.int64()),
+                "mean_word_len": pa.array(_round(mwl), pa.float64()),
+                "alpha_ratio": pa.array(_round(ar), pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.map_batches(flags, batch_format="pyarrow").take_all())
+
+
+SQL_C4_FILTERS = rf"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_replace(trim(text), '\s+', '', 'g')) END AS word_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE list_max(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) END
+      AS max_word_len
+  FROM documents
+)
+SELECT doc_id, n_words, max_word_len,
+  ROUND(CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END, 6) AS mean_word_len,
+  ROUND(CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END, 6) AS alpha_ratio,
+  (n_words >= {_MIN_WORDS}
+   AND (CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END)
+       BETWEEN {_MEAN_WL_LO} AND {_MEAN_WL_HI}
+   AND max_word_len <= {_MAX_WORD_LEN}
+   AND (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END) >= {_MIN_ALPHA_RATIO}) AS keep
+FROM w
+"""
+
+
+# ---- global token histogram (combiner-before-shuffle) ---------------------
+
+_TOPK = 200
+# distributed histograms memoized per sf_dir (the _WINDOWED_CACHE /
+# _EDGE_CACHE precedent): vocab_topk and unigram_logprob share one pass
+_FREQ_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _token_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed whitespace-token histogram: per-batch partial counts →
+    ``groupby(token).sum``. The shuffle moves one row per DISTINCT token per
+    batch (vocab-sized), not one per occurrence — the partial/combiner
+    pattern SURVEY §4.3 prescribes for wide aggregations. The result is
+    vocab-sized and safe to collect."""
+    if sf_dir in _FREQ_CACHE:
+        return _FREQ_CACHE[sf_dir]
+    ds = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist()).str.strip()
+        ex = s[s != ""].str.split().explode().dropna()
+        vc = ex.value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum("n").take_all()
+    df = (
+        pd.DataFrame(rows)
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("token", kind="stable")
+        .reset_index(drop=True)
+    )
+    _FREQ_CACHE[sf_dir] = df
+    return df
+
+
+def q_vocab_topk(sf_dir: str):
+    """Top-K corpus vocabulary by frequency, deterministic tie-break on the
+    token itself (count desc, token asc)."""
+    df = _token_counts(sf_dir)
+    out = df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_VOCAB_TOPK = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, count(*) AS n FROM toks GROUP BY 1
+ORDER BY n DESC, token LIMIT {_TOPK}
+"""
+
+
+# ---- unigram LM scoring (broadcast small side) -----------------------------
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    model — the classic LM-based quality signal. Two passes: the distributed
+    histogram above, then a scoring ``map_batches`` that reads the
+    vocab-sized (token → ln p) table from ONE ``ray.put`` broadcast (never
+    re-shipped per batch, never joined at token granularity).
+
+    Accumulation order is pinned for bit-exactness vs the oracle: per doc,
+    terms ``count(token)·ln(p)`` add sequentially in token-ascending order
+    (a vectorized-across-docs loop over the small vocab); absent tokens
+    contribute ``±0.0`` which never perturbs bits."""
+    import ray
+
+    freq = _token_counts(sf_dir)  # token-ascending
+    vocab = freq["token"].to_numpy()
+    total = float(freq["n"].to_numpy().sum())
+    lp = np.log(freq["n"].to_numpy().astype(np.float64) / total)
+    ref = ray.put({"idx": {t: i for i, t in enumerate(vocab)}, "lp": lp})
+    ds = _docs(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        model = ray.get(ref)
+        idx, lpv = model["idx"], model["lp"]
+        s = pd.Series(t["text"].to_pylist()).str.strip()
+        ex = s.str.split().explode().dropna()
+        cnt = np.zeros((t.num_rows, lpv.size), dtype=np.int64)
+        if len(ex):
+            np.add.at(cnt, (ex.index.to_numpy(np.int64), ex.map(idx).to_numpy(np.int64)), 1)
+        acc = np.zeros(t.num_rows, dtype=np.float64)
+        for k in range(lpv.size):  # sequential over vocab, vectorized over docs
+            acc = acc + cnt[:, k] * lpv[k]
+        n_tok = cnt.sum(axis=1)
+        keep = n_tok > 0
+        mean_lp = acc[keep] / n_tok[keep]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "mean_logprob": pa.array(_round(mean_lp), pa.float64()),
+            }
+        )
+
+    return pa.Table.from_pylist(ds.map_batches(score, batch_format="pyarrow").take_all())
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM freq),
+dt AS (SELECT doc_id, token, count(*) AS cd FROM toks GROUP BY 1, 2),
+terms AS (
+  SELECT dt.doc_id, dt.token, dt.cd, dt.cd * ln(freq.c / tot.t) AS term
+  FROM dt JOIN freq USING (token) CROSS JOIN tot
+)
+SELECT doc_id, sum(cd) AS n_tokens,
+  ROUND(list_aggregate(list(term ORDER BY token), 'sum') / sum(cd), 6) AS mean_logprob
+FROM terms GROUP BY doc_id
+"""
+
+
+# ---- deterministic stratified sampling -------------------------------------
+
+_SAMPLE_K = 5
+
+
+def q_stratified_sample(sf_dir: str):
+    """K docs per ``source`` stratum, chosen as the K smallest
+    ``md5(doc_id)`` — a uniform, reproducible sample (hash order is
+    independent of ingestion order, identical across workers/runs). Per
+    group only a K-row head survives, so the shuffle output is
+    strata·K rows regardless of corpus size."""
+    ds = _docs(sf_dir, columns=("doc_id", "source"))
+
+    def key(t: pa.Table) -> pa.Table:
+        ks = [hashlib.md5(str(d).encode()).hexdigest() for d in t["doc_id"].to_pylist()]
+        return t.append_column("sample_key", pa.array(ks, pa.string()))
+
+    def head(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["sample_key", "doc_id"], kind="stable").head(_SAMPLE_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(head, batch_format="pyarrow")
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH r AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id, sample_key FROM r WHERE rn <= {_SAMPLE_K}
+"""

@@ -1,0 +1,80 @@
+"""Semantic tests for the text-QC extension family (queries_textqc.py) —
+oracle parity runs separately in test_queries_oracle.py; these pin the
+behavioral contracts: discrimination, determinism, sample-size bounds, and
+the shared-histogram memoization."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tq(ray_session):
+    from chronoxtract_ray.pipelines import queries_textqc as m
+
+    return m
+
+
+def test_c4_filters_discriminate(tq):
+    t = tq.q_c4_filters(SF).to_pandas()
+    assert t.doc_id.is_unique and len(t) == 500
+    rate = t.keep.mean()
+    assert 0.0 < rate < 1.0, f"filter should split the corpus, keep rate {rate}"
+    # the keep flag must be consistent with its own reported columns
+    recomputed = (
+        (t.n_words >= tq._MIN_WORDS)
+        & (t.mean_word_len >= tq._MEAN_WL_LO)
+        & (t.mean_word_len <= tq._MEAN_WL_HI)
+        & (t.max_word_len <= tq._MAX_WORD_LEN)
+        & (t.alpha_ratio >= tq._MIN_ALPHA_RATIO)
+    )
+    assert (t.keep == recomputed).all()
+
+
+def test_vocab_topk_sorted_and_deterministic(tq):
+    a = tq.q_vocab_topk(SF).to_pandas()
+    n = a.n.to_numpy()
+    assert (np.diff(n) <= 0).all(), "counts must be non-increasing"
+    # deterministic tie-break: equal counts appear in ascending token order
+    for _, grp in a.groupby("n"):
+        toks = grp.token.tolist()
+        assert toks == sorted(toks)
+    b = tq.q_vocab_topk(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_counts_memoized_and_consistent(tq):
+    df1 = tq._token_counts(SF)
+    df2 = tq._token_counts(SF)
+    assert df1 is df2, "histogram must be computed once per sf_dir"
+    # total token mass equals the whitespace token count of the corpus
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    total = docs.text.str.strip().str.split().str.len().fillna(0).sum()
+    assert df1.n.sum() == total
+
+
+def test_unigram_logprob_semantics(tq):
+    t = tq.q_unigram_logprob(SF).to_pandas()
+    assert (t.mean_logprob < 0).all(), "log-probabilities are negative"
+    assert t.doc_id.is_unique
+    # a doc made of the corpus's most frequent token would score ln(p_max):
+    # every real doc's mean can never beat that bound
+    freq = tq._token_counts(SF)
+    lp_max = np.log(freq.n.max() / freq.n.sum())
+    assert (t.mean_logprob <= np.round(lp_max, 6) + 1e-9).all()
+
+
+def test_stratified_sample_size_and_reproducibility(tq):
+    t = tq.q_stratified_sample(SF).to_pandas()
+    per = t.groupby("source").size()
+    assert (per == tq._SAMPLE_K).all(), "every stratum has >= K docs at sf0.001"
+    assert t.doc_id.is_unique
+    u = tq.q_stratified_sample(SF).to_pandas()
+    key = ["source", "sample_key", "doc_id"]
+    pd.testing.assert_frame_equal(
+        t.sort_values(key).reset_index(drop=True), u.sort_values(key).reset_index(drop=True)
+    )
