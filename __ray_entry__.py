@@ -131,11 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_peaks": qf.q_find_peaks,
         "matrix_transforms": qm.q_matrix_transforms,  # tde + gasf + mtf
         "series_stats": qm.q_series_stats,  # m5-m8 + p2p + zcr + energy + cv
-        # ==== entries 51-53: rows-only by declared reason (see oracle_sql
+        # ==== entries 51+: rows-only by declared reason (see oracle_sql
         # trailing comment); everything hash-checkable sits above ====
         "zdcf_pairs": qf.q_zdcf,
         "carma_mcmc": qe.q_carma_mcmc,
         "variability_timescale": qe.q_variability_timescale,
+        "pii_scrub": qt.q_pii_scrub,
     }
 
 
@@ -206,5 +207,9 @@ def oracle_sql() -> dict[str, str]:
         # carma_forecast, carma_mle and carma_order),
         # variability_timescale (µs api surface; the hours variant IS
         # hash-checked inside variability_summary; µs-scale taus exceed
-        # fixed-decimal rounding's noise floor).
+        # fixed-decimal rounding's noise floor),
+        # pii_scrub (SQL-expressible — queries_textqc.SQL_PII_SCRUB — and
+        # hash-checked in pytest on events data AND a synthetic PII frame;
+        # held outside the driver's 50-oracle window only because the
+        # window is full; promotable as-is).
     }

@@ -72,16 +72,16 @@ FROM documents GROUP BY 1
 """
 
 
+def doc_fingerprint_batch(t: pa.Table) -> pa.Table:
+    h = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+    return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h, pa.string())})
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Per-doc fingerprint (md5) — document fingerprinting with an exact SQL
     oracle."""
     ds = _docs(sf_dir)
-
-    def fp(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h, pa.string())})
-
-    return pa.Table.from_pylist(ds.map_batches(fp, batch_format="pyarrow").take_all())
+    return pa.Table.from_pylist(ds.map_batches(doc_fingerprint_batch, batch_format="pyarrow").take_all())
 
 
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
@@ -92,28 +92,28 @@ SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 _WORD_RE = re.compile(r"\S+")
 
 
+def token_stats_batch(t: pa.Table) -> pa.Table:
+    s = pd.Series(t["text"].to_pylist())
+    toks = s.str.split()
+    n_tokens = toks.str.len().fillna(0).astype(np.int64)
+    total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0).astype(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_len = np.where(n_tokens > 0, total_len / np.maximum(n_tokens, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(s.str.len().to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(n_tokens.to_numpy(), pa.int64()),
+            "mean_token_len": pa.array(_round(mean_len), pa.float64()),
+        }
+    )
+
+
 def q_token_stats(sf_dir: str):
     """Whitespace token counting + length stats per doc (vectorized pandas
     string kernels inside map_batches)."""
     ds = _docs(sf_dir)
-
-    def stats(t: pa.Table) -> pa.Table:
-        s = pd.Series(t["text"].to_pylist())
-        toks = s.str.split()
-        n_tokens = toks.str.len().fillna(0).astype(np.int64)
-        total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0).astype(np.int64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean_len = np.where(n_tokens > 0, total_len / np.maximum(n_tokens, 1), 0.0)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_chars": pa.array(s.str.len().to_numpy(np.int64), pa.int64()),
-                "n_tokens": pa.array(n_tokens.to_numpy(), pa.int64()),
-                "mean_token_len": pa.array(_round(mean_len), pa.float64()),
-            }
-        )
-
-    return pa.Table.from_pylist(ds.map_batches(stats, batch_format="pyarrow").take_all())
+    return pa.Table.from_pylist(ds.map_batches(token_stats_batch, batch_format="pyarrow").take_all())
 
 
 SQL_TOKEN_STATS = r"""
@@ -131,32 +131,32 @@ FROM t
 """
 
 
+_STOPSET = frozenset("the a and of to in is for on with".split())
+
+
+def quality_score_batch(t: pa.Table) -> pa.Table:
+    s = pd.Series(t["text"].to_pylist())
+    toks = s.str.lower().str.split()
+    n_tokens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    n_stop = toks.map(lambda ws: sum(w in _STOPSET for w in ws) if ws else 0).to_numpy(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+    # score: documents with some stopwords and 3..50 tokens look "natural"
+    score = np.where((n_tokens >= 3) & (n_tokens <= 1000), 0.5, 0.0) + np.minimum(stop_ratio * 2.0, 0.5)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "stop_ratio": pa.array(_round(stop_ratio), pa.float64()),
+            "quality": pa.array(_round(score), pa.float64()),
+        }
+    )
+
+
 def q_quality_score(sf_dir: str):
     """Quality heuristics: mean word length band, stopword ratio, alpha ratio
     → scalar score. SQL-checkable (pure arithmetic on counts)."""
-    stop = "the a and of to in is for on with"
-
     ds = _docs(sf_dir)
-    stopset = frozenset(stop.split())
-
-    def score(t: pa.Table) -> pa.Table:
-        s = pd.Series(t["text"].to_pylist())
-        toks = s.str.lower().str.split()
-        n_tokens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        n_stop = toks.map(lambda ws: sum(w in stopset for w in ws) if ws else 0).to_numpy(np.int64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
-        # score: documents with some stopwords and 3..50 tokens look "natural"
-        score = np.where((n_tokens >= 3) & (n_tokens <= 1000), 0.5, 0.0) + np.minimum(stop_ratio * 2.0, 0.5)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "stop_ratio": pa.array(_round(stop_ratio), pa.float64()),
-                "quality": pa.array(_round(score), pa.float64()),
-            }
-        )
-
-    return pa.Table.from_pylist(ds.map_batches(score, batch_format="pyarrow").take_all())
+    return pa.Table.from_pylist(ds.map_batches(quality_score_batch, batch_format="pyarrow").take_all())
 
 
 SQL_QUALITY_SCORE = r"""
@@ -416,27 +416,27 @@ def q_simhash(sf_dir: str):
     also content-stable across workers, unlike PYTHONHASHSEED-salted
     builtins — the same fix ADVICE r1 required for short-text MinHash.)"""
     ds = _docs(sf_dir)
+    return pa.Table.from_pylist(ds.map_batches(simhash_batch, batch_format="pyarrow").take_all())
 
-    def sim(t: pa.Table) -> pa.Table:
-        # one explode + one concatenated-md5 pass + one scatter-add for the
-        # whole batch (hashing is C; no per-bit Python work)
-        toks = pd.Series(t["text"].to_pylist()).str.split()
-        ex = toks.explode().dropna()
-        shifts = np.arange(64, dtype=np.uint64)
-        votes = np.zeros((t.num_rows, 64), dtype=np.int64)
-        if len(ex):
-            rows = ex.index.to_numpy(np.int64)
-            h = np.frombuffer(
-                b"".join(hashlib.md5(s.encode()).digest()[:8] for s in ex.to_numpy()), dtype="<u8"
-            )
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            np.add.at(votes, rows, 2 * bits - 1)
-        out = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-        # empty docs: all-zero votes produce simhash 0, same as before
-        # signed view: survives list-of-dicts / parquet round-trips losslessly
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out.view(np.int64), pa.int64())})
 
-    return pa.Table.from_pylist(ds.map_batches(sim, batch_format="pyarrow").take_all())
+def simhash_batch(t: pa.Table) -> pa.Table:
+    # one explode + one concatenated-md5 pass + one scatter-add for the
+    # whole batch (hashing is C; no per-bit Python work)
+    toks = pd.Series(t["text"].to_pylist()).str.split()
+    ex = toks.explode().dropna()
+    shifts = np.arange(64, dtype=np.uint64)
+    votes = np.zeros((t.num_rows, 64), dtype=np.int64)
+    if len(ex):
+        rows = ex.index.to_numpy(np.int64)
+        h = np.frombuffer(
+            b"".join(hashlib.md5(s.encode()).digest()[:8] for s in ex.to_numpy()), dtype="<u8"
+        )
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        np.add.at(votes, rows, 2 * bits - 1)
+    out = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    # empty docs: all-zero votes produce simhash 0, same as before
+    # signed view: survives list-of-dicts / parquet round-trips losslessly
+    return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out.view(np.int64), pa.int64())})
 
 
 # Bit votes as an explode × range(64) cross join; a bit is set iff its vote
@@ -537,29 +537,29 @@ def q_lang_id(sf_dir: str):
     zero hits. Vectorized: one explode + isin + scatter per batch. Oracle:
     list_intersect over regexp_split arrays + a priority CASE."""
     ds = _docs(sf_dir)
+    return pa.Table.from_pylist(ds.map_batches(lang_id_batch, batch_format="pyarrow").take_all())
+
+
+def lang_id_batch(t: pa.Table) -> pa.Table:
     codes = np.array(list(_LANG_MARKERS) + ["unknown"])
-
-    def lang(t: pa.Table) -> pa.Table:
-        toks = pd.Series(t["text"].to_pylist()).str.lower().str.split()
-        ex = toks.explode().dropna()
-        dedup = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "tok": ex.to_numpy()}).drop_duplicates()
-        hits = np.zeros((t.num_rows, len(_LANG_MARKERS)), dtype=np.int64)
-        for k, ms in enumerate(_LANG_MARKERS.values()):
-            counts = dedup.loc[dedup["tok"].isin(ms), "row"].value_counts()
-            hits[counts.index.to_numpy(), k] = counts.to_numpy()
-        best_n = hits.max(axis=1)
-        # argmax returns the FIRST maximal column — identical to the strict
-        # `n > best_n` scan in dict order
-        best = np.where(best_n > 0, hits.argmax(axis=1), len(_LANG_MARKERS))
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "predicted_lang": pa.array(codes[best], pa.string()),
-                "marker_hits": pa.array(best_n, pa.int64()),
-            }
-        )
-
-    return pa.Table.from_pylist(ds.map_batches(lang, batch_format="pyarrow").take_all())
+    toks = pd.Series(t["text"].to_pylist()).str.lower().str.split()
+    ex = toks.explode().dropna()
+    dedup = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "tok": ex.to_numpy()}).drop_duplicates()
+    hits = np.zeros((t.num_rows, len(_LANG_MARKERS)), dtype=np.int64)
+    for k, ms in enumerate(_LANG_MARKERS.values()):
+        counts = dedup.loc[dedup["tok"].isin(ms), "row"].value_counts()
+        hits[counts.index.to_numpy(), k] = counts.to_numpy()
+    best_n = hits.max(axis=1)
+    # argmax returns the FIRST maximal column — identical to the strict
+    # `n > best_n` scan in dict order
+    best = np.where(best_n > 0, hits.argmax(axis=1), len(_LANG_MARKERS))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "predicted_lang": pa.array(codes[best], pa.string()),
+            "marker_hits": pa.array(best_n, pa.int64()),
+        }
+    )
 
 
 def _sql_list(ms) -> str:

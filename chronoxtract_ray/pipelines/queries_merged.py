@@ -130,21 +130,33 @@ SQL_MATRIX_TRANSFORMS = "\nUNION ALL\n".join(
 
 
 def q_doc_text_stats(sf_dir: str):
-    """Per-doc text-analysis family merged on doc_id: fingerprint +
-    token stats + quality score + language ID + SimHash (all components
-    are full-corpus per-doc rows; see their definitions in
-    queries_docs.py for kernels and oracle derivations)."""
+    """Per-doc text-analysis family fused into ONE corpus pass: fingerprint
+    + token stats + quality score + language ID + SimHash. Every component
+    kernel is per-doc and row-aligned within a batch, so one ``map_batches``
+    applies all five and column-concatenates — identical values to running
+    the five component queries (same per-batch kernels, see their
+    definitions in queries_docs.py), at one read/scan instead of five."""
     from chronoxtract_ray.pipelines import queries_docs as qd
 
-    return _merge(
-        [
-            qd.q_doc_fingerprint(sf_dir),
-            qd.q_token_stats(sf_dir),
-            qd.q_quality_score(sf_dir),
-            qd.q_lang_id(sf_dir),
-            qd.q_simhash(sf_dir),
-        ],
-        ["doc_id"],
+    kernels = (
+        qd.doc_fingerprint_batch,
+        qd.token_stats_batch,
+        qd.quality_score_batch,
+        qd.lang_id_batch,
+        qd.simhash_batch,
+    )
+
+    def fused(t: pa.Table) -> pa.Table:
+        out = kernels[0](t)
+        for fn in kernels[1:]:
+            p = fn(t)
+            for name in p.column_names:
+                if name != "doc_id":
+                    out = out.append_column(name, p[name])
+        return out
+
+    return pa.Table.from_pylist(
+        qd._docs(sf_dir).map_batches(fused, batch_format="pyarrow").take_all()
     )
 
 

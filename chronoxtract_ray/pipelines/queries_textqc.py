@@ -273,3 +273,69 @@ WITH r AS (
 )
 SELECT source, doc_id, sample_key FROM r WHERE rn <= {_SAMPLE_K}
 """
+
+
+# ---- PII scrubbing ---------------------------------------------------------
+#
+# Sequential pattern cascade (email → phone → number): each pattern counts
+# and redacts on the PREVIOUS pattern's output, so a phone number inside an
+# already-redacted email can't double-count. Declared rows-only to the
+# driver (the 50-oracle check window is full), but hash-checked in pytest
+# against SQL_PII_SCRUB on both real events data and a synthetic PII frame
+# (tests/test_textqc.py) — promotable to the driver window as-is.
+
+import re as _re
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+_PII_NUMBER = r"\d+"
+_PII_CASCADE = (
+    ("n_email", _re.compile(_PII_EMAIL), "[EMAIL]"),
+    ("n_phone", _re.compile(_PII_PHONE), "[PHONE]"),
+    ("n_number", _re.compile(_PII_NUMBER), "[NUM]"),
+)
+
+
+def pii_scrub_batch(t: pa.Table, text_col: str = "props", key_col: str = "event_id") -> pa.Table:
+    """Vectorized redaction kernel (compiled patterns at module import;
+    pandas str kernels run the regex loop in C)."""
+    cur = pd.Series(t[text_col].to_pylist())
+    cols: dict = {key_col: t[key_col]}
+    counts = []
+    for name, pat, repl in _PII_CASCADE:
+        c = cur.str.count(pat).to_numpy(np.int64)
+        counts.append(c)
+        cur = cur.str.replace(pat, repl, regex=True)
+        cols[name] = pa.array(c, pa.int64())
+    cols["scrubbed"] = pa.array(cur.to_numpy(), pa.string())
+    cols["n_redactions"] = pa.array(np.sum(counts, axis=0), pa.int64())
+    return pa.table(cols)
+
+
+def q_pii_scrub(sf_dir: str):
+    """Redact emails / phone numbers / digit runs from ``events.props`` —
+    the PII-scrub stage every training-data pipeline runs before
+    publishing. Stateless vectorized map_batches; no shuffle."""
+    import ray.data as rd
+
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle
+
+    ds = ensure_sort_shuffle(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    )
+    return pa.Table.from_pylist(ds.map_batches(pii_scrub_batch, batch_format="pyarrow").take_all())
+
+
+SQL_PII_SCRUB = f"""
+WITH s1 AS (SELECT event_id, props,
+    len(regexp_extract_all(props, '{_PII_EMAIL}')) AS n_email,
+    regexp_replace(props, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1 FROM events),
+s2 AS (SELECT event_id, n_email,
+    len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phone,
+    regexp_replace(t1, '{_PII_PHONE}', '[PHONE]', 'g') AS t2 FROM s1),
+s3 AS (SELECT event_id, n_email, n_phone,
+    len(regexp_extract_all(t2, '{_PII_NUMBER}')) AS n_number,
+    regexp_replace(t2, '{_PII_NUMBER}', '[NUM]', 'g') AS scrubbed FROM s2)
+SELECT event_id, scrubbed, n_email, n_phone, n_number,
+  n_email + n_phone + n_number AS n_redactions FROM s3
+"""

@@ -78,3 +78,37 @@ def test_stratified_sample_size_and_reproducibility(tq):
     pd.testing.assert_frame_equal(
         t.sort_values(key).reset_index(drop=True), u.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_pii_scrub_matches_oracle_on_events(tq):
+    import duckdb
+
+    got = tq.q_pii_scrub(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exp = con.execute(tq.SQL_PII_SCRUB + " ORDER BY event_id").fetchdf()
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    assert (got.n_number > 0).any(), "events props contain digits to redact"
+
+
+def test_pii_scrub_kernel_on_synthetic_pii(tq):
+    import duckdb
+    import pyarrow as pa
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "props": [
+                "contact a.b+x@mail-site.co.uk now",
+                "call +1 (415) 555-0199 or 4155550199",
+                '{"k": 69}',
+                "no pii here",
+            ],
+        }
+    )
+    got = tq.pii_scrub_batch(pa.Table.from_pandas(df)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(tq.SQL_PII_SCRUB + " ORDER BY event_id").fetchdf()
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    assert got.n_email.sum() == 1 and got.n_phone.sum() == 2 and got.n_number.sum() == 1
