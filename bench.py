@@ -196,8 +196,9 @@ def run_bench() -> dict:
         qs = entrymod.queries()
         for name in ("window_summary", "rolling_scans", "gap_filled_hourly", "tier_cascade_1h",
                      "gorilla_roundtrip", "entropy_features", "dedup_exact", "minhash_neardup",
-                     "knn_bruteforce", "token_stats", "find_peaks", "dedup_clusters",
-                     "embedding_neardup", "lomb_scargle", "retention_prune", "continuous_aggregate"):
+                     "knn_bruteforce", "doc_text_stats", "find_peaks", "dedup_clusters",
+                     "embedding_neardup", "lomb_scargle", "retention_prune", "continuous_aggregate",
+                     "c4_filters", "vocab_topk", "unigram_logprob", "stratified_sample", "pii_scrub"):
             t0 = time.time()
             qs[name](SF_DIR)
             queries[name] = round(time.time() - t0, 3)
