@@ -242,21 +242,32 @@ _SAMPLE_K = 5
 def q_stratified_sample(sf_dir: str):
     """K docs per ``source`` stratum, chosen as the K smallest
     ``md5(doc_id)`` — a uniform, reproducible sample (hash order is
-    independent of ingestion order, identical across workers/runs). Per
-    group only a K-row head survives, so the shuffle output is
-    strata·K rows regardless of corpus size."""
+    independent of ingestion order, identical across workers/runs).
+
+    Top-K-by-hash is a combiner-friendly aggregate: a LOCAL per-batch
+    head(K) per stratum runs before the shuffle, so the ``groupby(source)``
+    moves at most K rows per stratum per batch and the per-group final
+    head sees K·n_batches rows — never the stratum's full corpus slice
+    (which would have to fit one block)."""
     ds = _docs(sf_dir, columns=("doc_id", "source"))
 
-    def key(t: pa.Table) -> pa.Table:
+    def local_head(t: pa.Table) -> pa.Table:
         ks = [hashlib.md5(str(d).encode()).hexdigest() for d in t["doc_id"].to_pylist()]
-        return t.append_column("sample_key", pa.array(ks, pa.string()))
+        df = (
+            t.append_column("sample_key", pa.array(ks, pa.string()))
+            .to_pandas()
+            .sort_values(["sample_key", "doc_id"], kind="stable")
+            .groupby("source", sort=False)
+            .head(_SAMPLE_K)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def head(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values(["sample_key", "doc_id"], kind="stable").head(_SAMPLE_K)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     out = (
-        ds.map_batches(key, batch_format="pyarrow")
+        ds.map_batches(local_head, batch_format="pyarrow")
         .groupby("source")
         .map_groups(head, batch_format="pyarrow")
     )
