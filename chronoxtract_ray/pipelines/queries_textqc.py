@@ -119,28 +119,32 @@ _TOPK = 200
 _FREQ_CACHE: dict[str, pd.DataFrame] = {}
 
 
+def _partial_token_counts(t: pa.Table) -> pa.Table:
+    """Per-batch token histogram (pandas value_counts in C): the shuffle
+    after this moves one row per DISTINCT token per batch, not one per
+    occurrence — the partial/combiner pattern SURVEY §4.3 prescribes."""
+    s = pd.Series(t["text"].to_pylist()).str.strip()
+    ex = s[s != ""].str.split().explode().dropna()
+    vc = ex.value_counts()
+    return pa.table(
+        {
+            "token": pa.array(vc.index.to_numpy(), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def _token_counts(sf_dir: str) -> pd.DataFrame:
-    """Distributed whitespace-token histogram: per-batch partial counts →
-    ``groupby(token).sum``. The shuffle moves one row per DISTINCT token per
-    batch (vocab-sized), not one per occurrence — the partial/combiner
-    pattern SURVEY §4.3 prescribes for wide aggregations. The result is
-    vocab-sized and safe to collect."""
+    """FULL distributed whitespace-token histogram, collected to the driver.
+    Used only to build the unigram MODEL (q_unigram_logprob), whose contract
+    is that the model is broadcastable — like any LM's vocab it must fit one
+    worker's memory; a production pipeline caps it (top-V + OOV bucket)
+    before broadcast. Pure top-K consumers use q_vocab_topk's bounded path
+    instead."""
     if sf_dir in _FREQ_CACHE:
         return _FREQ_CACHE[sf_dir]
     ds = _docs(sf_dir)
-
-    def partial(t: pa.Table) -> pa.Table:
-        s = pd.Series(t["text"].to_pylist()).str.strip()
-        ex = s[s != ""].str.split().explode().dropna()
-        vc = ex.value_counts()
-        return pa.table(
-            {
-                "token": pa.array(vc.index.to_numpy(), pa.string()),
-                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
-            }
-        )
-
-    rows = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum("n").take_all()
+    rows = ds.map_batches(_partial_token_counts, batch_format="pyarrow").groupby("token").sum("n").take_all()
     df = (
         pd.DataFrame(rows)
         .rename(columns={"sum(n)": "n"})
@@ -153,8 +157,35 @@ def _token_counts(sf_dir: str) -> pd.DataFrame:
 
 def q_vocab_topk(sf_dir: str):
     """Top-K corpus vocabulary by frequency, deterministic tie-break on the
-    token itself (count desc, token asc)."""
-    df = _token_counts(sf_dir)
+    token itself (count desc, token asc).
+
+    The driver never sees the full vocabulary: after ``groupby(token).sum``
+    every block holds a disjoint, fully-aggregated token range, so a LOCAL
+    top-K per block is exact and the driver merges at most K·n_blocks rows
+    — a heavy-tailed 100-TB vocabulary never materializes in one place.
+    (When the full histogram is already memoized for the unigram model,
+    reuse it instead of a second pass.)"""
+    if sf_dir in _FREQ_CACHE:
+        df = _FREQ_CACHE[sf_dir]
+        out = df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK)
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    ds = _docs(sf_dir)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().rename(columns={"sum(n)": "n"})
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK),
+            preserve_index=False,
+        )
+
+    rows = (
+        ds.map_batches(_partial_token_counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(rows)
     out = df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
