@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "carma_mcmc": qe.q_carma_mcmc,
         "variability_timescale": qe.q_variability_timescale,
         "pii_scrub": qt.q_pii_scrub,
+        "multimodal_features": qt.q_multimodal_features,
     }
 
 
@@ -211,5 +212,9 @@ def oracle_sql() -> dict[str, str]:
         # pii_scrub (SQL-expressible — queries_textqc.SQL_PII_SCRUB — and
         # hash-checked in pytest on events data AND a synthetic PII frame;
         # held outside the driver's 50-oracle window only because the
-        # window is full; promotable as-is).
+        # window is full; promotable as-is),
+        # multimodal_features (pixel/sample math through the real PPM/WAV
+        # actor-pool decode path — not SQL-expressible; kernel parity vs
+        # direct numpy pinned in tests/test_multimodal.py, determinism and
+        # shape pinned in tests/test_textqc.py).
     }

@@ -381,3 +381,60 @@ s3 AS (SELECT event_id, n_email, n_phone,
 SELECT event_id, scrubbed, n_email, n_phone, n_number,
   n_email + n_phone + n_number AS n_redactions FROM s3
 """
+
+
+# ---- multimodal decode (driver-visible demo of the real codec path) --------
+
+
+def q_multimodal_features(sf_dir: str):
+    """Deterministic multimodal decode as a driver query: synthesize one raw
+    media payload per doc (even doc_id → 8×8 PPM image, odd → 256-sample
+    PCM16 WAV; bytes seeded from md5(doc_id) — no external data), then run
+    the REAL actor-pool decode stage (``stages/multimodal.decode_media``,
+    decoder='raw': pure-numpy PPM/WAV codecs, per-actor projection state in
+    ``__init__``) and return pixel/sample-derived feature vectors.
+
+    Rows-only to the driver (pixel math isn't SQL-expressible); the feature
+    kernels' parity vs direct numpy and corrupt-payload tolerance are pinned
+    in tests/test_multimodal.py."""
+    from chronoxtract_ray.stages.multimodal import decode_media, encode_ppm, encode_wav
+
+    ds = _docs(sf_dir, columns=("doc_id",))
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids, kinds, payloads = [], [], []
+        for d in t["doc_id"].to_pylist():
+            seed = int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            if d % 2 == 0:
+                img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                kinds.append("image")
+                payloads.append(encode_ppm(img))
+            else:
+                x = (rng.standard_normal(256) * 8000.0).astype(np.int16)
+                kinds.append("audio")
+                payloads.append(encode_wav(8000, x))
+            ids.append(d)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    feats = decode_media(ds.map_batches(synth, batch_format="pyarrow"), decoder="raw")
+
+    def flatten(t: pa.Table) -> pa.Table:
+        f = np.asarray(t["features"].to_pylist(), dtype=np.float64)
+        cols = {
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "n_bytes": t["n_bytes"],
+            "decode_ok": t["decode_ok"],
+        }
+        for k in range(f.shape[1] if f.size else 0):
+            cols[f"f{k:02d}"] = pa.array(f[:, k], pa.float64())
+        return pa.table(cols)
+
+    return pa.Table.from_pylist(feats.map_batches(flatten, batch_format="pyarrow").take_all())

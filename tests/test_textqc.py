@@ -112,3 +112,19 @@ def test_pii_scrub_kernel_on_synthetic_pii(tq):
     exp = con.execute(tq.SQL_PII_SCRUB + " ORDER BY event_id").fetchdf()
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
     assert got.n_email.sum() == 1 and got.n_phone.sum() == 2 and got.n_number.sum() == 1
+
+
+def test_multimodal_features_query(tq):
+    t = tq.q_multimodal_features(SF).to_pandas()
+    assert len(t) == 500 and t.media_id.is_unique
+    assert t.decode_ok.all(), "all synthesized payloads must decode"
+    assert set(t.kind) == {"image", "audio"}
+    fcols = [c for c in t.columns if c.startswith("f")]
+    assert len(fcols) == 16 and np.isfinite(t[fcols].to_numpy()).all()
+    # image rows lead with (w, h) = (8, 8); audio rows with (sr, n) = (8000, 256)
+    img, aud = t[t.kind == "image"], t[t.kind == "audio"]
+    assert (img.f00 == 8).all() and (img.f01 == 8).all()
+    assert (aud.f00 == 8000).all() and (aud.f01 == 256).all()
+    # deterministic across runs
+    u = tq.q_multimodal_features(SF).to_pandas().sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(t.sort_values("media_id").reset_index(drop=True), u)
