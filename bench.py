@@ -230,6 +230,12 @@ def run_bench() -> dict:
         # the window the baseline was measured in
         "baseline_window_kernel": round(KERNEL_REF),
         "headline_normalized_sec": round(headline * kernel_fp / KERNEL_REF, 3),
+        # epoch span of the timed headline: lets an external window-speed
+        # monitor (tools/scaling_pair_hunt.py) compute the MEAN window speed
+        # over exactly the timed region — point fingerprints are meaningless
+        # when the host flickers bandwidth at seconds scale
+        "t_headline_start": round(t0, 2),
+        "t_headline_end": round(t0 + headline, 2),
     }
     ray.shutdown()
     return result
