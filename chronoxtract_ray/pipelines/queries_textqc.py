@@ -228,13 +228,27 @@ def q_unigram_logprob(sf_dir: str):
         idx, lpv = model["idx"], model["lp"]
         s = pd.Series(t["text"].to_pylist()).str.strip()
         ex = s.str.split().explode().dropna()
-        cnt = np.zeros((t.num_rows, lpv.size), dtype=np.int64)
-        if len(ex):
-            np.add.at(cnt, (ex.index.to_numpy(np.int64), ex.map(idx).to_numpy(np.int64)), 1)
+        # sparse accumulation, O(token occurrences) — a dense
+        # (rows x vocab) matrix is a memory bomb at real vocab sizes.
+        # Bit-exactness vs the oracle is preserved: terms are applied with
+        # np.add.at (unbuffered, processes strictly in the given order)
+        # after a (doc, token) lexsort, i.e. sequentially token-ascending
+        # per doc — identical fp order to the old dense vocab loop, whose
+        # absent-token terms were ±0.0 no-ops.
         acc = np.zeros(t.num_rows, dtype=np.float64)
-        for k in range(lpv.size):  # sequential over vocab, vectorized over docs
-            acc = acc + cnt[:, k] * lpv[k]
-        n_tok = cnt.sum(axis=1)
+        n_tok = np.zeros(t.num_rows, dtype=np.int64)
+        if len(ex):
+            rows = ex.index.to_numpy(np.int64)
+            toks = ex.map(idx).to_numpy(np.int64)
+            order = np.lexsort((toks, rows))
+            rows_s, toks_s = rows[order], toks[order]
+            run_start = np.ones(len(rows_s), dtype=bool)
+            run_start[1:] = (rows_s[1:] != rows_s[:-1]) | (toks_s[1:] != toks_s[:-1])
+            starts = np.flatnonzero(run_start)
+            counts = np.diff(np.append(starts, len(rows_s)))
+            terms = counts * lpv[toks_s[starts]]
+            np.add.at(acc, rows_s[starts], terms)
+            n_tok += np.bincount(rows, minlength=t.num_rows)
         keep = n_tok > 0
         mean_lp = acc[keep] / n_tok[keep]
         return pa.table(
@@ -417,7 +431,9 @@ def q_multimodal_features(sf_dir: str):
             ids.append(d)
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
+                # MEDIA_SCHEMA declares media_id:string (and frame_sample
+                # hard-casts to string) — emit the declared type
+                "media_id": pa.array([str(i) for i in ids], pa.string()),
                 "kind": pa.array(kinds, pa.string()),
                 "payload": pa.array(payloads, pa.binary()),
             }

@@ -241,7 +241,9 @@ def open_transcripts(path: str, format: str | None = None):
         exts = {os.path.splitext(f)[1].lstrip(".").lower()
                 for f in (os.listdir(path) if os.path.isdir(path) else [path])}
         found = [f for f in ("parquet", "jsonl", "json", "csv") if f in exts]
-        if len(found) != 1:
+        # ambiguity is judged by RESOLVED READER, not extension: .json and
+        # .jsonl map to the same reader and may legitimately coexist
+        if len(found) != 1 and len({_FORMAT_READERS[f] for f in found}) != 1:
             raise ValueError(f"cannot sniff a unique transcript format from extensions {sorted(exts)}")
         format = found[0]
     reader = _FORMAT_READERS.get(format.lower())

@@ -398,7 +398,9 @@ class IncrementalWriteStage:
         """Stage one artifact dir: links + carry segment + new segment, with
         compaction once the directory would exceed MAX_SEGMENTS files."""
         bid = self.batch_id[:12]
-        n_files = len(link_files) + (1 if carry is not None and carry.num_rows else 0) + 1
+        n_files = (len(link_files)
+                   + (1 if carry is not None and carry.num_rows else 0)
+                   + (1 if new_rows is not None and new_rows.num_rows else 0))
         if n_files > MAX_SEGMENTS:
             parts = [file_cache.get(f) or pq.read_table(f) for f in link_files]
             if carry is not None and carry.num_rows:

@@ -233,8 +233,11 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
-        pairs = [self._features(p.as_py() or b"", k) for p, k in zip(batch["payload"], kinds)]
-        sizes = [len(p.as_py() or b"") for p in batch["payload"]]
+        # materialize each payload ONCE — this stage is payload-memory-bound
+        # and a second as_py() pass doubles the per-batch heap
+        payloads = [p.as_py() or b"" for p in batch["payload"]]
+        pairs = [self._features(p, k) for p, k in zip(payloads, kinds)]
+        sizes = [len(p) for p in payloads]
         return pa.table(
             {
                 "media_id": batch["media_id"],
