@@ -141,7 +141,7 @@ def quality_score_batch(t: pa.Table) -> pa.Table:
     n_stop = toks.map(lambda ws: sum(w in _STOPSET for w in ws) if ws else 0).to_numpy(np.int64)
     with np.errstate(invalid="ignore", divide="ignore"):
         stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
-    # score: documents with some stopwords and 3..50 tokens look "natural"
+    # score: documents with some stopwords and 3..1000 tokens look "natural"
     score = np.where((n_tokens >= 3) & (n_tokens <= 1000), 0.5, 0.0) + np.minimum(stop_ratio * 2.0, 0.5)
     return pa.table(
         {
@@ -375,7 +375,10 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
         ds.map_batches(sig_batch, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .map_batches(resolve, batch_format="pyarrow")
+        # batch_size=1 → one block-pair task per worker invocation, so a
+        # degenerate bucket's decomposed O(CAP²) tasks actually fan out
+        # instead of re-serializing on whichever worker got the whole batch
+        .map_batches(resolve, batch_format="pyarrow", batch_size=1)
         .groupby(["doc_a", "doc_b"])
         .min("sig_jaccard")
         .map_batches(rename, batch_format="pyarrow")
@@ -600,8 +603,23 @@ def _shingle_set(s: str) -> set:
 
 # Exact-Jaccard edge tables memoized per sf_dir: q_ngram_jaccard_pairs and
 # q_dedup_clusters share one edge computation instead of re-running the
-# whole minhash→LSH→verify chain twice (VERDICT r2 #6).
-_EDGE_CACHE: dict[str, pa.Table] = {}
+# whole minhash→LSH→verify chain twice (VERDICT r2 #6). Keyed on
+# (path, mtime, size) of documents.parquet so a regenerated corpus at the
+# same path invalidates naturally; bounded (edges are per-sf small, but a
+# long-lived driver shouldn't pin every corpus it ever touched).
+_EDGE_CACHE: dict[tuple, pa.Table] = {}
+_EDGE_CACHE_MAX = 8
+
+
+def _edge_cache_key(sf_dir: str) -> tuple:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        return (p, int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        return (p, 0, 0)
 
 
 def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
@@ -626,14 +644,17 @@ def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
     Datasets (object store, not driver) because each feeds two downstream
     consumers — both are near-dup-population-sized, not corpus-sized. Only
     the final edge table is collected."""
-    if sf_dir in _EDGE_CACHE:
-        return _EDGE_CACHE[sf_dir]
+    key = _edge_cache_key(sf_dir)
+    if key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+        _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
 
     cands = _minhash_pairs_ds(sf_dir, min_sig_jaccard=0.35).select_columns(["doc_a", "doc_b"]).materialize()
     n_cands = cands.count()
     if n_cands == 0:
-        _EDGE_CACHE[sf_dir] = empty
+        _EDGE_CACHE[key] = empty
         return empty
     n_parts = max(2, min(32, n_cands // 2048 + 1))
 
@@ -668,7 +689,7 @@ def _exact_jaccard_pairs(sf_dir: str) -> pa.Table:
 
     rows = joined.map_batches(score, batch_format="pyarrow").take_all()
     out = empty if not rows else pa.Table.from_pylist(rows).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
-    _EDGE_CACHE[sf_dir] = out
+    _EDGE_CACHE[key] = out
     return out
 
 

@@ -59,6 +59,24 @@ def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, flat.reshape(ids.size, d)
 
 
+def _merge_topk(partial: pa.Table) -> pa.Table:
+    """Driver-side merge of per-batch partial top-ks (tiny: ≤ k rows per
+    (query, input block)). One construction shared by all three kNN
+    variants so they return bit-identical schemas for the same logical
+    result."""
+    df = partial.to_pandas()
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(TOP_K)
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"].to_numpy(np.int64), pa.int64()),
+            "neighbor_id": pa.array(df["neighbor_id"].to_numpy(np.int64), pa.int64()),
+            "cosine": pa.array(_round(df["cosine"].to_numpy()), pa.float64()),
+        }
+    )
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 neighbors (excluding self) for query vectors
     vec_id < N_QUERIES: per-batch matmul against the broadcast query matrix,
@@ -92,18 +110,8 @@ def q_knn_bruteforce(sf_dir: str):
             }
         )
 
-    partial = pa.Table.from_pylist(_emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all())
-    df = partial.to_pandas()
-    df = df[df["query_id"] != df["neighbor_id"]]
-    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
-    df = df.groupby("query_id", sort=True).head(TOP_K)
-    return pa.table(
-        {
-            "query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
-            "neighbor_id": pa.array(df["neighbor_id"].to_numpy(), pa.int64()),
-            "cosine": pa.array(_round(df["cosine"].to_numpy()), pa.float64()),
-        }
-    )
+    return _merge_topk(pa.Table.from_pylist(
+        _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()))
 
 
 SQL_KNN_BRUTEFORCE = f"""
@@ -133,8 +141,15 @@ def q_embedding_neardup(sf_dir: str):
     task reads exactly its two blocks and emits its over-threshold pairs.
     No full-matrix broadcast, no driver-side read of the corpus; per-task
     memory = 2 blocks (pick B so 2·(n/B)·d doubles fit a worker heap — at
-    100 TB the blocks live in object storage and B grows with the corpus)."""
+    100 TB the blocks grow with the corpus and B is derived from it).
+
+    Staging location: blocks are written as partitioned parquet to
+    ``$CTX_SCRATCH_DIR`` when set, else a node-local tempdir. Score tasks
+    read blocks BY PATH, so on a multi-node cluster CTX_SCRATCH_DIR MUST
+    point at cluster-visible storage (s3://… / NFS) — the node-local
+    default is correct only for single-node runs like this sandbox."""
     import glob
+    import os
     import shutil
     import tempfile
 
@@ -145,7 +160,8 @@ def q_embedding_neardup(sf_dir: str):
     n_vecs = emb.count()  # parquet metadata count — no data read
     dim = len(emb.take(1)[0]["embedding"]) if n_vecs else 1
     n_blocks = _derive_n_blocks(n_vecs, dim)
-    tmp = tempfile.mkdtemp(prefix="ctx_neardup_blocks_")
+    scratch_root = os.environ.get("CTX_SCRATCH_DIR")
+    tmp = tempfile.mkdtemp(prefix="ctx_neardup_blocks_", dir=scratch_root)
 
     def norm(t: pa.Table) -> pa.Table:
         ids, M = _to_matrix(t)
@@ -165,14 +181,23 @@ def q_embedding_neardup(sf_dir: str):
             import pyarrow.parquet as pq
 
             files = sorted(glob.glob(f"{tmp}/block={b}/*.parquet"))
+            if not files:
+                # a residue class with no vec_ids writes no partition dir —
+                # an empty block, not an error
+                return np.array([], dtype=np.int64), np.zeros((0, dim), dtype=np.float64)
             t = pa.concat_tables([pq.read_table(f, columns=["vec_id", "embedding"]) for f in files])
             return _to_matrix(t)
 
         def score(t: pa.Table) -> pa.Table:
-            out = []
+            empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                              "vec_b": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            out = [empty]
             for bi, bj in zip(t["block_i"].to_pylist(), t["block_j"].to_pylist()):
                 ids_i, Mi = _read_block(bi)
                 ids_j, Mj = (ids_i, Mi) if bj == bi else _read_block(bj)
+                if not ids_i.size or not ids_j.size:
+                    continue
                 sims = Mi @ Mj.T
                 ii, jj = np.nonzero(sims > thresh)
                 if bi == bj:
@@ -279,13 +304,8 @@ def q_knn_lsh(sf_dir: str):
             }
         )
 
-    partial = pa.Table.from_pylist(_emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all())
-    df = partial.to_pandas()
-    df = df[df["query_id"] != df["neighbor_id"]]
-    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
-    df = df.groupby("query_id", sort=True).head(TOP_K)
-    df["cosine"] = _round(df["cosine"].to_numpy())
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _merge_topk(pa.Table.from_pylist(
+        _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()))
 
 
 def q_knn_ivf(sf_dir: str):
@@ -361,13 +381,8 @@ def q_knn_ivf(sf_dir: str):
             }
         )
 
-    partial = pa.Table.from_pylist(_emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all())
-    df = partial.to_pandas()
-    df = df[df["query_id"] != df["neighbor_id"]]
-    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
-    df = df.groupby("query_id", sort=True).head(TOP_K)
-    df["cosine"] = _round(df["cosine"].to_numpy())
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _merge_topk(pa.Table.from_pylist(
+        _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()))
 
 
 # ---- SQL oracles for the approximate-ANN queries ---------------------------

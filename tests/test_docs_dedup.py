@@ -54,13 +54,19 @@ def test_edge_cache_shared(ray_session, mega_bucket_sf):
     computation per sf_dir."""
     qd._EDGE_CACHE.clear()
     edges = qd._exact_jaccard_pairs(mega_bucket_sf)
-    assert mega_bucket_sf in qd._EDGE_CACHE
+    key = qd._edge_cache_key(mega_bucket_sf)
+    assert key in qd._EDGE_CACHE
     marker = pa.table(
         {"doc_a": pa.array([7], pa.int64()), "doc_b": pa.array([9], pa.int64()), "jaccard": pa.array([1.0], pa.float64())}
     )
-    qd._EDGE_CACHE[mega_bucket_sf] = marker
+    qd._EDGE_CACHE[key] = marker
     assert qd._exact_jaccard_pairs(mega_bucket_sf) is marker  # cache hit, no recompute
-    qd._EDGE_CACHE[mega_bucket_sf] = edges
+    # rewriting the corpus at the same path must MISS (mtime/size keyed)
+    import os, time as _time
+    p = os.path.join(mega_bucket_sf, "documents.parquet")
+    os.utime(p, ns=(_time.time_ns(), _time.time_ns()))
+    assert qd._edge_cache_key(mega_bucket_sf) != key
+    qd._EDGE_CACHE[qd._edge_cache_key(mega_bucket_sf)] = edges
     # clusters over the identical-doc corpus: docs 0..39 collapse to label 0
     clusters = qd.q_dedup_clusters(mega_bucket_sf)
     lab = dict(zip(clusters["doc_id"].to_pylist(), clusters["cluster_id"].to_pylist()))
@@ -80,3 +86,25 @@ def test_embedding_neardup_blocks_scale_with_corpus(ray_session):
     # per-block matrix must fit the documented budget
     assert -(-200_000_000 // big) * 768 * 8 <= 512 * (1 << 20)
     assert _derive_n_blocks(n=0, dim=64) == 4
+
+
+def test_embedding_neardup_empty_blocks(ray_session, tmp_path):
+    """vec_ids covering only one residue class leave B-1 hash blocks with no
+    partition dir — score tasks must treat those as empty, not crash, and
+    the present near-dup pair must still come back."""
+    from chronoxtract_ray.pipelines.queries_vec import q_embedding_neardup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    # ids {0, 4, 8} are all ≡ 0 (mod 4): blocks 1..3 are never written
+    emb = np.stack([base, base * 0.99 + rng.standard_normal(64) * 0.01,
+                    rng.standard_normal(64)])
+    t = pa.table({
+        "vec_id": pa.array([0, 4, 8], pa.int64()),
+        "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float64())),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    out = q_embedding_neardup(str(tmp_path))
+    pairs = set(zip(out["vec_a"].to_pylist(), out["vec_b"].to_pylist()))
+    assert (0, 4) in pairs  # the near-identical pair survives
+    assert all(a < b for a, b in pairs)
