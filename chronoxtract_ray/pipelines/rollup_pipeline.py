@@ -229,7 +229,12 @@ def _writer_pool(cfg: PipelineConfig, whole_session: bool = False) -> tuple[tupl
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     if cfg.writer_concurrency:
-        return cfg.writer_concurrency, 1.0
+        # an explicit pool size still gets its logical num_cpus budgeted:
+        # num_cpus=1.0 per actor at pool == session size would reserve every
+        # CPU and deadlock stage 1's upstream (the exact failure the default
+        # path guards against)
+        budget = float(n_cpus) if whole_session else max(1.0, 0.4 * n_cpus)
+        return cfg.writer_concurrency, max(0.1, round(min(1.0, budget / cfg.writer_concurrency[1]), 2))
     if whole_session:
         k = max(2, min(cfg.num_parts, n_cpus))
         return (k, k), 1.0
@@ -332,10 +337,16 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
             f"one run: the hash shuffle split a partition across blocks — "
             f"raise num_parts so each partition fits one block"
         )
-    metrics["tiers"]["1m" if not cfg.fused_cascade else "1m+1h+1d"] = {
-        "rows_written": int(sum(r["rows"] for r in results if r["tier"] == "1m")),
+    stage1 = {
+        # ALL rows this stage wrote (fused mode includes 1h/1d) — the label
+        # claims all three tiers, so the count must too
+        "rows_written": int(sum(r["rows"] for r in results)),
         "wall_s": time.time() - t0,
     }
+    if cfg.fused_cascade:
+        for tier in ("1m", "1h", "1d"):
+            stage1[f"rows_{tier}"] = int(sum(r["rows"] for r in results if r["tier"] == tier))
+    metrics["tiers"]["1m" if not cfg.fused_cascade else "1m+1h+1d"] = stage1
     if cfg.fused_cascade:
         metrics["total_wall_s"] = time.time() - t_start
         return metrics

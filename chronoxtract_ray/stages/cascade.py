@@ -98,10 +98,9 @@ def _gap_fill_block(tbl: pa.Table, width_us: int):
     change = np.concatenate(([False], conv[1:] != conv[:-1]))
     codes_s = np.cumsum(change)
     win_s = tbl["window_start"].to_numpy()
-    order = np.arange(win_s.size)  # already fully sorted
     conv_starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
     conv_ends = np.concatenate((conv_starts[1:], [codes_s.size]))
-    conv_names = conv[order][conv_starts]
+    conv_names = conv[conv_starts]
     firsts = win_s[conv_starts]
     lasts = win_s[conv_ends - 1]
     lens = (lasts - firsts) // width_us + 1
@@ -119,7 +118,7 @@ def _gap_fill_block(tbl: pa.Table, width_us: int):
         out[pos] = src
         return out
 
-    mean_f = scatter(tbl["mean"].to_numpy()[order], np.nan)
+    mean_f = scatter(tbl["mean"].to_numpy(), np.nan)
     # linear interpolation of the gaps: prev/next present slot (gap slots lie
     # strictly between two present points of the SAME conv because conv
     # first/last are always present)
@@ -137,17 +136,17 @@ def _gap_fill_block(tbl: pa.Table, width_us: int):
         mean_f[g] = y0 + (y1 - y0) * (f_win[g] - x0) / (x1 - x0)
     filled = {
         "mean": mean_f,
-        "n_turns": scatter(tbl["n_turns"].to_numpy()[order].astype(np.float64), 0.0),
-        "sum": scatter(np.nan_to_num(tbl["sum"].to_numpy()[order]), 0.0),
-        "energy": scatter(np.nan_to_num(tbl["energy"].to_numpy()[order]), 0.0),
-        "sum3": scatter(np.nan_to_num(tbl["sum3"].to_numpy()[order]), 0.0),
-        "sum4": scatter(np.nan_to_num(tbl["sum4"].to_numpy()[order]), 0.0),
-        "min": scatter(np.nan_to_num(tbl["min"].to_numpy()[order], nan=np.inf), np.inf),
-        "max": scatter(np.nan_to_num(tbl["max"].to_numpy()[order], nan=-np.inf), -np.inf),
+        "n_turns": scatter(tbl["n_turns"].to_numpy().astype(np.float64), 0.0),
+        "sum": scatter(np.nan_to_num(tbl["sum"].to_numpy()), 0.0),
+        "energy": scatter(np.nan_to_num(tbl["energy"].to_numpy()), 0.0),
+        "sum3": scatter(np.nan_to_num(tbl["sum3"].to_numpy()), 0.0),
+        "sum4": scatter(np.nan_to_num(tbl["sum4"].to_numpy()), 0.0),
+        "min": scatter(np.nan_to_num(tbl["min"].to_numpy(), nan=np.inf), np.inf),
+        "max": scatter(np.nan_to_num(tbl["max"].to_numpy(), nan=-np.inf), -np.inf),
     }
     if "text_checksum" in tbl.column_names:
         chk = np.zeros(total, dtype=np.uint64)
-        chk[pos] = tbl["text_checksum"].to_numpy()[order]
+        chk[pos] = tbl["text_checksum"].to_numpy()
         filled["text_checksum"] = chk
     return filled, f_codes, conv_names, f_win, present
 

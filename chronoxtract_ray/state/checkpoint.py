@@ -208,9 +208,11 @@ class PartitionWriter:
                         chunks = self._encode_chunks(tbl, gcfg)
                         write_chunk_partition(self.root, str(tier), int(part), chunks)
                         extra["gorilla_chunks"] = chunks.num_rows
+                        # vectorized byte totals — as_py() here would copy the
+                        # whole compressed output just to take len()
                         extra["gorilla_bytes"] = int(
-                            sum(len(b.as_py()) for b in chunks["gorilla_timestamps"])
-                            + sum(len(b.as_py()) for b in chunks["gorilla_values"])
+                            (pa.compute.sum(pa.compute.binary_length(chunks["gorilla_timestamps"])).as_py() or 0)
+                            + (pa.compute.sum(pa.compute.binary_length(chunks["gorilla_values"])).as_py() or 0)
                         )
                     if self.run_id is not None:
                         extra["run_id"] = self.run_id
