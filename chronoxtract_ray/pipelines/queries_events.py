@@ -290,8 +290,6 @@ FROM agg WHERE n >= 3 AND act > 1e-6 AND dvar > 1e-6
 def q_rolling_mean(sf_dir: str):
     """Rolling mean window=5 per user, full windows only (reference
     rolling_mean semantics: output length n-w+1, src/rollingstats/mod.rs:6-19)."""
-    import pyarrow as pa
-
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
 
     def fn(group: pa.Table) -> pa.Table:
@@ -749,8 +747,10 @@ def q_continuous_aggregate(sf_dir: str):
         st = md.row_group(rg).column(idx).statistics
         mins.append(st.min)
         maxs.append(st.max)
-    to_us = lambda d: int(pa.array([min(mins) if d == "lo" else max(maxs)], pa.timestamp("us")).cast(pa.int64())[0].as_py())
-    cut = (to_us("lo") + to_us("hi")) // 2
+    lo_us, hi_us = (
+        pa.scalar(v, pa.timestamp("us")).cast(pa.int64()).as_py() for v in (min(mins), max(maxs))
+    )
+    cut = (lo_us + hi_us) // 2
 
     def half(keep_le: bool):
         def f(b: pa.Table) -> pa.Table:
@@ -1183,7 +1183,6 @@ WITH RECURSIVE o AS (
 SELECT r.user_id, ROUND(r.ll, 6) AS loglik
 FROM rec r JOIN o ON o.user_id = r.user_id AND o.i = r.i AND o.i = o.n - 1
 """
-q_peak_stats = _api_query("enhanced_peak_stats", ["n_peaks", "mean_prominence", "mean_spacing", "peak_density"], min_prominence=1.0, min_distance=1)
 
 
 def _build_carma_mle_sql() -> str:

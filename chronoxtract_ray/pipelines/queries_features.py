@@ -169,8 +169,7 @@ cons AS (
   WHERE c.b IS NOT NULL
   GROUP BY c.user_id, c.a, c.b, c.va, c.vb
 ), agg AS (
-  SELECT user_id, max(amp) AS mx, avg(amp) AS mean, count(*) AS na,
-    sum(amp * amp) / count(*) - avg(amp) * avg(amp) AS dummy
+  SELECT user_id, max(amp) AS mx, avg(amp) AS mean, count(*) AS na
   FROM amp GROUP BY 1
 ), agg2 AS (
   SELECT a.user_id, a.mx, a.mean,
