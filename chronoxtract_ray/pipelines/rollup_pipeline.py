@@ -277,12 +277,12 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
 
     from chronoxtract_ray.stages.util import ensure_hash_shuffle
 
-    ensure_hash_shuffle()
     cfg = cfg or PipelineConfig()
     P = cfg.num_parts
+    ensure_hash_shuffle(num_partitions=P)
     os.makedirs(out_root, exist_ok=True)
     ds = rd.read_parquet(source) if isinstance(source, str) else source
-    ensure_hash_shuffle(ds)
+    ensure_hash_shuffle(ds, num_partitions=P)
 
     metrics: dict = {"tiers": {}, "num_parts": P}
     t_start = time.time()

@@ -766,15 +766,15 @@ def run_incremental_ingest(
 
     from chronoxtract_ray.stages.util import ensure_hash_shuffle
 
-    ensure_hash_shuffle()
     cfg = cfg or PipelineConfig()
+    ensure_hash_shuffle(num_partitions=cfg.num_parts)
     batch_id = batch_id or uuid.uuid4().hex
     os.makedirs(out_root, exist_ok=True)
     # complete any torn older batch for EVERY partition (not just the ones
     # this batch touches) and drop pre-durability staging leftovers
     recover_all_partitions(out_root, gc_stale_staging=True)
     ds = rd.read_parquet(source) if isinstance(source, str) else source
-    ensure_hash_shuffle(ds)
+    ensure_hash_shuffle(ds, num_partitions=cfg.num_parts)
 
     t0 = time.time()
     if pre_derived:

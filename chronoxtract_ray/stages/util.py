@@ -32,7 +32,7 @@ def default_shuffle_blocks() -> int:
     return max(8, 2 * n)
 
 
-def ensure_hash_shuffle(ds=None):
+def ensure_hash_shuffle(ds=None, num_partitions: int | None = None):
     """Switch the Ray Data context to the hash-shuffle strategy.
 
     Key-based ``repartition(keys=..., sort=True)`` — the engine's one-shuffle
@@ -60,16 +60,27 @@ def ensure_hash_shuffle(ds=None):
     ctx.max_hash_shuffle_aggregators = max(2, min(ctx.max_hash_shuffle_aggregators or 64, n // 2 or 1))
     ctx.default_hash_shuffle_parallelism = min(ctx.default_hash_shuffle_parallelism or 200, 4 * n)
     # aggregators only concat+emit: a thin CPU reservation keeps them
-    # schedulable without starving the map/write stages that run alongside
-    # (0.025/partition × P≈4n partitions ≈ 10% of the session in total)
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.025
+    # schedulable without starving the map/write stages that run alongside.
+    # The override is PER PARTITION, so the pool's total logical reservation
+    # is override × P — independent of session size. A flat 0.025 (~10% of a
+    # 32-CPU session at P≈4n) silently becomes 40% of a 4-CPU session at
+    # P=64, which together with the writer pool's 40% leaves less than the
+    # 1.0 CPU a derive task needs: the session wedges at ~zero throughput
+    # (measured 2026-08-19: 4 CPUs/P=64 never finished 25k convs while
+    # 4 CPUs/P=16 ran 112k turns/s). Cap the TOTAL at ~15% of the session.
+    # budget against the LARGEST partition count this context will shuffle:
+    # callers that repartition to an explicit P (the pipeline's num_parts)
+    # pass it as num_partitions; otherwise the context default applies
+    denom = max(int(ctx.default_hash_shuffle_parallelism or 1), int(num_partitions or 0), 1)
+    per_part = min(0.025, round(max(0.15 * n, 0.5) / denom, 4))
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     if ds is not None:
         try:
             dctx = ds.context
             dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
             dctx.max_hash_shuffle_aggregators = ctx.max_hash_shuffle_aggregators
             dctx.default_hash_shuffle_parallelism = ctx.default_hash_shuffle_parallelism
-            dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.025
+            dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
         except AttributeError:
             pass
     return ds
