@@ -178,9 +178,9 @@ def run_bench() -> dict:
     kernel_fp_pre = _kernel_fingerprint()
 
     busy0, steal0 = _cpu_sample()
-    t0 = time.time()
+    t_headline0 = time.time()
     metrics = run_rollup_pipeline(src, out, cfg)
-    headline = time.time() - t0
+    headline = time.time() - t_headline0
     busy1, steal1 = _cpu_sample()
     kernel_fp_post = _kernel_fingerprint()
     kernel_fp = (kernel_fp_pre * kernel_fp_post) ** 0.5
@@ -238,8 +238,8 @@ def run_bench() -> dict:
         # monitor (tools/scaling_pair_hunt.py) compute the MEAN window speed
         # over exactly the timed region — point fingerprints are meaningless
         # when the host flickers bandwidth at seconds scale
-        "t_headline_start": round(t0, 2),
-        "t_headline_end": round(t0 + headline, 2),
+        "t_headline_start": round(t_headline0, 2),
+        "t_headline_end": round(t_headline0 + headline, 2),
     }
     ray.shutdown()
     return result

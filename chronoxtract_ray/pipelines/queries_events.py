@@ -33,7 +33,9 @@ def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
     rounding effects)."""
     x = np.asarray(x, dtype=np.float64)
     scale = 10.0**nd
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    # + 0.0 canonicalizes IEEE -0.0 to +0.0 (the driver's value hash is
+    # sign-of-zero sensitive; CORRECTNESS_r03 entropy_features).
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale + 0.0
 
 
 def _events(sf_dir: str, columns=("user_id", "ts", "value", "event_id")):
@@ -911,9 +913,9 @@ WITH e AS (
 )
 SELECT st.user_id, st.ws AS window_start,
   ROUND(CASE WHEN bc.b = 0 OR (st.n > 3 AND bc.a = 0) THEN 'infinity'::DOUBLE
-        ELSE -ln((bc.a / (st.n - 3.0)) / (bc.b / (st.n - 2.0))) END, 6) AS sample_entropy,
-  ROUND(phi.phim - phi.phim1, 6) AS approx_entropy,
-  ROUND(pe.perm, 6) AS permutation_entropy
+        ELSE -ln((bc.a / (st.n - 3.0)) / (bc.b / (st.n - 2.0))) END, 6) + 0.0 AS sample_entropy,
+  ROUND(phi.phim - phi.phim1, 6) + 0.0 AS approx_entropy,
+  ROUND(pe.perm, 6) + 0.0 AS permutation_entropy
 FROM st
 JOIN bc ON bc.user_id = st.user_id AND bc.ws = st.ws
 JOIN phi ON phi.user_id = st.user_id AND phi.ws = st.ws
@@ -1274,7 +1276,7 @@ def _build_carma_order_sql() -> str:
     4-start MLE AICc, computed by the same scalar Kalman CTE as the
     carma_loglik/carma_mle oracles."""
     return _scalar_kalman_best_cte(n_starts=4) + """
-SELECT user_id, 1 AS best_p, 0 AS best_q,
+SELECT user_id, CAST(1 AS BIGINT) AS best_p, CAST(0 AS BIGINT) AS best_q,
   ROUND(CASE WHEN n > 4.0
         THEN (2.0 * 3.0 - 2.0 * ll) + (2.0 * 3.0 * (3.0 + 1.0)) / (n - 3.0 - 1.0)
         ELSE 'infinity'::DOUBLE END, 6) AS best_aicc

@@ -1124,7 +1124,7 @@ WITH RECURSIVE o AS (
         + c.qb * ((exp((c.lam + c.lam) * ((fin.t + 3.0) - (fin.t + 2.0))) - 1.0) / (c.lam + c.lam)) AS p3
   ) s3
 )
-SELECT user_id, u.step,
+SELECT user_id, CAST(u.step AS BIGINT) AS step,
   ROUND(CASE u.step WHEN 1 THEN x1 WHEN 2 THEN x2 ELSE x3 END, 6) AS pred_mean,
   ROUND(CASE u.step WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS pred_var
 FROM f CROSS JOIN (SELECT unnest([1, 2, 3]) AS step) u

@@ -273,7 +273,7 @@ terms AS (
   SELECT dt.doc_id, dt.token, dt.cd, dt.cd * ln(freq.c / tot.t) AS term
   FROM dt JOIN freq USING (token) CROSS JOIN tot
 )
-SELECT doc_id, sum(cd) AS n_tokens,
+SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_tokens,
   ROUND(list_aggregate(list(term ORDER BY token), 'sum') / sum(cd), 6) AS mean_logprob
 FROM terms GROUP BY doc_id
 """

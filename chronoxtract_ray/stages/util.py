@@ -72,7 +72,10 @@ def ensure_hash_shuffle(ds=None, num_partitions: int | None = None):
     # callers that repartition to an explicit P (the pipeline's num_parts)
     # pass it as num_partitions; otherwise the context default applies
     denom = max(int(ctx.default_hash_shuffle_parallelism or 1), int(num_partitions or 0), 1)
-    per_part = min(0.025, round(max(0.15 * n, 0.5) / denom, 4))
+    # floor at 0.0001: round() can hit 0.0 for tiny sessions with very large
+    # explicit partition counts, and a 0.0 override reads as unset/falsy —
+    # silently reverting to the default reservation this cap exists to fix
+    per_part = max(0.0001, min(0.025, round(max(0.15 * n, 0.5) / denom, 4)))
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     if ds is not None:
         try:

@@ -49,18 +49,22 @@ def test_mega_bucket_block_decomposition(ray_session, mega_bucket_sf, monkeypatc
     assert all(a < b for a, b in ab)
 
 
+def test_edge_cache_key_uncacheable_on_missing_corpus(tmp_path):
+    """OSError at key time → None (uncacheable), never a shared sentinel key
+    that could serve stale edges across distinct corpora (ADVICE r3)."""
+    assert qd._edge_cache_key(str(tmp_path / "no_such_dir")) is None
+
+
 def test_edge_cache_shared(ray_session, mega_bucket_sf):
     """q_ngram_jaccard_pairs and q_dedup_clusters share one memoized edge
     computation per sf_dir."""
     qd._EDGE_CACHE.clear()
-    edges = qd._exact_jaccard_pairs(mega_bucket_sf)
+    edges = qd._exact_jaccard_edges(mega_bucket_sf)
     key = qd._edge_cache_key(mega_bucket_sf)
     assert key in qd._EDGE_CACHE
-    marker = pa.table(
-        {"doc_a": pa.array([7], pa.int64()), "doc_b": pa.array([9], pa.int64()), "jaccard": pa.array([1.0], pa.float64())}
-    )
+    marker = object()
     qd._EDGE_CACHE[key] = marker
-    assert qd._exact_jaccard_pairs(mega_bucket_sf) is marker  # cache hit, no recompute
+    assert qd._exact_jaccard_edges(mega_bucket_sf) is marker  # cache hit, no recompute
     # rewriting the corpus at the same path must MISS (mtime/size keyed)
     import os, time as _time
     p = os.path.join(mega_bucket_sf, "documents.parquet")

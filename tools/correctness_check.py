@@ -1,6 +1,10 @@
 """Driver-style correctness sweep: run every __ray_entry__ query AND its
 DuckDB oracle at a given sf dir, compare rows + schema + values (column-name
-sorted, exact after each side's own rounding). Usage:
+sorted). The value compare is DRIVER-FAITHFUL: a canonical byte
+serialization that is dtype-sensitive (int64 32 != float64 32.0) and
+zero-sign-sensitive (-0.0 != +0.0) — CORRECTNESS_r03's two red rows passed
+np.array_equal locally while the driver's hash failed them on exactly
+these two representation classes. Usage:
 
     python tools/correctness_check.py [sf_dir] [only_query ...]
 """
@@ -39,6 +43,35 @@ def to_df(res) -> pd.DataFrame:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def col_equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
+    """Canonical-representation equality, mimicking a value hash that sees
+    dtype and the bit pattern of every value (NaN payloads canonicalized)."""
+    an, bn = a.to_numpy(), b.to_numpy()
+    fa = an.dtype.kind == "f"
+    fb = bn.dtype.kind == "f"
+    if fa != fb or (not fa and an.dtype != bn.dtype):
+        return False, f"dtype {an.dtype} vs {bn.dtype}"
+    if an.dtype.kind in "iu":
+        return bool(np.array_equal(an, bn)), "int values"
+    if fa:
+        an = an.astype(np.float64, copy=True)
+        bn = bn.astype(np.float64, copy=True)
+        an[np.isnan(an)] = np.nan  # canonical quiet-NaN payload
+        bn[np.isnan(bn)] = np.nan
+        if an.tobytes() == bn.tobytes():
+            return True, ""
+        bad = an.view(np.uint64) != bn.view(np.uint64)
+        i = int(np.argmax(bad))
+        return False, (f"{int(bad.sum())} byte-diffs, first at row {i}: "
+                       f"{an[i]!r} vs {bn[i]!r} (equal={an[i] == bn[i]})")
+    if len(an) != len(bn):
+        return False, "length"
+    for i, (x, y) in enumerate(zip(an, bn)):
+        if x != y or type(x) is not type(y):
+            return False, f"row {i}: {x!r} ({type(x).__name__}) vs {y!r} ({type(y).__name__})"
+    return True, ""
 
 
 def main() -> None:
@@ -85,14 +118,9 @@ def main() -> None:
         why = "schema/rows"
         if ok:
             for c in df.columns:
-                a, b = df[c].to_numpy(), odf[c].to_numpy()
-                try:
-                    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
-                    same = np.array_equal(a, b, equal_nan=True)
-                except (TypeError, ValueError):
-                    same = len(a) == len(b) and all(x == y for x, y in zip(a, b))
+                same, detail = col_equal(df[c], odf[c])
                 if not same:
-                    ok, why = False, f"col {c}"
+                    ok, why = False, f"col {c}: {detail}"
                     break
         if ok:
             print(f"pass  {name}: {len(df)} rows ({wall:.1f}s)")
