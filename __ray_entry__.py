@@ -64,12 +64,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """53 entries: every operator family from SURVEY.md §2 + the
+    """54 entries: every operator family from SURVEY.md §2 + the
     training-data extensions (dedup/ANN/text-QC/sampling), with same-row-set
-    families merged into compositional queries (queries_merged.py) so that
-    ALL 50 hash-checkable entries fit inside the driver's 50-query check
-    window; the 3 rows-only entries (seeded MC / MCMC / µs-surface, declared
-    at the bottom of oracle_sql) sit past it by construction."""
+    families merged into compositional queries (queries_merged.py, knn_ann)
+    so that ALL 50 hash-checkable entries fit inside the driver's 50-query
+    check window; the 4 rows-only entries (seeded MC / MCMC / µs-surface /
+    multimodal, declared at the bottom of oracle_sql) sit past it by
+    construction."""
     return {
         # ---- dedup + text analysis over documents ----
         "dedup_exact": qd.q_dedup_exact,
@@ -84,8 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search over embeddings ----
         "knn_bruteforce": qv.q_knn_bruteforce,
         "embedding_neardup": qv.q_embedding_neardup,
-        "knn_lsh": qv.q_knn_lsh,
-        "knn_ivf": qv.q_knn_ivf,
+        "knn_ann": qv.q_knn_ann,  # lsh + ivf, method-tagged
+        "pii_scrub": qt.q_pii_scrub,
         # ---- joins / sort-limit / aggregates ----
         "range_join": qj.q_range_join,
         "top_energy_windows": qe.q_top_energy_windows,
@@ -136,7 +137,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zdcf_pairs": qf.q_zdcf,
         "carma_mcmc": qe.q_carma_mcmc,
         "variability_timescale": qe.q_variability_timescale,
-        "pii_scrub": qt.q_pii_scrub,
         "multimodal_features": qt.q_multimodal_features,
     }
 
@@ -191,8 +191,8 @@ def oracle_sql() -> dict[str, str]:
         # Seeded ANN state embedded as SQL literals (hyperplane matrix) /
         # reconstructed deterministically (strided k-means init + unrolled
         # Lloyd iterations) — see queries_vec.py oracle comments.
-        "knn_lsh": qv.SQL_KNN_LSH,
-        "knn_ivf": qv.SQL_KNN_IVF,
+        "knn_ann": qv.SQL_KNN_ANN,
+        "pii_scrub": qt.SQL_PII_SCRUB,
         # Seeded CAR(1) multi-start constants embedded as SQL literals
         # (knn_lsh precedent); the Kalman recursion is the carma_loglik CTE.
         "carma_mle": qe.SQL_CARMA_MLE,
@@ -209,10 +209,6 @@ def oracle_sql() -> dict[str, str]:
         # variability_timescale (µs api surface; the hours variant IS
         # hash-checked inside variability_summary; µs-scale taus exceed
         # fixed-decimal rounding's noise floor),
-        # pii_scrub (SQL-expressible — queries_textqc.SQL_PII_SCRUB — and
-        # hash-checked in pytest on events data AND a synthetic PII frame;
-        # held outside the driver's 50-oracle window only because the
-        # window is full; promotable as-is),
         # multimodal_features (pixel/sample math through the real PPM/WAV
         # actor-pool decode path — not SQL-expressible; kernel parity vs
         # direct numpy pinned in tests/test_multimodal.py, determinism and

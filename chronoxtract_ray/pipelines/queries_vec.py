@@ -534,3 +534,21 @@ SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM r WHERE rn <= {TOP
 
 
 SQL_KNN_IVF = _ivf_sql()
+
+
+def q_knn_ann(sf_dir: str):
+    """LSH and IVF approximate-kNN as ONE compositional query (tagged with a
+    ``method`` column) so BOTH ANN variants keep a hash-checked driver row
+    while freeing a slot in the 50-oracle window for pii_scrub (VERDICT r3
+    #4 without rotating either variant out of coverage)."""
+    parts = []
+    for method, fn in (("ivf", q_knn_ivf), ("lsh", q_knn_lsh)):
+        t = fn(sf_dir)
+        parts.append(t.add_column(0, "method", pa.array([method] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
+SQL_KNN_ANN = (
+    f"SELECT 'lsh' AS method, * FROM ({SQL_KNN_LSH})\n"
+    f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({SQL_KNN_IVF})"
+)

@@ -78,14 +78,20 @@ def test_rows_only_queries_run(entrymod, name):
     assert df.shape[1] >= 2
 
 
-def test_knn_lsh_recall_vs_bruteforce(entrymod):
+def test_knn_ann_recall_vs_bruteforce(entrymod):
+    from chronoxtract_ray.pipelines import queries_vec as qv
+
     exact = entrymod.queries()["knn_bruteforce"](SF).to_pandas()
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
-    for approx_name, floor in (("knn_lsh", 0.3), ("knn_ivf", 0.3)):
-        approx = entrymod.queries()[approx_name](SF).to_pandas()
+    merged = entrymod.queries()["knn_ann"](SF).to_pandas()
+    for approx_name, fn, floor in (("lsh", qv.q_knn_lsh, 0.3), ("ivf", qv.q_knn_ivf, 0.3)):
+        approx = fn(SF).to_pandas()
         a = set(zip(approx["query_id"], approx["neighbor_id"]))
         recall = len(e & a) / len(e)
         assert recall >= floor, f"{approx_name} recall too low: {recall}"
+        # the merged driver query carries each variant verbatim
+        m = merged[merged["method"] == approx_name]
+        assert set(zip(m["query_id"], m["neighbor_id"])) == a
 
 
 def test_entry_smoke(entrymod):
