@@ -63,6 +63,24 @@ NUM_PARTS = int(os.environ.get("GRAFT_BENCH_NUM_PARTS", "0"))
 KERNEL_REF = 561_000.0
 
 
+def _kernel_screen() -> float:
+    """One cheap 60k-point single-thread kernel run (turns/s): the light
+    window-speed screen used between per-query timings. A point sample is a
+    coin flip in flicker regimes — interpret via the geometric mean of the
+    screens bracketing each query, not any single value."""
+    import numpy as _np
+
+    from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
+    from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
+
+    n = 60_000
+    ts = _np.arange(n, dtype=_np.int64) * 60_000_000
+    val = _np.random.default_rng(0).standard_normal(n) * 30 + 100
+    t0 = time.time()
+    _cwf(ts, val, 3_600_000_000, _FS())
+    return n / (time.time() - t0)
+
+
 def _kernel_fingerprint() -> float:
     """Single-thread fused-window kernel rate (turns/s) — the window-speed
     fingerprint. This host modulates per-core memory bandwidth ~15-29x
@@ -192,26 +210,37 @@ def run_bench() -> dict:
 
     turns = sum(m.get("n_turns", 0) for m in ckpt.load_manifests(out, "1m", n_parts).values())
 
-    # representative query set over the driver-provided sf tables
+    # representative query set over the driver-provided sf tables. Each
+    # query records the geometric mean of the two kernel screens bracketing
+    # it: per-query regressions across rounds are otherwise confounded with
+    # whichever host-bandwidth window the query happened to land in
+    # (VERDICT r3 #6 — dedup_clusters "regressed" r2→r3 partly on window).
     queries = {}
+    query_fps = {}
     if "--headline-only" not in sys.argv:
         import __ray_entry__ as entrymod
 
         qs = entrymod.queries()
+        fp_prev = _kernel_screen()
         for name in ("window_summary", "rolling_scans", "gap_filled_hourly", "tier_cascade_1h",
                      "gorilla_roundtrip", "entropy_features", "dedup_exact", "minhash_neardup",
                      "knn_bruteforce", "doc_text_stats", "find_peaks", "dedup_clusters",
                      "embedding_neardup", "lomb_scargle", "retention_prune", "continuous_aggregate",
-                     "c4_filters", "vocab_topk", "unigram_logprob", "stratified_sample", "pii_scrub"):
+                     "c4_filters", "vocab_topk", "unigram_logprob", "stratified_sample", "pii_scrub",
+                     "knn_ann"):
             t0 = time.time()
             qs[name](SF_DIR)
             queries[name] = round(time.time() - t0, 3)
+            fp_next = _kernel_screen()
+            query_fps[name] = round((fp_prev * fp_next) ** 0.5)
+            fp_prev = fp_next
 
     result = {
         "metric": "transcript rollup raw->1m->1h->1d + gorilla, full feature set",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
+        "query_window_fingerprints": query_fps,
         "sf": SF_DIR.rstrip("/").split("/")[-1],
         "num_cpus": NUM_CPUS,
         "turns": int(turns),

@@ -164,12 +164,14 @@ class CascadeWriteStage:
         return pa.table({"part": pa.array(out_parts, pa.int64()), "rows": pa.array(out_rows, pa.int64())})
 
 
-def tier_dataset(root: str, tier: str):
+def tier_dataset(root: str, tier: str, columns: list[str] | None = None):
     """Read one tier back; hive-partition columns (tier/part) are dropped so
-    downstream stages see pure tier rows."""
+    downstream stages see pure tier rows. Pass ``columns`` to prune the scan
+    at storage — a consumer of 2 of the ~48 tier columns should not ship the
+    rest out of the row groups."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(root, f"tier={tier}"))
+    ds = rd.read_parquet(os.path.join(root, f"tier={tier}"), columns=columns)
 
     def strip(t: pa.Table) -> pa.Table:
         drop = [c for c in ("tier", "part") if c in t.column_names]
@@ -285,7 +287,12 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     P = cfg.num_parts
     ensure_hash_shuffle(num_partitions=P)
     os.makedirs(out_root, exist_ok=True)
-    ds = rd.read_parquet(source) if isinstance(source, str) else source
+    if isinstance(source, str):
+        from chronoxtract_ray.sources.transcripts import read_transcripts
+
+        ds = read_transcripts(source)  # projected to TRANSCRIPT_SCHEMA
+    else:
+        ds = source
     ensure_hash_shuffle(ds, num_partitions=P)
 
     metrics: dict = {"tiers": {}, "num_parts": P}

@@ -130,10 +130,12 @@ def write_transcripts(path: str, n_convs: int, base_turns: int = 40, hot_every: 
 
 
 def read_transcripts(path: str):
-    """Column-complete streaming read of a transcripts directory/file."""
+    """Streaming read of a transcripts directory/file, explicitly projected
+    to the canonical columns so only TRANSCRIPT_SCHEMA leaves storage even
+    when a producer wrote extra columns alongside."""
     import ray.data as rd
 
-    return rd.read_parquet(path)
+    return rd.read_parquet(path, columns=[f.name for f in TRANSCRIPT_SCHEMA])
 
 
 # ---------------------------------------------------------------------------

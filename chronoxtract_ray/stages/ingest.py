@@ -773,7 +773,12 @@ def run_incremental_ingest(
     # complete any torn older batch for EVERY partition (not just the ones
     # this batch touches) and drop pre-durability staging leftovers
     recover_all_partitions(out_root, gc_stale_staging=True)
-    ds = rd.read_parquet(source) if isinstance(source, str) else source
+    if isinstance(source, str):
+        from chronoxtract_ray.sources.transcripts import read_transcripts
+
+        ds = read_transcripts(source)  # projected to TRANSCRIPT_SCHEMA
+    else:
+        ds = source
     ensure_hash_shuffle(ds, num_partitions=cfg.num_parts)
 
     t0 = time.time()

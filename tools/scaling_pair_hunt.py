@@ -602,10 +602,12 @@ def main() -> None:
             f"{rec['valid_delivered']}/{rec['valid_flicker']} drift={drift:.2f} "
             f"mon_lo={mon_lo['mean']} mon_hi={mon_hi['mean']} "
             f"steal={rec['steal_lo']}/{rec['steal_hi']} walls={a['value']}/{b['value']}")
-        # done on a gold pair >= 0.8, or on RAW >= 0.8 under steal (steal can
-        # only deflate the raw ratio, so that's a conservative pass), or on a
-        # flicker pair whose legs demonstrably averaged the same window
-        if eff >= 0.8 and (rec["valid"] or rec["valid_delivered"] or rec["valid_flicker"]):
+        # round 4: a steal-conservative (valid_delivered) 0.831 pair is
+        # already on the books from round 3 — this campaign only terminates
+        # on a STRICTLY valid pair (steal <= 1.5 BOTH legs + window held),
+        # the one blemish the round-3 capture carried. valid_delivered pairs
+        # still append above as corroborating evidence.
+        if eff >= 0.8 and (rec["valid"] or rec["valid_flicker"]):
             open("/tmp/scaling_done", "w").write(f"{eff:.3f}")
             log("DONE >= 0.8")
         # the window just produced a complete pair — if it is still fast,
