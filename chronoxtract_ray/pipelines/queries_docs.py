@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from chronoxtract_ray.stages.util import collect_table
+
 ROUND = 6
 
 
@@ -62,7 +64,7 @@ def q_dedup_exact(sf_dir: str):
         )
 
     out = ds.map_batches(add_hash, batch_format="pyarrow").groupby("content_hash").map_groups(first, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.take_all())
+    return collect_table(out)
 
 
 SQL_DEDUP_EXACT = """
@@ -81,7 +83,7 @@ def q_doc_fingerprint(sf_dir: str):
     """Per-doc fingerprint (md5) — document fingerprinting with an exact SQL
     oracle."""
     ds = _docs(sf_dir)
-    return pa.Table.from_pylist(ds.map_batches(doc_fingerprint_batch, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(doc_fingerprint_batch, batch_format="pyarrow"))
 
 
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
@@ -113,7 +115,7 @@ def q_token_stats(sf_dir: str):
     """Whitespace token counting + length stats per doc (vectorized pandas
     string kernels inside map_batches)."""
     ds = _docs(sf_dir)
-    return pa.Table.from_pylist(ds.map_batches(token_stats_batch, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(token_stats_batch, batch_format="pyarrow"))
 
 
 SQL_TOKEN_STATS = r"""
@@ -156,7 +158,7 @@ def q_quality_score(sf_dir: str):
     """Quality heuristics: mean word length band, stopword ratio, alpha ratio
     → scalar score. SQL-checkable (pure arithmetic on counts)."""
     ds = _docs(sf_dir)
-    return pa.Table.from_pylist(ds.map_batches(quality_score_batch, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(quality_score_batch, batch_format="pyarrow"))
 
 
 SQL_QUALITY_SCORE = r"""
@@ -421,9 +423,7 @@ def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
     pair — the candidate generator for the exact-Jaccard stages below.
     All pair work (bucket scoring, mega-bucket block tasks, cross-bucket
     dedup) is distributed; only the final result table is collected."""
-    t = pa.Table.from_pylist(
-        _minhash_pairs_ds(sf_dir, min_sig_jaccard).take_all(),
-    )
+    t = collect_table(_minhash_pairs_ds(sf_dir, min_sig_jaccard))
     if t.num_rows == 0:
         return _EMPTY_PAIRS
     t = t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
@@ -444,7 +444,7 @@ def q_simhash(sf_dir: str):
     also content-stable across workers, unlike PYTHONHASHSEED-salted
     builtins — the same fix ADVICE r1 required for short-text MinHash.)"""
     ds = _docs(sf_dir)
-    return pa.Table.from_pylist(ds.map_batches(simhash_batch, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(simhash_batch, batch_format="pyarrow"))
 
 
 def simhash_batch(t: pa.Table) -> pa.Table:
@@ -565,7 +565,7 @@ def q_lang_id(sf_dir: str):
     zero hits. Vectorized: one explode + isin + scatter per batch. Oracle:
     list_intersect over regexp_split arrays + a priority CASE."""
     ds = _docs(sf_dir)
-    return pa.Table.from_pylist(ds.map_batches(lang_id_batch, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(lang_id_batch, batch_format="pyarrow"))
 
 
 def lang_id_batch(t: pa.Table) -> pa.Table:

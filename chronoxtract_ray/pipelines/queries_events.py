@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from chronoxtract_ray.stages.util import collect_table
+
 from chronoxtract_ray.kernels.windowed import FeatureSpec, compute_windowed_features
 
 HOUR_US = 3_600_000_000
@@ -85,7 +87,7 @@ def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
             cols[name] = pa.array(arr)
         return pa.table(cols)
 
-    tbl = pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    tbl = collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
     _WINDOWED_CACHE[key] = tbl
     return tbl
 
@@ -313,7 +315,7 @@ def q_rolling_mean(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_ROLLING_MEAN = """
@@ -345,7 +347,7 @@ def q_expanding_sum(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_EXPANDING_SUM = """
@@ -425,7 +427,7 @@ def q_gap_filled_hourly(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_GAP_FILLED_HOURLY = f"""
@@ -489,7 +491,7 @@ def q_tier_cascade_1h(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_TIER_CASCADE_1H = """
@@ -528,7 +530,7 @@ def q_fvar_per_user(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_FVAR_PER_USER = """
@@ -572,12 +574,10 @@ def q_event_type_stats(sf_dir: str):
     from ray.data.aggregate import Count, Max, Mean, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    out = (
+    t = collect_table(
         ds.groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="vsum"), Mean("value", alias_name="vmean"), Max("value", alias_name="vmax"))
-        .take_all()
     )
-    t = pa.Table.from_pylist(out)
     return pa.table(
         {
             "event_type": t["event_type"],
@@ -624,7 +624,7 @@ def q_gorilla_roundtrip(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_GORILLA_ROUNDTRIP = f"""
@@ -1009,7 +1009,7 @@ def q_ema(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_EMA = """
@@ -1057,7 +1057,7 @@ def q_lomb_scargle(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_LOMB_SCARGLE = """
@@ -1327,7 +1327,7 @@ def q_carma_mle(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 def q_carma_order(sf_dir: str):
@@ -1360,7 +1360,7 @@ def q_carma_order(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 def q_carma_mcmc(sf_dir: str):
@@ -1393,4 +1393,4 @@ def q_carma_mcmc(sf_dir: str):
         )
 
     sub = ds.map_batches(keep, batch_format="pyarrow")
-    return pa.Table.from_pylist(sub.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(sub.groupby("user_id").map_groups(fn, batch_format="pyarrow"))

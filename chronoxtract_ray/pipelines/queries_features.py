@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from chronoxtract_ray.stages.util import collect_table
+
 from chronoxtract_ray.pipelines.queries_events import _events, _prep, _round
 
 __all__ = []  # query functions are registered via __ray_entry__
@@ -28,7 +30,7 @@ __all__ = []  # query functions are registered via __ray_entry__
 
 def _grouped(sf_dir: str, fn):
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 def _sorted_series(group: pa.Table) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
@@ -1439,4 +1441,4 @@ def q_zdcf(sf_dir: str):
         )
 
     sub = ds.map_batches(keep, batch_format="pyarrow")
-    return pa.Table.from_pylist(sub.groupby("pair_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(sub.groupby("pair_id").map_groups(fn, batch_format="pyarrow"))

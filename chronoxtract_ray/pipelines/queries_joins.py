@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from chronoxtract_ray.stages.util import collect_table
+
 from chronoxtract_ray.pipelines.queries_events import HOUR_US, _events, _prep, _round
 
 SESSION_GAP_US = 7_200_000_000  # 2 h of inactivity starts a new session
@@ -33,7 +35,7 @@ SESSION_GAP_US = 7_200_000_000  # 2 h of inactivity starts a new session
 
 def _grouped(sf_dir: str, fn):
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
-    return pa.Table.from_pylist(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 def _sorted_group(group: pa.Table) -> tuple[int, np.ndarray, np.ndarray]:
@@ -209,7 +211,7 @@ def q_range_join(sf_dir: str):
         )
 
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow").map_batches(dup, batch_format="pyarrow")
-    return pa.Table.from_pylist(ds.groupby("pair").map_groups(fn, batch_format="pyarrow").take_all())
+    return collect_table(ds.groupby("pair").map_groups(fn, batch_format="pyarrow"))
 
 
 SQL_RANGE_JOIN = f"""

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from chronoxtract_ray.stages.util import collect_table
+
 from chronoxtract_ray.pipelines import queries_events as qe
 from chronoxtract_ray.pipelines import queries_features as qf
 
@@ -155,9 +157,7 @@ def q_doc_text_stats(sf_dir: str):
                     out = out.append_column(name, p[name])
         return out
 
-    return pa.Table.from_pylist(
-        qd._docs(sf_dir).map_batches(fused, batch_format="pyarrow").take_all()
-    )
+    return collect_table(qd._docs(sf_dir).map_batches(fused, batch_format="pyarrow"))
 
 
 def _sql_doc_text_stats() -> str:

@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from chronoxtract_ray.stages.util import collect_table
+
 from chronoxtract_ray.pipelines.queries_docs import _docs, _round
 
 # ---- C4-style quality filters --------------------------------------------
@@ -83,7 +85,7 @@ def q_c4_filters(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.map_batches(flags, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(flags, batch_format="pyarrow"))
 
 
 SQL_C4_FILTERS = rf"""
@@ -259,7 +261,7 @@ def q_unigram_logprob(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(ds.map_batches(score, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(score, batch_format="pyarrow"))
 
 
 SQL_UNIGRAM_LOGPROB = r"""
@@ -316,7 +318,7 @@ def q_stratified_sample(sf_dir: str):
         .groupby("source")
         .map_groups(head, batch_format="pyarrow")
     )
-    return pa.Table.from_pylist(out.take_all())
+    return collect_table(out)
 
 
 SQL_STRATIFIED_SAMPLE = f"""
@@ -379,7 +381,7 @@ def q_pii_scrub(sf_dir: str):
     ds = ensure_sort_shuffle(
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
     )
-    return pa.Table.from_pylist(ds.map_batches(pii_scrub_batch, batch_format="pyarrow").take_all())
+    return collect_table(ds.map_batches(pii_scrub_batch, batch_format="pyarrow"))
 
 
 SQL_PII_SCRUB = f"""
@@ -453,4 +455,4 @@ def q_multimodal_features(sf_dir: str):
             cols[f"f{k:02d}"] = pa.array(f[:, k], pa.float64())
         return pa.table(cols)
 
-    return pa.Table.from_pylist(feats.map_batches(flatten, batch_format="pyarrow").take_all())
+    return collect_table(feats.map_batches(flatten, batch_format="pyarrow"))

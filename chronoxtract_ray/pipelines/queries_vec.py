@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from chronoxtract_ray.stages.util import collect_table
+
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 ROUND = 6
@@ -110,8 +112,7 @@ def q_knn_bruteforce(sf_dir: str):
             }
         )
 
-    return _merge_topk(pa.Table.from_pylist(
-        _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()))
+    return _merge_topk(collect_table(_emb(sf_dir).map_batches(score, batch_format="pyarrow")))
 
 
 SQL_KNN_BRUTEFORCE = f"""
@@ -304,8 +305,7 @@ def q_knn_lsh(sf_dir: str):
             }
         )
 
-    return _merge_topk(pa.Table.from_pylist(
-        _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()))
+    return _merge_topk(collect_table(_emb(sf_dir).map_batches(score, batch_format="pyarrow")))
 
 
 def q_knn_ivf(sf_dir: str):
@@ -328,7 +328,7 @@ def q_knn_ivf(sf_dir: str):
     def sample_batch(t: pa.Table) -> pa.Table:
         return t.filter(pa.array(t["vec_id"].to_numpy() % step == 0))
 
-    sample_tbl = pa.Table.from_pylist(ds.map_batches(sample_batch, batch_format="pyarrow").take_all())
+    sample_tbl = collect_table(ds.map_batches(sample_batch, batch_format="pyarrow"))
     s_ids, S = _to_matrix(sample_tbl)
     S = S[np.argsort(s_ids)]  # block arrival order is nondeterministic; sort
     sample = S / np.linalg.norm(S, axis=1, keepdims=True)
@@ -347,7 +347,7 @@ def q_knn_ivf(sf_dir: str):
     def query_batch(t: pa.Table) -> pa.Table:
         return t.filter(pc.less(t["vec_id"], N_QUERIES))
 
-    q_tbl = pa.Table.from_pylist(ds.map_batches(query_batch, batch_format="pyarrow").take_all())
+    q_tbl = collect_table(ds.map_batches(query_batch, batch_format="pyarrow"))
     q_ids, Q = _to_matrix(q_tbl)
     order = np.argsort(q_ids, kind="stable")
     q_ids, Q = q_ids[order], Q[order]
@@ -381,8 +381,7 @@ def q_knn_ivf(sf_dir: str):
             }
         )
 
-    return _merge_topk(pa.Table.from_pylist(
-        _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()))
+    return _merge_topk(collect_table(_emb(sf_dir).map_batches(score, batch_format="pyarrow")))
 
 
 # ---- SQL oracles for the approximate-ANN queries ---------------------------

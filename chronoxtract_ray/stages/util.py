@@ -87,3 +87,19 @@ def ensure_hash_shuffle(ds=None, num_partitions: int | None = None):
         except AttributeError:
             pass
     return ds
+
+
+def collect_table(ds):
+    """Arrow-native driver collect of a SMALL-RESULT Dataset: fetch the
+    result blocks (zero-copy Arrow out of the object store) and concat,
+    instead of ``take_all()``'s per-row Python dict materialization +
+    ``from_pylist`` type re-inference. Only for final query results —
+    never mid-pipeline."""
+    import pyarrow as pa
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs())]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
