@@ -93,10 +93,14 @@ def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
 
 
 _MOMENT_SPEC = FeatureSpec(order_stats=True, entropy=False, fft=False, shape=True, hjorth=True)
+# hourly summary trio (moments/quantiles/mode) consumes no shape/hjorth
+# columns - a trimmed spec keeps the shared HOUR_US windowed pass from
+# computing features nobody reads (the DAY_US consumers keep the full spec)
+_HOURLY_SUMMARY_SPEC = FeatureSpec(order_stats=True, entropy=False, fft=False, shape=False, hjorth=False)
 
 
 def q_window_moments(sf_dir: str):
-    tbl = _windowed(sf_dir, _MOMENT_SPEC)
+    tbl = _windowed(sf_dir, _HOURLY_SUMMARY_SPEC)
     out = {
         "user_id": tbl["user_id"].to_numpy(),
         "window_start": tbl["window_start"].to_numpy(),
@@ -160,7 +164,7 @@ FROM m WHERE m2 - m1*m1 > 1e-6 AND n >= 8
 
 
 def q_window_quantiles(sf_dir: str):
-    t = _windowed(sf_dir, _MOMENT_SPEC)
+    t = _windowed(sf_dir, _HOURLY_SUMMARY_SPEC)
     return pa.table(
         {
             "user_id": t["user_id"].to_numpy(),
@@ -186,7 +190,7 @@ FROM events GROUP BY 1, 2
 
 
 def q_window_mode(sf_dir: str):
-    t = _windowed(sf_dir, _MOMENT_SPEC)
+    t = _windowed(sf_dir, _HOURLY_SUMMARY_SPEC)
     return pa.table(
         {
             "user_id": t["user_id"].to_numpy(),
