@@ -73,12 +73,33 @@ WITH o AS (
   SELECT user_id, value,
     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
   FROM events
-), p AS (
-  SELECT o.user_id, o.i AS pk, o.value AS pv
+), f AS (
+  -- gaps-and-islands: maximal runs of consecutive EQUAL values. The engine
+  -- (kernels/peaks.py, reference peak_func.rs) is plateau-aware: a peak is
+  -- a run strictly above BOTH neighbor runs, reported at the run midpoint;
+  -- leading/trailing runs are never peaks. A naive per-element
+  -- (>prev AND >=next) predicate false-positives on rising plateaus and
+  -- mis-indexes falling plateaus of length >= 3.
+  SELECT user_id, value, i,
+    CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY i)
+         IS DISTINCT FROM value THEN 1 ELSE 0 END AS brk
   FROM o
-  JOIN o prv ON prv.user_id = o.user_id AND prv.i = o.i - 1
-  JOIN o nxt ON nxt.user_id = o.user_id AND nxt.i = o.i + 1
-  WHERE o.value > prv.value AND o.value >= nxt.value
+), r AS (
+  SELECT user_id, value, i,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY i) AS run_id
+  FROM f
+), runs AS (
+  SELECT user_id, run_id, min(i) AS s, max(i) AS e, min(value) AS v
+  FROM r GROUP BY user_id, run_id
+), nb AS (
+  SELECT user_id, s, e, v,
+    lag(v)  OVER (PARTITION BY user_id ORDER BY run_id) AS pv_,
+    lead(v) OVER (PARTITION BY user_id ORDER BY run_id) AS nv_
+  FROM runs
+), p AS (
+  SELECT user_id, s + (e - s) // 2 AS pk, v AS pv
+  FROM nb
+  WHERE pv_ IS NOT NULL AND nv_ IS NOT NULL AND v > pv_ AND v > nv_
 ), prom AS (
   SELECT p.user_id, p.pk, p.pv,
     (SELECT min(o.value) FROM o
@@ -364,7 +385,8 @@ WITH o AS (
 )
 SELECT o.user_id,
   ROUND(CASE WHEN t.total = 0 THEN 0.0 ELSE
-    -sum((o.e / t.total) * ln(o.e / t.total)) FILTER (WHERE o.e > 0) END, 6) AS energy_entropy,
+    -sum((o.e / t.total) * ln(CASE WHEN o.e > 0 THEN o.e / t.total ELSE 1 END))
+      FILTER (WHERE o.e > 0) END, 6) AS energy_entropy,
   ROUND(CASE WHEN t.total = 0 THEN 0.0 ELSE
     sum(o.e) FILTER (WHERE o.rk_desc <= ceil(t.n * 0.1)) / t.total END, 6) AS energy_concentration
 FROM o JOIN t ON t.user_id = o.user_id
