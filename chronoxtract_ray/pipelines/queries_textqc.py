@@ -146,9 +146,9 @@ def _token_counts(sf_dir: str) -> pd.DataFrame:
     if sf_dir in _FREQ_CACHE:
         return _FREQ_CACHE[sf_dir]
     ds = _docs(sf_dir)
-    rows = ds.map_batches(_partial_token_counts, batch_format="pyarrow").groupby("token").sum("n").take_all()
     df = (
-        pd.DataFrame(rows)
+        collect_table(ds.map_batches(_partial_token_counts, batch_format="pyarrow").groupby("token").sum("n"))
+        .to_pandas()
         .rename(columns={"sum(n)": "n"})
         .sort_values("token", kind="stable")
         .reset_index(drop=True)
@@ -180,14 +180,12 @@ def q_vocab_topk(sf_dir: str):
             preserve_index=False,
         )
 
-    rows = (
+    df = collect_table(
         ds.map_batches(_partial_token_counts, batch_format="pyarrow")
         .groupby("token")
         .sum("n")
         .map_batches(local_topk, batch_format="pyarrow")
-        .take_all()
-    )
-    df = pd.DataFrame(rows)
+    ).to_pandas()
     out = df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 

@@ -226,16 +226,15 @@ def q_embedding_neardup(sf_dir: str):
         pair_items = [
             {"block_i": i, "block_j": j} for i in range(n_blocks) for j in range(i, n_blocks)
         ]
-        rows = (
+        t = collect_table(
             rd.from_items(pair_items, override_num_blocks=len(pair_items))
             .map_batches(score, batch_format="pyarrow", batch_size=1)
-            .take_all()
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    if not rows:
+    if t.num_rows == 0:
         return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
-    return pa.Table.from_pylist(rows)
+    return t.select(["vec_a", "vec_b", "cosine"])
 
 
 SQL_EMBEDDING_NEARDUP = """
