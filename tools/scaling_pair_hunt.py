@@ -72,6 +72,10 @@ sys.path.insert(0, REPO)
 CONFIGS = [
     (4, 16, 150000, 0),   # decaying fast window: whole pair in ~4 min
     (4, 16, 300000, 0),   # stable fast window: 16-leg fixed cost < ~12%
+    (3, 12, 300000, 0),   # lighter hi leg, same 4x factor: every r4 16-leg
+                          # carried 2-4.3 stolen cores (the ONLY strict-
+                          # validity blocker); hypervisor steal scales with
+                          # load, so 12 busy cores may stay under the 1.5 bar
 ]
 # conv counts above are calibrated to the FASTEST observed window (kernel
 # ≈ 561k turns/s single-thread → 4-CPU leg walls of ~170 s plain / ~160 s
@@ -460,7 +464,9 @@ def main() -> None:
         if os.path.exists(PAIRS):
             with open(PAIRS) as f:
                 have_valid = any(json.loads(ln).get("valid") for ln in f if ln.strip())
-        lo, hi, convs, ep = CONFIGS[min(idx, 1)] if have_valid else CONFIGS[0]
+        # until a strict pair lands, alternate the 4->16 and 3->12 shapes —
+        # same 4x factor, different absolute load (steal avoidance)
+        lo, hi, convs, ep = CONFIGS[1] if have_valid else CONFIGS[2 * (idx % 2)]
         idx += 1
         # pipeline rate collapses SUPER-linearly with window speed (two
         # measured points: kernel 561k → 137k turns/s, kernel 202k → <14k
