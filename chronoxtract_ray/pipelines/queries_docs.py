@@ -748,13 +748,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     near-dup pipeline). Hash-checked oracle: all-pairs list_intersect Jaccard
     in SQL with a shingle-count-ratio prefilter (min/max >= T is a necessary
     condition for Jaccard >= T)."""
-    rows = _exact_jaccard_edges(sf_dir).take_all()  # final RESULT collection only
-    if not rows:
+    t = collect_table(_exact_jaccard_edges(sf_dir))  # final RESULT collection only
+    if t.num_rows == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    t = pa.Table.from_pylist(rows).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    t = t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
     return pa.table(
         {
             "doc_a": t["doc_a"],
@@ -841,8 +841,7 @@ def q_dedup_clusters(sf_dir: str):
         labels = C.groupby("node").min("member").map_batches(rename, batch_format="pyarrow")
         final = labels.union(identity)
 
-    out = final.groupby("node").min("label").take_all()
-    t = pa.Table.from_pylist(out)
+    t = collect_table(final.groupby("node").min("label"))
     return pa.table(
         {
             "doc_id": t["node"].cast(pa.int64()),
