@@ -73,7 +73,19 @@ def _kernel_screen() -> float:
     from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
     from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
 
-    n = 60_000
+    return _kernel_run(60_000)
+
+
+def _kernel_run(n: int) -> float:
+    """ONE shared definition of the synthetic probe workload (arange ts,
+    seeded normal values, hourly windows, default spec) — the screens and
+    the fingerprint must stay the same workload or cross-round
+    comparability of their readings silently breaks."""
+    import numpy as _np
+
+    from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
+    from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
+
     ts = _np.arange(n, dtype=_np.int64) * 60_000_000
     val = _np.random.default_rng(0).standard_normal(n) * 30 + 100
     t0 = time.time()
@@ -88,24 +100,12 @@ def _kernel_fingerprint() -> float:
     wall time is only interpretable next to the fingerprint of the window
     it ran in. Adaptive sizing keeps the probe ~1-2 s in ANY window (a
     fixed 600k-point probe costs 20 s in a 30k-rate window)."""
-    import numpy as _np
-
-    from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
-    from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
-
-    def _run(n: int) -> float:
-        ts = _np.arange(n, dtype=_np.int64) * 60_000_000
-        val = _np.random.default_rng(0).standard_normal(n) * 30 + 100
-        t0 = time.time()
-        _cwf(ts, val, 3_600_000_000, _FS())
-        return n / (time.time() - t0)
-
-    est = _run(60_000)  # cheap probe of the current window
+    est = _kernel_run(60_000)  # cheap probe of the current window
     n = int(min(600_000, max(120_000, est * 1.5)))  # ~1.5 s main sample
     # burst of 3: the host can also FLICKER bandwidth at seconds scale
     # (BASELINE.md protocol v4), where one point sample is a coin flip —
     # the mean of a short burst is the interpretable figure
-    rates = [_run(n) for _ in range(3)]
+    rates = [_kernel_run(n) for _ in range(3)]
     return sum(rates) / len(rates)
 
 

@@ -650,8 +650,13 @@ def _edge_cache_key(sf_dir: str):
         # un-stat-able corpus → uncacheable: distinct error states must not
         # collapse into one shared key that could serve stale edges (ADVICE r3)
         return None
-    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
-    return (p, int(st.st_mtime_ns), st.st_size, job)
+    if not ray.is_initialized():
+        # no session yet → uncacheable: a None-job key would (a) collide
+        # across sessions, serving a MaterializedDataset whose object-store
+        # blocks belong to a dead cluster, and (b) never match the real-job
+        # key of later calls in the same session anyway
+        return None
+    return (p, int(st.st_mtime_ns), st.st_size, ray.get_runtime_context().get_job_id())
 
 
 def _exact_jaccard_edges(sf_dir: str):
@@ -682,7 +687,9 @@ def _exact_jaccard_edges(sf_dir: str):
     key = _edge_cache_key(sf_dir)
     if key is not None and key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
-    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+    if key is not None and len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+        # evict only when an insert will follow — an uncacheable call must
+        # not discard another corpus's live memoized edges
         _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
 

@@ -35,9 +35,13 @@ def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
     rounding effects)."""
     x = np.asarray(x, dtype=np.float64)
     scale = 10.0**nd
-    # + 0.0 canonicalizes IEEE -0.0 to +0.0 (the driver's value hash is
-    # sign-of-zero sensitive; CORRECTNESS_r03 entropy_features).
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale + 0.0
+    # NO global -0.0 canonicalization here: DuckDB ROUND(-1e-9, 6) emits
+    # -0.0 too, so both sides naturally agree on tiny negatives — a
+    # one-sided +0.0 would BREAK that symmetry everywhere. The one place
+    # the two sides disagree on zero sign (the entropy trio, where the
+    # oracle's -sum(...) negates an exact 0.0) normalizes BOTH sides at
+    # the projection (q_entropy_features / SQL_ENTROPY_FEATURES).
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
 def _events(sf_dir: str, columns=("user_id", "ts", "value", "event_id")):
@@ -837,9 +841,13 @@ def q_entropy_features(sf_dir: str):
         {
             "user_id": t["user_id"].to_numpy()[keep],
             "window_start": t["window_start"].to_numpy()[keep],
-            "sample_entropy": _round(t["sample_entropy"].to_numpy()[keep]),
-            "approx_entropy": _round(t["approx_entropy"].to_numpy()[keep]),
-            "permutation_entropy": _round(t["permutation_entropy"].to_numpy()[keep]),
+            # + 0.0 canonicalizes IEEE -0.0 → +0.0, mirroring the oracle's
+            # "+ 0.0" on the same three columns (CORRECTNESS_r03: the
+            # oracle's -sum(p·ln p) emits -0.0 for single-pattern windows,
+            # the engine +0.0 — the driver's value hash sees the sign)
+            "sample_entropy": _round(t["sample_entropy"].to_numpy()[keep]) + 0.0,
+            "approx_entropy": _round(t["approx_entropy"].to_numpy()[keep]) + 0.0,
+            "permutation_entropy": _round(t["permutation_entropy"].to_numpy()[keep]) + 0.0,
         }
     )
 

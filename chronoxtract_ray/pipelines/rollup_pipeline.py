@@ -231,9 +231,11 @@ def _writer_pool(cfg: PipelineConfig, whole_session: bool = False) -> tuple[tupl
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     if cfg.writer_concurrency:
-        if not (len(cfg.writer_concurrency) == 2 and cfg.writer_concurrency[1] >= 1):
+        wc = cfg.writer_concurrency
+        if not (isinstance(wc, (tuple, list)) and len(wc) == 2
+                and 1 <= wc[1] and 0 <= wc[0] <= wc[1]):
             raise ValueError(
-                f"writer_concurrency must be (min, max) with max >= 1, got {cfg.writer_concurrency!r}"
+                f"writer_concurrency must be (min, max) with 0 <= min <= max and max >= 1, got {wc!r}"
             )
         # an explicit pool size still gets its logical num_cpus budgeted:
         # num_cpus=1.0 per actor at pool == session size would reserve every

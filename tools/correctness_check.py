@@ -49,13 +49,16 @@ def col_equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
     """Canonical-representation equality, mimicking a value hash that sees
     dtype and the bit pattern of every value (NaN payloads canonicalized)."""
     an, bn = a.to_numpy(), b.to_numpy()
-    fa = an.dtype.kind == "f"
-    fb = bn.dtype.kind == "f"
-    if fa != fb or (not fa and an.dtype != bn.dtype):
+    if len(an) != len(bn):
+        return False, "length"
+    # strict: ANY dtype difference is a representation difference, including
+    # float32 vs float64 — the same local-pass/driver-fail class this tool
+    # exists to catch
+    if an.dtype != bn.dtype:
         return False, f"dtype {an.dtype} vs {bn.dtype}"
     if an.dtype.kind in "iu":
         return bool(np.array_equal(an, bn)), "int values"
-    if fa:
+    if an.dtype.kind == "f":
         an = an.astype(np.float64, copy=True)
         bn = bn.astype(np.float64, copy=True)
         an[np.isnan(an)] = np.nan  # canonical quiet-NaN payload
@@ -66,8 +69,6 @@ def col_equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
         i = int(np.argmax(bad))
         return False, (f"{int(bad.sum())} byte-diffs, first at row {i}: "
                        f"{an[i]!r} vs {bn[i]!r} (equal={an[i] == bn[i]})")
-    if len(an) != len(bn):
-        return False, "length"
     for i, (x, y) in enumerate(zip(an, bn)):
         if x != y or type(x) is not type(y):
             return False, f"row {i}: {x!r} ({type(x).__name__}) vs {y!r} ({type(y).__name__})"
