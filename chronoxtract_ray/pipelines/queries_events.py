@@ -694,7 +694,7 @@ def q_retention_prune(sf_dir: str):
     try:
         rows.groupby("part").map_groups(write_part, batch_format="pyarrow").take_all()
         apply_retention(root, P, RetentionPolicy({"1h": keep_us}))
-        t = tier_table(root, "1h")
+        t = tier_table(root, "1h", columns=["conv_id", "window_start", "mean"])
         return pa.table(
             {
                 "user_id": t["conv_id"].cast(pa.int64()),
@@ -778,7 +778,7 @@ def q_continuous_aggregate(sf_dir: str):
                 batch_id=f"caq-{i}",
                 pre_derived=True,
             )
-        t = tier_table(root, "1m")
+        t = tier_table(root, "1m", columns=["conv_id", "window_start", "mean"])
         return pa.table(
             {
                 "user_id": t["conv_id"].cast(pa.int64()),

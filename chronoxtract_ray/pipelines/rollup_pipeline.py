@@ -180,9 +180,11 @@ def tier_dataset(root: str, tier: str, columns: list[str] | None = None):
     return ds.map_batches(strip, batch_format="pyarrow")
 
 
-def tier_table(root: str, tier: str) -> pa.Table:
+def tier_table(root: str, tier: str, columns: list[str] | None = None) -> pa.Table:
     """Small-result helper for tests: full tier as one sorted Arrow table
-    (direct pyarrow read, no Ray session needed)."""
+    (direct pyarrow read, no Ray session needed). Pass ``columns`` to read
+    only the needed row-group columns — a 3-of-48-column consumer should
+    not deserialize the rest."""
     import glob
 
     import pyarrow.parquet as pq
@@ -190,7 +192,7 @@ def tier_table(root: str, tier: str) -> pa.Table:
     files = sorted(glob.glob(os.path.join(root, f"tier={tier}", "part=*", "*.parquet")))
     if not files:  # e.g. every partition dropped by retention
         return pa.table({})
-    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    tbl = pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
     keys = [k for k in ("conv_id", "window_start", "chunk_start") if k in tbl.column_names]
     return tbl.sort_by([(k, "ascending") for k in keys])
 
