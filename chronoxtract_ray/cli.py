@@ -43,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     p_roll.add_argument("--out", required=True)
     p_roll.add_argument("--format", default=None, choices=["parquet", "jsonl", "json", "csv"],
                         help="input format (default: sniff from file extensions)")
-    p_roll.add_argument("--num-parts", type=int, default=16)
+    p_roll.add_argument("--num-parts", type=int, default=None,
+                        help="partition count (default: the store's recorded value, else 16)")
     p_roll.add_argument("--no-gorilla", action="store_true")
     p_roll.add_argument("--no-resume", action="store_true")
 
@@ -52,12 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--out", required=True)
     p_ing.add_argument("--format", default=None, choices=["parquet", "jsonl", "json", "csv"],
                         help="input format (default: sniff from file extensions)")
-    p_ing.add_argument("--num-parts", type=int, default=16)
+    p_ing.add_argument("--num-parts", type=int, default=None,
+                        help="partition count (default: the store's recorded value, else 16)")
     p_ing.add_argument("--batch-id", default=None, help="exactly-once key; rerun a killed job with the same id")
 
     p_ret = sub.add_parser("retention", help="enforce per-tier keep horizons against the store watermark")
     p_ret.add_argument("--root", required=True)
-    p_ret.add_argument("--num-parts", type=int, required=True)
+    p_ret.add_argument("--num-parts", type=int, default=None,
+                       help="partition count (default: the store's recorded value)")
     p_ret.add_argument("--keep", required=True, help="TIER=DURATION[,TIER=DURATION...], units s/m/h/d (e.g. 1m=7d,1h=90d)")
 
     p_gen = sub.add_parser("generate", help="write a deterministic synthetic transcript table")
@@ -85,12 +88,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "rollup":
             from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline
             from chronoxtract_ray.sources.transcripts import open_transcripts
+            from chronoxtract_ray.state.checkpoint import read_store_meta
 
+            meta = read_store_meta(args.out)
             metrics = run_rollup_pipeline(
                 open_transcripts(args.input, args.format),
                 args.out,
                 PipelineConfig(
-                    num_parts=args.num_parts,
+                    # omit --num-parts → adopt the store's recorded value
+                    # (ensure_store_meta raises on an explicit conflict)
+                    num_parts=args.num_parts or (meta or {}).get("num_parts", 16),
                     with_gorilla=not args.no_gorilla,
                     resume=not args.no_resume,
                 ),
@@ -100,21 +107,41 @@ def main(argv: list[str] | None = None) -> int:
             from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig
             from chronoxtract_ray.sources.transcripts import open_transcripts
             from chronoxtract_ray.stages.ingest import run_incremental_ingest
+            from chronoxtract_ray.state.checkpoint import read_store_meta
 
+            meta = read_store_meta(args.out)
             metrics = run_incremental_ingest(
                 open_transcripts(args.input, args.format),
-                args.out, PipelineConfig(num_parts=args.num_parts), batch_id=args.batch_id
+                args.out,
+                PipelineConfig(
+                    num_parts=args.num_parts or (meta or {}).get("num_parts", 16),
+                    # an ingest must match the store's chunk layout
+                    with_gorilla=(meta or {}).get("with_gorilla", True),
+                ),
+                batch_id=args.batch_id,
             )
             print(json.dumps(metrics, default=str))
         elif args.cmd == "retention":
             from chronoxtract_ray.stages.retention import RetentionPolicy, apply_retention
+            from chronoxtract_ray.state.checkpoint import read_store_meta
 
             units = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
             keep = {}
             for spec in args.keep.split(","):
-                tier, dur = spec.split("=")
-                keep[tier.strip()] = int(float(dur[:-1]) * units[dur[-1]])
-            summary = apply_retention(args.root, args.num_parts, RetentionPolicy(keep))
+                try:
+                    tier, dur = spec.split("=")
+                    dur = dur.strip()
+                    keep[tier.strip()] = int(float(dur[:-1]) * units[dur[-1]])
+                except (ValueError, KeyError, IndexError):
+                    print(f"bad --keep entry {spec!r}: expected TIER=NUMBER<unit> with "
+                          f"unit one of s/m/h/d (e.g. 1m=7d,1h=90d)", file=sys.stderr)
+                    return 2
+            num_parts = args.num_parts or (read_store_meta(args.root) or {}).get("num_parts")
+            if not num_parts:
+                print("--num-parts required: store has no recorded metadata "
+                      "(pre-metadata store) and no value was given", file=sys.stderr)
+                return 2
+            summary = apply_retention(args.root, num_parts, RetentionPolicy(keep))
             print(json.dumps(summary, default=str))
         elif args.cmd == "generate":
             from chronoxtract_ray.sources.transcripts import write_transcripts
@@ -122,7 +149,10 @@ def main(argv: list[str] | None = None) -> int:
             write_transcripts(args.out, args.convs)
             print(json.dumps({"written": args.out, "convs": args.convs}))
         elif args.cmd == "query":
-            sys.path.insert(0, ".")
+            import os
+
+            # the entry module lives next to the package, not in cwd
+            sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             import __ray_entry__ as entry
 
             qs = entry.queries()
@@ -159,9 +189,21 @@ def main(argv: list[str] | None = None) -> int:
 
             ch = tier_table(os.path.join(args.root, "chunks"), args.tier)
             drop = [c for c in ("tier", "part") if c in ch.column_names]
-            pts = decode_chunks(ch.drop_columns(drop) if drop else ch)
+            ch = ch.drop_columns(drop) if drop else ch
+            # decode only enough chunks for the 20-row preview; the total
+            # comes from the n_points column — a bench-scale store must not
+            # be fully decoded in a driver loop just to print a head
+            import pyarrow.compute as pc
+
+            total = int(pc.sum(ch["n_points"]).as_py() or 0) if ch.num_rows else 0
+            need, k = 0, 0
+            npts = ch["n_points"].to_numpy() if ch.num_rows else []
+            while k < len(npts) and need < 20:
+                need += int(npts[k])
+                k += 1
+            pts = decode_chunks(ch.slice(0, k))
             print(pts.to_pandas().head(20).to_string())
-            print(f"... {pts.num_rows} points from {ch.num_rows} chunks")
+            print(f"... {total} points from {ch.num_rows} chunks")
         return 0
     finally:
         ray.shutdown()

@@ -164,10 +164,12 @@ def q_range_join(sf_dir: str):
     Oracle: LEFT JOIN on BETWEEN over the window-function sessionize."""
 
     def dup(batch: pa.Table) -> pa.Table:
+        # project to what fn() consumes BEFORE the 2x fan-out: value is
+        # never read (by engine or oracle), so carrying it would add ~25%
+        # to the bytes of this query's single all-to-all exchange
         uid = batch["user_id"].to_numpy()
         ts = batch["ts_us"].to_numpy()
         turn = batch["turn"].to_numpy()
-        val = batch["value"].to_numpy()
         return pa.table(
             {
                 "pair": pa.array(np.concatenate([uid, uid - 1]), pa.int64()),
@@ -176,7 +178,6 @@ def q_range_join(sf_dir: str):
                 ),
                 "ts_us": pa.array(np.concatenate([ts, ts]), pa.int64()),
                 "turn": pa.array(np.concatenate([turn, turn]), pa.int64()),
-                "value": pa.array(np.concatenate([val, val]), pa.float64()),
             }
         )
 

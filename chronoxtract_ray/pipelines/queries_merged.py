@@ -175,4 +175,8 @@ def _sql_doc_text_stats() -> str:
     )
 
 
+# Built eagerly on purpose: every consumer of this module (__ray_entry__,
+# bench, the CLI query path) also loads queries_docs in the same breath, so
+# deferring the build would complicate the oracle registry (which wants a
+# plain string) to save an import that happens anyway.
 SQL_DOC_TEXT_STATS = _sql_doc_text_stats()

@@ -291,6 +291,7 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     P = cfg.num_parts
     ensure_hash_shuffle(num_partitions=P)
     os.makedirs(out_root, exist_ok=True)
+    ckpt.ensure_store_meta(out_root, P, cfg.with_gorilla)
     if isinstance(source, str):
         from chronoxtract_ray.sources.transcripts import read_transcripts
 

@@ -92,19 +92,31 @@ def generate_conv_arrays(
 
 
 def _convs_to_table(conv_indices, base_turns: int, hot_every: int, hot_factor: int, hole_every: int = 17) -> pa.Table:
+    # numpy columns concatenate as arrays (no per-element Python boxing —
+    # this is the hot path of bench-scale generation); list columns
+    # (strings) extend as lists
     cols: dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     for i in conv_indices:
         arrs = generate_conv_arrays(int(i), base_turns, hot_every, hot_factor, hole_every)
         for k in cols:
-            cols[k].extend(arrs[k] if isinstance(arrs[k], list) else arrs[k].tolist())
+            cols[k].append(arrs[k])
+
+    def cat(parts: list):
+        if parts and isinstance(parts[0], np.ndarray):
+            return np.concatenate(parts) if parts else parts
+        out: list = []
+        for p in parts:
+            out.extend(p if isinstance(p, list) else p.tolist())
+        return out
+
     return pa.table(
         {
-            "conv_id": pa.array(cols["conv_id"], pa.string()),
-            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
-            "role": pa.array(cols["role"], pa.string()),
-            "text": pa.array(cols["text"], pa.string()),
-            "tool": pa.array(cols["tool"], pa.string()),
-            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+            "conv_id": pa.array(cat(cols["conv_id"]), pa.string()),
+            "turn_idx": pa.array(cat(cols["turn_idx"]), pa.int32()),
+            "role": pa.array(cat(cols["role"]), pa.string()),
+            "text": pa.array(cat(cols["text"]), pa.string()),
+            "tool": pa.array(cat(cols["tool"]), pa.string()),
+            "ts": pa.array(cat(cols["ts"]), pa.timestamp("us")),
         }
     )
 

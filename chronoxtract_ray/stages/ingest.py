@@ -770,6 +770,7 @@ def run_incremental_ingest(
     ensure_hash_shuffle(num_partitions=cfg.num_parts)
     batch_id = batch_id or uuid.uuid4().hex
     os.makedirs(out_root, exist_ok=True)
+    ckpt.ensure_store_meta(out_root, cfg.num_parts, cfg.with_gorilla)
     # complete any torn older batch for EVERY partition (not just the ones
     # this batch touches) and drop pre-durability staging leftovers
     recover_all_partitions(out_root, gc_stale_staging=True)

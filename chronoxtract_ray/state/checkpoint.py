@@ -40,6 +40,55 @@ def conv_partition(conv_ids: np.ndarray, num_parts: int) -> np.ndarray:
     return (pd.util.hash_array(conv_ids, categorize=False) % num_parts).astype(np.int64)
 
 
+STORE_META = "_store.json"
+
+
+def read_store_meta(root: str) -> dict | None:
+    """Store-level invariants (partition count, gorilla on/off), or None for
+    a fresh / pre-metadata store."""
+    path = os.path.join(root, STORE_META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def ensure_store_meta(root: str, num_parts: int, with_gorilla: bool) -> None:
+    """Record-or-validate the store's structural invariants.
+
+    ``conv_partition`` routes rows by ``hash % num_parts``: writing into an
+    existing store with a DIFFERENT partition count silently splits each
+    conversation's series across two partitions (duplicate windows, wrong
+    open-window merges) — nothing downstream can detect it. Likewise an
+    ingest without gorilla into a gorilla store (or vice versa) leaves the
+    chunk artifacts inconsistent for only the partitions it touched. So the
+    first write records both, and every later write must match or raise.
+    Pre-metadata stores adopt the next writer's values (cannot be validated
+    retroactively)."""
+    meta = read_store_meta(root)
+    if meta is not None:
+        if int(meta["num_parts"]) != int(num_parts):
+            raise ValueError(
+                f"store at {root} was built with num_parts={meta['num_parts']}; "
+                f"writing with num_parts={num_parts} would split conversations "
+                f"across partitions. Pass the stored value (or omit --num-parts "
+                f"on the CLI to adopt it)."
+            )
+        if bool(meta.get("with_gorilla", True)) != bool(with_gorilla):
+            raise ValueError(
+                f"store at {root} was built with with_gorilla="
+                f"{meta.get('with_gorilla', True)}; writing with "
+                f"with_gorilla={with_gorilla} would leave chunk artifacts "
+                f"inconsistent across partitions."
+            )
+        return
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, STORE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"num_parts": int(num_parts), "with_gorilla": bool(with_gorilla)}, f)
+    os.replace(tmp, os.path.join(root, STORE_META))
+
+
 def manifest_path(root: str, tier: str, part: int) -> str:
     return os.path.join(root, "_manifest", f"tier={tier}", f"part={part:04d}.json")
 
@@ -168,8 +217,6 @@ class PartitionWriter:
         }
         self.enc_points += int(win.size)
         self.enc_bytes += sum(map(len, ts_blobs)) + sum(map(len, v_blobs))
-        import pyarrow as pa
-
         return pa.table(
             {
                 "conv_id": pa.array(cols["conv_id"], pa.string()),
@@ -199,7 +246,7 @@ class PartitionWriter:
                     names = [c for c in ("conv_id", "window_start", "chunk_start") if c in tbl.column_names]
                     if names:
                         tbl = tbl.sort_by([(n, "ascending") for n in names])
-                    extra = {"wall_s": time.time() - t0}
+                    extra = {}
                     if "n_turns" in tbl.column_names:
                         extra["n_turns"] = int(tbl["n_turns"].to_numpy().sum())
                     self._guard_split(str(tier), int(part), tbl.num_rows)
@@ -216,6 +263,11 @@ class PartitionWriter:
                         )
                     if self.run_id is not None:
                         extra["run_id"] = self.run_id
+                    # stamped AFTER gorilla encode + chunk write so the
+                    # manifest reflects the partition's real work (only the
+                    # final tier-parquet write itself is excluded — it can't
+                    # time itself into the manifest it writes)
+                    extra["wall_s"] = time.time() - t0
                     write_partition(self.root, str(tier), int(part), tbl, extra)
                     parts_out.append(int(part))
                     rows_out.append(tbl.num_rows)

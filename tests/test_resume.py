@@ -115,3 +115,33 @@ def test_backfill_rejects_bad_partition():
 
     with _pytest.raises(ValueError):
         backfill_partitions(PART, [99], 4)
+
+
+def test_store_meta_guards_partition_count(ray_session, tmp_path):
+    """Writing into an existing store with a different num_parts (or gorilla
+    setting) raises instead of silently splitting conversations across
+    partitions (hash%P routing differs per P)."""
+    import pytest
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline
+    from chronoxtract_ray.sources.transcripts import transcripts_dataset
+    from chronoxtract_ray.state.checkpoint import read_store_meta
+
+    out = str(tmp_path / "store")
+    run_rollup_pipeline(transcripts_dataset(30), out, PipelineConfig(num_parts=4))
+    meta = read_store_meta(out)
+    assert meta == {"num_parts": 4, "with_gorilla": True}
+
+    with pytest.raises(ValueError, match="num_parts=4"):
+        run_rollup_pipeline(transcripts_dataset(30), out, PipelineConfig(num_parts=8))
+    with pytest.raises(ValueError, match="with_gorilla"):
+        run_rollup_pipeline(
+            transcripts_dataset(30), out, PipelineConfig(num_parts=4, with_gorilla=False)
+        )
+
+    from chronoxtract_ray.stages.ingest import run_incremental_ingest
+
+    with pytest.raises(ValueError, match="num_parts=4"):
+        run_incremental_ingest(
+            transcripts_dataset(10), out, PipelineConfig(num_parts=16), batch_id="bad"
+        )
