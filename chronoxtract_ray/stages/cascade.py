@@ -60,11 +60,11 @@ def gap_fill_group(tbl: pa.Table, width_us: int) -> pa.Table:
     x0 = win[prev_i].astype(np.float64)
     x1 = win[nxt_i].astype(np.float64)
     dx = np.where(x1 > x0, x1 - x0, 1.0)
+    src_idx = nxt_i  # == searchsorted(win, full): valid where present
     filled_mean = mean[prev_i] + (mean[nxt_i] - mean[prev_i]) * (full.astype(np.float64) - x0) / dx
-    filled_mean[present] = mean[np.searchsorted(win, full[present])]
+    filled_mean[present] = mean[src_idx[present]]
     n_rows = full.size
     cols: dict[str, pa.Array] = {}
-    src_idx = np.searchsorted(win, full)  # valid where present
     for name in tbl.column_names:
         arr = tbl[name].to_numpy(zero_copy_only=False)[order]
         if name == "conv_id":
@@ -155,7 +155,7 @@ def cascade_block(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec:
     """A whole block of fine-tier points (conversations contiguous) →
     coarse-tier rows, fully vectorized."""
     if tbl.num_rows == 0:
-        return _empty_cascade_out(spec)
+        return _empty_cascade_out(spec, with_checksum="text_checksum" in tbl.column_names)
     filled, f_codes, conv_names, f_win, present = _gap_fill_block(tbl, fine_width_us)
     out = compute_windowed_features(f_win, filled["mean"], coarse_width_us, spec, series_ids=f_codes)
     starts = out.pop("row_index")
@@ -212,15 +212,20 @@ def cascade_block(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec:
     return pa.table(arrays)
 
 
-def _empty_cascade_out(spec: FeatureSpec) -> pa.Table:
+def _empty_cascade_out(spec: FeatureSpec, with_checksum: bool = True) -> pa.Table:
+    # with_checksum must mirror the input tier's schema: cascade_block emits
+    # text_checksum only when the input carries it, and an empty block with
+    # a DIFFERENT column set than its non-empty siblings breaks downstream
+    # schema unification (observed with with_checksum=False rollups)
     cols: dict[str, pa.Array] = {
         "conv_id": pa.array([], pa.string()),
         "window_start": pa.array([], pa.int64()),
         "n_points": pa.array([], pa.int64()),
         "n_turns": pa.array([], pa.int64()),
         "n_gap_filled": pa.array([], pa.int64()),
-        "text_checksum": pa.array([], pa.uint64()),
     }
+    if with_checksum:
+        cols["text_checksum"] = pa.array([], pa.uint64())
     for c in spec.feature_columns():
         cols[c] = pa.array([], pa.float64())
     for c in ("merged_mean", "merged_variance", "merged_std", "merged_skewness", "merged_kurtosis", "merged_min", "merged_max", "merged_sum", "merged_energy"):
@@ -267,7 +272,9 @@ def cascade_multi(tier_ds, steps: list[tuple[str, int, int]], spec: FeatureSpec 
             cur = cascade_block(cur, wf, wc, spec)
             outs.append(cur.append_column("tier_name", pa.array([tier_name] * cur.num_rows, pa.string())))
         if not outs:
-            return _empty_cascade_out(spec).append_column("tier_name", pa.array([], pa.string()))
+            return _empty_cascade_out(
+                spec, with_checksum="text_checksum" in t.column_names
+            ).append_column("tier_name", pa.array([], pa.string()))
         return pa.concat_tables(outs, promote_options="default")
 
     ds = tier_ds.repartition(num_blocks or default_shuffle_blocks(), keys=["conv_id"], sort=False)

@@ -59,21 +59,22 @@ class GorillaEncoder:
         seg = np.concatenate(([True], (codes[1:] != codes[:-1]) | (chunk_s[1:] != chunk_s[:-1])))
         starts = np.flatnonzero(seg)
         ends = np.concatenate((starts[1:], [win_s.size]))
-        out_conv, out_chunk, out_n, out_fw, out_lw, out_ts, out_v = [], [], [], [], [], [], []
-        for s, e in zip(starts, ends):
-            w = win_s[s:e]
-            ts_blob = gorilla.encode_timestamps(w)
-            v_blob = gorilla.encode_values(val_s[s:e])
-            out_conv.append(conv_s[s])
-            out_chunk.append(chunk_s[s])
-            out_n.append(e - s)
-            out_fw.append(w[0])
-            out_lw.append(w[-1])
-            out_ts.append(ts_blob)
-            out_v.append(v_blob)
-            self.points += e - s
-            self.raw_bytes += 16 * (e - s)
-            self.enc_bytes += len(ts_blob) + len(v_blob)
+        # batch encoders: one grouped bit-packing pass over ALL chunks in
+        # the block (state/gorilla.py) — byte-identical blobs to the
+        # per-chunk API at ~6x less per-chunk call overhead, and the same
+        # path checkpoint._encode_chunks uses, so the two writers cannot
+        # drift
+        ts_blobs = gorilla.encode_timestamps_batch(win_s, starts)
+        v_blobs = gorilla.encode_values_batch(val_s, starts)
+        out_conv = conv_s[starts]
+        out_chunk = chunk_s[starts]
+        out_n = (ends - starts).tolist()
+        out_fw = win_s[starts]
+        out_lw = win_s[ends - 1]
+        out_ts, out_v = ts_blobs, v_blobs
+        self.points += int(win_s.size)
+        self.raw_bytes += 16 * int(win_s.size)
+        self.enc_bytes += sum(map(len, ts_blobs)) + sum(map(len, v_blobs))
         return pa.table(
             {
                 "conv_id": pa.array(out_conv, pa.string()),
@@ -105,11 +106,15 @@ class GorillaEncoder:
 
 def add_chunk_key(tier_ds, chunk_span_us: int):
     """Vectorized chunk-key derivation (map_batches, zero-copy Arrow)."""
-    import pyarrow.compute as pc
 
     def fn(t: pa.Table) -> pa.Table:
-        ck = pc.multiply(pc.divide(t["window_start"], chunk_span_us), chunk_span_us)
-        return t.append_column("chunk_start", ck)
+        # FLOOR division to match the production writer's `(win // span) *
+        # span` (checkpoint._encode_chunks): pc.divide truncates toward
+        # zero, which disagrees on pre-epoch (negative) window_starts and
+        # would break the cross-path "identical chunk rows" invariant
+        ws = t["window_start"].to_numpy()
+        ck = (ws // chunk_span_us) * chunk_span_us
+        return t.append_column("chunk_start", pa.array(ck, pa.int64()))
 
     return tier_ds.map_batches(fn, batch_format="pyarrow")
 

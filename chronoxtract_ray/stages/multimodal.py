@@ -115,6 +115,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sr is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if channels < 1 or sr < 1:
+        # a corrupt-but-parseable header must flag decode_ok=false, not
+        # escape as ZeroDivisionError and kill the task (no-poison-pill)
+        raise ValueError(f"invalid WAV header channels={channels} sr={sr}")
     samples = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))], dtype="<i2")
     if channels > 1:
         samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)

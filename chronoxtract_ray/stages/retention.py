@@ -231,10 +231,17 @@ def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
     kept = t.filter(mask)
     dropped = t.num_rows - kept.num_rows
     keys = [k for k in ("conv_id", "window_start") if k in kept.column_names]
-    _atomic_rewrite(part_dir, kept.sort_by([(k, "ascending") for k in keys]))
+    # chunks + sidecar are trimmed BEFORE the tier rewrite: a crash after
+    # the rewrite leaves lo >= cutoff, so the resumed run takes the
+    # metadata-only keep branch and would never revisit them (permanently
+    # orphaning pre-cutoff chunk points). In the other crash window (chunks
+    # trimmed, tier not yet rewritten) the resumed run still sees
+    # lo < cutoff and re-runs this path — _trim_chunks and the sidecar
+    # invalidation are idempotent.
     if tier == "1m":
         _invalidate_conv_sidecar(root, part)
     rec["chunks_dropped"] = _trim_chunks(chunk_dir, cutoff)
+    _atomic_rewrite(part_dir, kept.sort_by([(k, "ascending") for k in keys]))
     _stamp_manifest(root, tier, part, man, cutoff, rows=kept.num_rows,
                     retention_rows_dropped=man.get("retention_rows_dropped", 0) + dropped)
     rec.update(action="trim", rows_dropped=dropped)

@@ -181,7 +181,8 @@ def encode_values(values: np.ndarray) -> bytes:
 
 def decode_values(data: bytes) -> np.ndarray:
     """Inverse of encode_values (sequential bit reader)."""
-    assert data[:4] == _MAGIC_V, "bad value-stream magic"
+    if data[:4] != _MAGIC_V:  # explicit: assert is compiled out under -O
+        raise ValueError("bad value-stream magic")
     (n,) = struct.unpack_from("<I", data, 4)
     if n == 0:
         return np.empty(0, dtype=np.float64)
@@ -262,7 +263,8 @@ def encode_timestamps(ts_us: np.ndarray) -> bytes:
 
 def decode_timestamps(data: bytes) -> np.ndarray:
     """Inverse of encode_timestamps."""
-    assert data[:4] == _MAGIC_T, "bad timestamp-stream magic"
+    if data[:4] != _MAGIC_T:  # explicit: assert is compiled out under -O
+        raise ValueError("bad timestamp-stream magic")
     (n,) = struct.unpack_from("<I", data, 4)
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -319,8 +321,6 @@ def _pack_bits_grouped(bits: np.ndarray, nbits: np.ndarray, tok_chunk: np.ndarra
         return np.zeros(1, dtype=np.uint64), word_start[:-1], word_start[1:], bits_per_chunk
     # within-chunk bit offsets: global cumsum minus each chunk's first cumsum
     cum = np.concatenate(([0], np.cumsum(nbits)))[:-1]
-    chunk_first_tok = np.zeros(n_chunks, dtype=np.int64)
-    seen = np.zeros(n_chunks, dtype=bool)
     first_idx = np.full(n_chunks, -1, dtype=np.int64)
     # first token index per chunk (tok_chunk is non-decreasing)
     change = np.concatenate(([True], tok_chunk[1:] != tok_chunk[:-1]))

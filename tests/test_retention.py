@@ -132,3 +132,52 @@ def test_tighter_policy_advances(store):
     assert cutoff == wm - 3 * HOUR
     expect = baseline["1m"].filter(pa.array(baseline["1m"]["window_start"].to_numpy() >= cutoff))
     assert_tables_bitwise_equal(_surviving("1m"), expect, "1m tighter")
+
+
+def test_trim_crash_windows_cannot_orphan_chunk_points(ray_session, tmp_path, monkeypatch):
+    """Crash-resume hole (r4 review): the OLD order (tier rewrite → chunk
+    trim) left a window where a kill after the rewrite made the resumed run
+    take the metadata-only keep branch (lo >= cutoff) and never trim the
+    chunks — permanently orphaning pre-cutoff chunk points. The fix trims
+    chunks/sidecar FIRST; this test crashes a run exactly between (at the
+    tier rewrite) and checks the resume converges to a consistent store."""
+    import numpy as np
+    import pytest
+
+    import chronoxtract_ray.stages.retention as ret
+    from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline, tier_table
+    from chronoxtract_ray.sources.transcripts import transcripts_dataset
+    from chronoxtract_ray.stages.gorilla_stage import decode_chunks
+    from chronoxtract_ray.stages.retention import RetentionPolicy, apply_retention
+
+    root = str(tmp_path / "store")
+    run_rollup_pipeline(transcripts_dataset(20), root, PipelineConfig(num_parts=2))
+    t = tier_table(root, "1h", columns=["window_start"])
+    ws = np.sort(np.unique(t["window_start"].to_numpy()))
+    assert ws.size >= 3
+    cutoff = int(ws[ws.size // 2])  # mid-range: forces the trim path
+    now_us = int(ws.max()) + 3_600_000_000
+    keep_us = now_us - cutoff
+    policy = RetentionPolicy({"1h": keep_us})
+
+    orig_rewrite = ret._atomic_rewrite
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash at the tier rewrite")
+
+    monkeypatch.setattr(ret, "_atomic_rewrite", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_retention(root, 2, policy, now_us=now_us)
+    monkeypatch.setattr(ret, "_atomic_rewrite", orig_rewrite)
+
+    # mid-crash state: chunks of the crashed partition already trimmed, its
+    # tier rows not yet — the resume must converge, not skip
+    apply_retention(root, 2, policy, now_us=now_us)
+
+    rows = tier_table(root, "1h", columns=["conv_id", "window_start", "mean"])
+    pts = decode_chunks(tier_table(root + "/chunks", "1h"))
+    # the invariant the old order broke: every surviving chunk point exists
+    # as a tier row and nothing pre-cutoff survives anywhere
+    assert pts.num_rows == rows.num_rows
+    assert int(pts["window_start"].to_numpy().min()) >= cutoff
+    assert int(rows["window_start"].to_numpy().min()) >= cutoff
