@@ -11,7 +11,6 @@ shuffle steps are groupbys on hash/band columns (ray_guide.md dedup recipe).
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
@@ -22,13 +21,10 @@ from chronoxtract_ray.stages.util import collect_table
 ROUND = 6
 
 
-def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
-    """Half-away-from-zero after decimal scaling — matches DuckDB ROUND
-    (probed: floor(|x|*10^nd + 0.5) semantics, including x*10^nd double
-    rounding effects)."""
-    x = np.asarray(x, dtype=np.float64)
-    scale = 10.0**nd
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+# one shared DuckDB-ROUND-faithful rounding (docstring in stages/util.py
+# carries the zero-sign contract); re-exported as _round for this module's
+# sibling (queries_textqc imports it from here)
+from chronoxtract_ray.stages.util import round_half_away as _round
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
@@ -90,9 +86,6 @@ SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
 # ---- text analysis ----
-
-_WORD_RE = re.compile(r"\S+")
-
 
 def token_stats_batch(t: pa.Table) -> pa.Table:
     s = pd.Series(t["text"].to_pylist())
@@ -276,7 +269,21 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
     downstream map_batches — so no single worker owns a degenerate bucket's
     O(k^2). Cross-bucket duplicate pairs are deduped DISTRIBUTED via
     groupby(doc_a, doc_b).min (sig_jaccard is a pure pair function, so min
-    is just "pick one"); nothing lands on the driver."""
+    is just "pick one"); nothing lands on the driver.
+
+    Deliberate trade-off (measured r4, do not "fix"): band rows carry the
+    FULL signature (~0.5 KB x _N_BANDS per doc) through the bucket shuffle
+    so every bucket can score its pairs IN PLACE and ship only the >=thr
+    survivors. The tempting alternative — ids-only band rows + a
+    dedup-then-hash-join of a once-materialized signature table onto
+    candidate pairs — moves ~2 signatures per CANDIDATE pair instead: on
+    collision-heavy corpora the same-bucket background dwarfs the near-dup
+    population (sf0.1: 134,765 candidates from 5,000 docs vs 257 survivors,
+    a 500:1 prune that would happen AFTER the joins), so the join traffic
+    (~26 KB/doc here) exceeds the 16x signature duplication (~8 KB/doc) it
+    saves, and the extra materialize + two join actor pools tripled the
+    chain's wall time (31 s vs 10-11 s cold, back-to-back in one host
+    window at sf0.1/32 cpus)."""
     ds = _docs(sf_dir)
 
     def sig_batch(t: pa.Table) -> pa.Table:
@@ -834,9 +841,13 @@ def q_dedup_clusters(sf_dir: str):
             return pa.table({"node": pa.array(nodes, pa.int64()), "member": pa.array(membs, pa.int64())})
 
         prev_sig = None
+        mins = None
         for _ in range(16):  # >= log2(diameter) with huge margin
             C = C.groupby("node").map_groups(spread, batch_format="pyarrow").materialize()
-            mins = C.groupby("node").min("member")
+            # materialize ONCE per round: count() and sum() on a lazy
+            # groupby would each re-run the full shuffle+aggregate, and the
+            # post-loop label pass a third time (r4 review)
+            mins = C.groupby("node").min("member").materialize()
             sig = (mins.count(), int(mins.sum("min(member)")))
             if sig == prev_sig:
                 break
@@ -845,7 +856,7 @@ def q_dedup_clusters(sf_dir: str):
         def rename(t: pa.Table) -> pa.Table:
             return pa.table({"node": t["node"], "label": t["min(member)"]})
 
-        labels = C.groupby("node").min("member").map_batches(rename, batch_format="pyarrow")
+        labels = mins.map_batches(rename, batch_format="pyarrow")
         final = labels.union(identity)
 
     t = collect_table(final.groupby("node").min("label"))

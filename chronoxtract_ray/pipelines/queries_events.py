@@ -29,19 +29,10 @@ _WS = "((epoch_us(ts) // 3600000000) * 3600000000)"
 _WD = "((epoch_us(ts) // 86400000000) * 86400000000)"
 
 
-def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
-    """Half-away-from-zero after decimal scaling — matches DuckDB ROUND
-    (probed: floor(|x|*10^nd + 0.5) semantics, including x*10^nd double
-    rounding effects)."""
-    x = np.asarray(x, dtype=np.float64)
-    scale = 10.0**nd
-    # NO global -0.0 canonicalization here: DuckDB ROUND(-1e-9, 6) emits
-    # -0.0 too, so both sides naturally agree on tiny negatives — a
-    # one-sided +0.0 would BREAK that symmetry everywhere. The one place
-    # the two sides disagree on zero sign (the entropy trio, where the
-    # oracle's -sum(...) negates an exact 0.0) normalizes BOTH sides at
-    # the projection (q_entropy_features / SQL_ENTROPY_FEATURES).
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+# one shared DuckDB-ROUND-faithful rounding (docstring in stages/util.py
+# carries the zero-sign contract); re-exported as _round for this module's
+# siblings (queries_joins / queries_features import it from here)
+from chronoxtract_ray.stages.util import round_half_away as _round
 
 
 def _events(sf_dir: str, columns=("user_id", "ts", "value", "event_id")):
@@ -72,10 +63,15 @@ def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
 
     At sf scale one group per user is fine (≤ thousands of rows); the
     transcript pipeline uses the salted (conv, bucket) variant. Results are
-    memoized per (sf_dir, spec, width) — several queries project different
-    columns of the same windowed feature table."""
-    key = (sf_dir, spec, width_us)
-    if key in _WINDOWED_CACHE:
+    memoized per (file identity, spec, width) — several queries project
+    different columns of the same windowed feature table, and the FILE key
+    (path, mtime, size — not path alone) means a regenerated events.parquet
+    at the same path invalidates naturally; un-stat-able → uncacheable."""
+    from chronoxtract_ray.stages.util import file_cache_key
+
+    fkey = file_cache_key(f"{sf_dir}/events.parquet")
+    key = None if fkey is None else (fkey, spec, width_us)
+    if key is not None and key in _WINDOWED_CACHE:
         return _WINDOWED_CACHE[key]
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
 
@@ -92,7 +88,8 @@ def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
         return pa.table(cols)
 
     tbl = collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
-    _WINDOWED_CACHE[key] = tbl
+    if key is not None:
+        _WINDOWED_CACHE[key] = tbl
     return tbl
 
 

@@ -116,9 +116,18 @@ FROM w
 # ---- global token histogram (combiner-before-shuffle) ---------------------
 
 _TOPK = 200
-# distributed histograms memoized per sf_dir (the _WINDOWED_CACHE /
-# _EDGE_CACHE precedent): vocab_topk and unigram_logprob share one pass
-_FREQ_CACHE: dict[str, pd.DataFrame] = {}
+# distributed histograms memoized per corpus FILE IDENTITY (path, mtime,
+# size — the _EDGE_CACHE precedent): vocab_topk and unigram_logprob share
+# one pass. A path-only key serves a stale histogram after the corpus is
+# regenerated in place (the oracle reads the new file → hash mismatch that
+# looks like an engine bug); un-stat-able files are uncacheable.
+_FREQ_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
+def _freq_cache_key(sf_dir: str):
+    from chronoxtract_ray.stages.util import file_cache_key
+
+    return file_cache_key(f"{sf_dir}/documents.parquet")
 
 
 def _partial_token_counts(t: pa.Table) -> pa.Table:
@@ -143,8 +152,9 @@ def _token_counts(sf_dir: str) -> pd.DataFrame:
     worker's memory; a production pipeline caps it (top-V + OOV bucket)
     before broadcast. Pure top-K consumers use q_vocab_topk's bounded path
     instead."""
-    if sf_dir in _FREQ_CACHE:
-        return _FREQ_CACHE[sf_dir]
+    key = _freq_cache_key(sf_dir)
+    if key is not None and key in _FREQ_CACHE:
+        return _FREQ_CACHE[key]
     ds = _docs(sf_dir)
     df = (
         collect_table(ds.map_batches(_partial_token_counts, batch_format="pyarrow").groupby("token").sum("n"))
@@ -153,7 +163,8 @@ def _token_counts(sf_dir: str) -> pd.DataFrame:
         .sort_values("token", kind="stable")
         .reset_index(drop=True)
     )
-    _FREQ_CACHE[sf_dir] = df
+    if key is not None:
+        _FREQ_CACHE[key] = df
     return df
 
 
@@ -167,8 +178,9 @@ def q_vocab_topk(sf_dir: str):
     — a heavy-tailed 100-TB vocabulary never materializes in one place.
     (When the full histogram is already memoized for the unigram model,
     reuse it instead of a second pass.)"""
-    if sf_dir in _FREQ_CACHE:
-        df = _FREQ_CACHE[sf_dir]
+    key = _freq_cache_key(sf_dir)
+    if key is not None and key in _FREQ_CACHE:
+        df = _FREQ_CACHE[key]
         out = df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK)
         return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
     ds = _docs(sf_dir)

@@ -20,13 +20,9 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 ROUND = 6
 
 
-def _round(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
-    """Half-away-from-zero after decimal scaling — matches DuckDB ROUND
-    (probed: floor(|x|*10^nd + 0.5) semantics, including x*10^nd double
-    rounding effects)."""
-    x = np.asarray(x, dtype=np.float64)
-    scale = 10.0**nd
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+# one shared DuckDB-ROUND-faithful rounding (docstring in stages/util.py
+# carries the zero-sign contract)
+from chronoxtract_ray.stages.util import round_half_away as _round
 
 
 def _emb(sf_dir: str):
@@ -38,9 +34,28 @@ def _emb(sf_dir: str):
 
 
 # Per-block float64 matrix budget for the block self-join: a score task
-# holds TWO blocks plus their (n/B)^2 similarity tile, so 512 MiB/block keeps
-# a task comfortably inside a multi-GiB worker heap at any corpus size.
+# holds TWO block matrices, so 512 MiB/block keeps a task comfortably inside
+# a multi-GiB worker heap at any corpus size. The (n/B)^2 similarity TILE is
+# NOT bounded by this (at dim=64 a block holds ~1M rows → an 8 TB tile), so
+# score tasks additionally chunk the matmul to _TILE_BUDGET_BYTES.
 _BLOCK_BUDGET_BYTES = 512 * (1 << 20)
+_TILE_BUDGET_BYTES = 128 * (1 << 20)
+
+
+def _topk_by_sim_then_id(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k best candidates by (cosine DESC, id ASC) — the SQL
+    oracles' row_number order. A bare argpartition keeps an ARBITRARY member
+    of an exact-cosine tie straddling the k-th position (duplicate
+    embeddings give bitwise-equal dot products), so the tied neighbor the
+    oracle ranks first (lowest id) could be dropped before the driver-side
+    merge, which can only reorder what the batches kept. O(n) partition for
+    the k-th value, then a lexsort over just the boundary candidates."""
+    if sims.size <= k:
+        return np.arange(sims.size)
+    kth = np.partition(sims, sims.size - k)[sims.size - k]
+    cand = np.flatnonzero(sims >= kth)
+    order = np.lexsort((ids[cand], -sims[cand]))
+    return cand[order[:k]]
 
 
 def _derive_n_blocks(n: int, dim: int) -> int:
@@ -86,8 +101,12 @@ def q_knn_bruteforce(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = qt.filter(pa.compute.less(qt["vec_id"], N_QUERIES))
+    # row-group-pruned read: only the query rows reach the driver, never
+    # the corpus (filters= pushes the predicate into the parquet scan)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
     q_ids, Q = _to_matrix(qt)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, Qn))
@@ -98,10 +117,9 @@ def q_knn_bruteforce(sf_dir: str):
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         sims = Mn @ qn.T  # (n, q)
         k = min(TOP_K + 1, ids.size)  # +1 in case self is in this batch
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
         rows = []
         for j in range(qids.size):
-            for i in top[:, j]:
+            for i in _topk_by_sim_then_id(sims[:, j], ids, k):
                 rows.append((int(qids[j]), int(ids[i]), float(sims[i, j])))
         arr = np.array(rows, dtype=np.float64).reshape(-1, 3)
         return pa.table(
@@ -199,28 +217,37 @@ def q_embedding_neardup(sf_dir: str):
                 ids_j, Mj = (ids_i, Mi) if bj == bi else _read_block(bj)
                 if not ids_i.size or not ids_j.size:
                     continue
-                sims = Mi @ Mj.T
-                ii, jj = np.nonzero(sims > thresh)
-                if bi == bj:
-                    # upper triangle: each unordered pair once, no self-pairs
-                    keep = ids_i[ii] < ids_j[jj]
-                    va, vb = ids_i[ii][keep], ids_j[jj][keep]
-                    cs = sims[ii, jj][keep]
-                else:
-                    # distinct blocks: every cross pair appears exactly once
-                    # in this task — orient by id, don't filter
-                    va = np.minimum(ids_i[ii], ids_j[jj])
-                    vb = np.maximum(ids_i[ii], ids_j[jj])
+                # chunk rows of Mi so the float64 tile (+ its bool mask)
+                # stays ~_TILE_BUDGET regardless of block size: the block
+                # budget bounds the MATRICES only — at dim=64 a full block
+                # is ~1M rows and an unchunked (n/B)^2 tile would be
+                # terabytes (r4 review)
+                step = max(1, _TILE_BUDGET_BYTES // max(8 * ids_j.size, 1))
+                for s in range(0, ids_i.size, step):
+                    sims = Mi[s : s + step] @ Mj.T
+                    ii, jj = np.nonzero(sims > thresh)
                     cs = sims[ii, jj]
-                out.append(
-                    pa.table(
-                        {
-                            "vec_a": pa.array(va, pa.int64()),
-                            "vec_b": pa.array(vb, pa.int64()),
-                            "cosine": pa.array(_round(cs), pa.float64()),
-                        }
+                    ii += s
+                    if bi == bj:
+                        # upper triangle: each unordered pair once, no self-pairs
+                        keep = ids_i[ii] < ids_j[jj]
+                        va, vb, cs = ids_i[ii][keep], ids_j[jj][keep], cs[keep]
+                    else:
+                        # distinct blocks: every cross pair appears exactly once
+                        # in this task — orient by id, don't filter
+                        va = np.minimum(ids_i[ii], ids_j[jj])
+                        vb = np.maximum(ids_i[ii], ids_j[jj])
+                    if not va.size:
+                        continue
+                    out.append(
+                        pa.table(
+                            {
+                                "vec_a": pa.array(va, pa.int64()),
+                                "vec_b": pa.array(vb, pa.int64()),
+                                "cosine": pa.array(_round(cs), pa.float64()),
+                            }
+                        )
                     )
-                )
             return pa.concat_tables(out)
 
         pair_items = [
@@ -258,9 +285,11 @@ def q_knn_lsh(sf_dir: str):
 
     n_planes = 6
     rng = np.random.default_rng(42)
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qfil = qt.filter(pa.compute.less(qt["vec_id"], N_QUERIES))
-    q_ids, Q = _to_matrix(qfil)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],  # pruned: queries only, never the corpus
+    )
+    q_ids, Q = _to_matrix(qt)
     dim = Q.shape[1]
     planes = rng.standard_normal((dim, n_planes))
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -290,8 +319,7 @@ def q_knn_lsh(sf_dir: str):
             sims = Mn[cand] @ qn[j]
             cids = ids[cand]
             k = min(TOP_K + 1, sims.size)
-            top = np.argpartition(-sims, k - 1)[:k]
-            for i in top:
+            for i in _topk_by_sim_then_id(sims, cids, k):
                 rows.append((int(q), int(cids[i]), float(sims[i])))
         if not rows:
             return pa.table({"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
@@ -367,7 +395,7 @@ def q_knn_ivf(sf_dir: str):
             sims = Mn[cand] @ qn[j]
             cids = ids[cand]
             k = min(TOP_K + 1, sims.size)
-            for i in np.argpartition(-sims, k - 1)[:k]:
+            for i in _topk_by_sim_then_id(sims, cids, k):
                 rows.append((int(qid), int(cids[i]), float(sims[i])))
         if not rows:
             return pa.table({"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})

@@ -261,10 +261,15 @@ def backfill_partitions(out_root: str, parts: list[int], num_parts: int) -> None
     reopen only on explicit backfill)."""
     import shutil
 
+    # validate the WHOLE list before touching anything: raising mid-loop
+    # after earlier parts' manifests/data were deleted leaves the store
+    # inconsistent (a later non-fused run would rebuild 1m for those parts
+    # but skip the cascade, leaving 1h/1d silently stale against it)
+    for p in parts:
+        if not 0 <= p < num_parts:
+            raise ValueError(f"partition {p} out of range 0..{num_parts - 1}")
     for tier, _ in TIERS:
         for p in parts:
-            if not 0 <= p < num_parts:
-                raise ValueError(f"partition {p} out of range 0..{num_parts - 1}")
             mp = ckpt.manifest_path(out_root, tier, p)
             if os.path.exists(mp):
                 os.remove(mp)

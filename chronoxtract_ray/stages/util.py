@@ -2,7 +2,49 @@
 
 from __future__ import annotations
 
-__all__ = ["ensure_hash_shuffle", "ensure_sort_shuffle", "default_shuffle_blocks"]
+__all__ = [
+    "ensure_hash_shuffle",
+    "ensure_sort_shuffle",
+    "default_shuffle_blocks",
+    "collect_table",
+    "round_half_away",
+    "file_cache_key",
+]
+
+
+def round_half_away(x, nd: int = 6):
+    """Half-away-from-zero after decimal scaling — matches DuckDB ROUND
+    (probed: floor(|x|*10^nd + 0.5) semantics, including x*10^nd double
+    rounding effects). The suite's single most load-bearing float contract,
+    so it lives in ONE place (was copy-pasted per query module).
+
+    NO global -0.0 canonicalization here: DuckDB ROUND(-1e-9, 6) emits
+    -0.0 too, so both sides naturally agree on tiny negatives — a
+    one-sided +0.0 would BREAK that symmetry everywhere. The one place
+    the two sides disagree on zero sign (the entropy trio, where the
+    oracle's -sum(...) negates an exact 0.0) normalizes BOTH sides at
+    the projection (q_entropy_features / SQL_ENTROPY_FEATURES)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def file_cache_key(path: str):
+    """Identity key for memoizing DERIVED RESULTS of a file: (path,
+    mtime_ns, size), or None when the file can't be stat'ed — None means
+    UNCACHEABLE, never a shared fallback key (distinct error states must
+    not collapse into one slot that could serve stale results). Keying on
+    the path alone serves stale data after the file is regenerated in
+    place — the bug class _EDGE_CACHE documents."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, int(st.st_mtime_ns), st.st_size)
 
 
 def ensure_sort_shuffle(ds):

@@ -112,3 +112,59 @@ def test_embedding_neardup_empty_blocks(ray_session, tmp_path):
     pairs = set(zip(out["vec_a"].to_pylist(), out["vec_b"].to_pylist()))
     assert (0, 4) in pairs  # the near-identical pair survives
     assert all(a < b for a, b in pairs)
+
+
+def test_topk_tie_straddling_k_prefers_lowest_id():
+    """(cosine DESC, id ASC) must hold even when an exact tie straddles the
+    k-th position — bare argpartition keeps an arbitrary tied member and the
+    driver merge can only reorder what the batches kept (r4 review)."""
+    from chronoxtract_ray.pipelines.queries_vec import _topk_by_sim_then_id
+
+    sims = np.array([0.9, 0.5, 0.5, 0.5, 0.1])
+    ids = np.array([10, 7, 3, 5, 1])
+    idx = _topk_by_sim_then_id(sims, ids, 3)
+    assert ids[idx].tolist() == [10, 3, 5]
+    assert _topk_by_sim_then_id(sims, ids, 5).size == 5
+    assert _topk_by_sim_then_id(sims, ids, 9).size == 5
+
+
+def test_knn_bruteforce_exact_ties_pick_lowest_ids(ray_session, tmp_path):
+    """Seven bit-identical candidate embeddings tie at the k boundary: the
+    reported top-5 must be the five lowest neighbor ids, matching the SQL
+    oracle's row_number ORDER BY cosine DESC, neighbor_id ASC."""
+    from chronoxtract_ray.pipelines.queries_vec import q_knn_bruteforce
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(64)
+    dup = rng.standard_normal(64)
+    vecs = [q] + [dup] * 7
+    t = pa.table({
+        "vec_id": pa.array([0] + list(range(11, 18)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    out = q_knn_bruteforce(str(tmp_path)).to_pandas()
+    got = out[out.query_id == 0].neighbor_id.tolist()
+    assert got == [11, 12, 13, 14, 15]
+
+
+def test_embedding_neardup_tile_chunking_equivalent(ray_session, tmp_path, monkeypatch):
+    """A pathologically small tile budget (1 row per matmul chunk) must give
+    bit-identical pairs to the default — the chunking only bounds memory."""
+    from chronoxtract_ray.pipelines import queries_vec as qv
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 64))
+    vecs[25] = vecs[13] * 0.995 + rng.standard_normal(64) * 0.005  # one near-dup
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    base = qv.q_embedding_neardup(str(tmp_path))
+    monkeypatch.setattr(qv, "_TILE_BUDGET_BYTES", 1)
+    tiny = qv.q_embedding_neardup(str(tmp_path))
+    key = [("vec_a", "ascending"), ("vec_b", "ascending")]
+    assert base.sort_by(key).equals(tiny.sort_by(key))
+    pairs = set(zip(base["vec_a"].to_pylist(), base["vec_b"].to_pylist()))
+    assert (13, 25) in pairs

@@ -117,6 +117,22 @@ def test_backfill_rejects_bad_partition():
         backfill_partitions(PART, [99], 4)
 
 
+def test_backfill_rejects_bad_partition_without_mutating(runs):
+    """Validation must cover the WHOLE list before any deletion: a mixed
+    [valid, invalid] request raising mid-loop after deleting the valid
+    part's 1m manifest leaves a store where the next run rebuilds 1m but
+    skips the cascade — 1h/1d silently stale (r4 review)."""
+    import pytest as _pytest
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import backfill_partitions
+
+    mans = [ckpt.manifest_path(PART, tier, 1) for tier in ("1m", "1h", "1d")]
+    assert all(os.path.exists(m) for m in mans)
+    with _pytest.raises(ValueError):
+        backfill_partitions(PART, [1, 99], 4)
+    assert all(os.path.exists(m) for m in mans), "no artifact may be touched"
+
+
 def test_store_meta_guards_partition_count(ray_session, tmp_path):
     """Writing into an existing store with a different num_parts (or gorilla
     setting) raises instead of silently splitting conversations across

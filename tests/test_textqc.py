@@ -128,3 +128,46 @@ def test_multimodal_features_query(tq):
     # deterministic across runs
     u = tq.q_multimodal_features(SF).to_pandas().sort_values("media_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(t.sort_values("media_id").reset_index(drop=True), u)
+
+
+def test_file_cache_key_identity(tmp_path):
+    """file_cache_key: None (uncacheable) for a missing file; changes when
+    the file is regenerated in place — a path-only key would serve stale
+    memoized results against a fresh oracle read (r4 review)."""
+    import os
+
+    from chronoxtract_ray.stages.util import file_cache_key
+
+    p = tmp_path / "x.parquet"
+    assert file_cache_key(str(p)) is None
+    p.write_bytes(b"abc")
+    k1 = file_cache_key(str(p))
+    assert k1 is not None
+    os.utime(p, ns=(k1[1] + 7, k1[1] + 7))
+    k2 = file_cache_key(str(p))
+    assert k2 is not None and k2 != k1
+
+
+def test_freq_cache_invalidates_on_regenerated_corpus(tq, ray_session, tmp_path):
+    """Regenerating documents.parquet at the SAME path must invalidate the
+    memoized histogram — the engine would otherwise serve the old counts
+    while the SQL oracle reads the new file (hash mismatch masquerading as
+    an engine bug)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["aa aa bb", "aa"], pa.string())}), p)
+    df1 = tq._token_counts(str(tmp_path))
+    assert dict(zip(df1.token, df1.n)) == {"aa": 3, "bb": 1}
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["cc cc cc"], pa.string())}), p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_mtime_ns + 1, st.st_mtime_ns + 1))  # force new identity
+    df2 = tq._token_counts(str(tmp_path))
+    assert dict(zip(df2.token, df2.n)) == {"cc": 3}
