@@ -67,6 +67,7 @@ def _gorilla_cfg(cfg: PipelineConfig, tier: str) -> dict | None:
     if not cfg.with_gorilla:
         return None
     widths = dict(TIERS)
+    widths["1m"] = cfg.rollup.width_us  # finest tier follows the configured rollup width
     return {
         "width_us": widths[tier],
         "points_per_chunk": cfg.gorilla_points_per_chunk,
@@ -99,7 +100,10 @@ class RollupWriteStage:
         outs = [("1m", tier_rows)]
         if self.cfg.fused_cascade:
             cur = tier_rows
-            for tier_name, wf, wc in (("1h", MINUTE_US, HOUR_US), ("1d", HOUR_US, DAY_US)):
+            # fine width of the first cascade step = the 1m tier's actual
+            # window width (configurable; MINUTE_US by default) — the gap-fill
+            # stride must match the grid the rollup floored on
+            for tier_name, wf, wc in (("1h", self.cfg.rollup.width_us, HOUR_US), ("1d", HOUR_US, DAY_US)):
                 cur = cascade_block(cur, wf, wc, self.cfg.cascade_spec)
                 outs.append((tier_name, cur))
         # one writer pass per tier so each tier keeps its exact schema
@@ -151,7 +155,7 @@ class CascadeWriteStage:
             spec = self.cfg.cascade_spec
             outs = []
             cur = block
-            for tier_name, wf, wc in (("1h", MINUTE_US, HOUR_US), ("1d", HOUR_US, DAY_US)):
+            for tier_name, wf, wc in (("1h", self.cfg.rollup.width_us, HOUR_US), ("1d", HOUR_US, DAY_US)):
                 cur = cascade_block(cur, wf, wc, spec)
                 tagged = cur.append_column("tier_name", pa.array([tier_name] * cur.num_rows, pa.string()))
                 outs.append(tagged)
@@ -296,7 +300,13 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     P = cfg.num_parts
     ensure_hash_shuffle(num_partitions=P)
     os.makedirs(out_root, exist_ok=True)
-    ckpt.ensure_store_meta(out_root, P, cfg.with_gorilla)
+    ckpt.ensure_store_meta(
+        out_root,
+        P,
+        cfg.with_gorilla,
+        with_checksum=cfg.rollup.with_checksum,
+        width_us=cfg.rollup.width_us,
+    )
     if isinstance(source, str):
         from chronoxtract_ray.sources.transcripts import read_transcripts
 

@@ -59,9 +59,11 @@ def derive_batch(
         cols["crc"] = pa.array(text_crc(texts, tidx), pa.uint64())
     out = pa.table(cols)
     if num_parts:
-        part = (
-            pd.util.hash_array(out["conv_id"].to_numpy(zero_copy_only=False), categorize=False) % num_parts
-        ).astype(np.int64)
+        # the ONE routing function — never inline this hash (a divergent copy
+        # silently splits each conversation's rows across two partitions)
+        from chronoxtract_ray.state.checkpoint import conv_partition
+
+        part = conv_partition(out["conv_id"].to_numpy(zero_copy_only=False), num_parts)
         if drop_parts:
             keep = ~np.isin(part, np.fromiter(drop_parts, dtype=np.int64))
             out = out.filter(pa.array(keep))

@@ -558,9 +558,11 @@ class IncrementalWriteStage:
         self._stage_tier(stage_dir, "tier_1m", carry_1m, links_1m, new_1m, file_cache)
 
         # ================= cascade 1h / 1d =================
+        # fine width of the 1m→1h step follows the configured rollup width
+        # (the grid the 1m windows were floored on); coarser steps are fixed
         for tier, fine_tier, fine_w, coarse_w in (
-            ("1h", "1m", MINUTE_US, HOUR_US),
-            ("1d", "1h", HOUR_US, DAY_US),
+            ("1h", "1m", self.cfg.rollup.width_us, HOUR_US),
+            ("1d", "1h", TIER_WIDTHS["1h"], TIER_WIDTHS["1d"]),
         ):
             b = bounds[tier]
             fine = merged_recent[fine_tier]
@@ -770,7 +772,13 @@ def run_incremental_ingest(
     ensure_hash_shuffle(num_partitions=cfg.num_parts)
     batch_id = batch_id or uuid.uuid4().hex
     os.makedirs(out_root, exist_ok=True)
-    ckpt.ensure_store_meta(out_root, cfg.num_parts, cfg.with_gorilla)
+    ckpt.ensure_store_meta(
+        out_root,
+        cfg.num_parts,
+        cfg.with_gorilla,
+        with_checksum=cfg.rollup.with_checksum,
+        width_us=cfg.rollup.width_us,
+    )
     # complete any torn older batch for EVERY partition (not just the ones
     # this batch touches) and drop pre-durability staging leftovers
     recover_all_partitions(out_root, gc_stale_staging=True)

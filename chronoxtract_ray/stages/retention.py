@@ -46,7 +46,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from chronoxtract_ray.state import gorilla
-from chronoxtract_ray.state.checkpoint import load_manifests, manifest_path
+from chronoxtract_ray.state.checkpoint import (
+    load_manifests,
+    manifest_path,
+    read_store_meta,
+    replace_partition_dir,
+)
 
 __all__ = ["RetentionPolicy", "store_watermark_us", "apply_retention"]
 
@@ -74,29 +79,10 @@ def store_watermark_us(root: str, tiers, num_parts: int) -> int | None:
     return max(wms) if wms else None
 
 
-def _window_start_bounds(path: str) -> tuple[int, int] | None:
-    """(min, max) of window_start from the parquet footer — metadata only."""
-    md = pq.ParquetFile(path).metadata
-    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("window_start")
-    if idx is None:
-        return None
-    lo, hi = None, None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return None
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
-    return (int(lo), int(hi)) if lo is not None else None
-
-
 def _atomic_rewrite(final_dir: str, table: pa.Table) -> None:
-    tmp_dir = final_dir + ".tmp"
-    os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"), row_group_size=max(table.num_rows, 1))
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    os.rename(tmp_dir, final_dir)
+    # dot-prefixed temp dir + rename: a crash mid-rewrite must never leave a
+    # directory the part=*/*.parquet reader globs can see (checkpoint helper)
+    replace_partition_dir(final_dir, table)
 
 
 def _read_dir(d: str) -> pa.Table | None:
@@ -201,7 +187,12 @@ def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
     if tier == "1m":  # the buffer feeds the finest tier; keep them consistent
         from chronoxtract_ray.pipelines.rollup_pipeline import MINUTE_US
 
-        _trim_open_buffer(root, part, cutoff, MINUTE_US)
+        # window-floor with the STORE's configured rollup width (recorded in
+        # _store.json at first write) — a non-60s store trimmed with a
+        # hard-coded minute width would drop buffered turns of windows that
+        # survive the cutoff, silently corrupting the next ingest's recompute
+        width = int((read_store_meta(root) or {}).get("width_us") or MINUTE_US)
+        _trim_open_buffer(root, part, cutoff, width)
     part_dir = os.path.join(root, f"tier={tier}", f"part={part:04d}")
     chunk_dir = os.path.join(root, "chunks", f"tier={tier}", f"part={part:04d}")
     files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
@@ -209,13 +200,23 @@ def prune_partition(root: str, tier: str, part: int, cutoff: int) -> dict:
         _stamp_manifest(root, tier, part, man, cutoff)
         rec["action"] = "keep"
         return rec
+    # footer-statistics reader shared with the ingest stage (one copy of the
+    # metadata-only min/max logic; conservative full-range on missing stats)
+    from chronoxtract_ray.stages.ingest import _footer_bounds
+
     lo, hi = 1 << 62, -(1 << 62)
     for f in files:
-        b = _window_start_bounds(f) or (-(1 << 62), 1 << 62)
+        b = _footer_bounds(f, "window_start")
         lo, hi = min(lo, b[0]), max(hi, b[1])
     if hi < cutoff:  # metadata-only whole drop
+        from chronoxtract_ray.state.checkpoint import tmp_sibling_dir
+
         shutil.rmtree(part_dir, ignore_errors=True)
         shutil.rmtree(chunk_dir, ignore_errors=True)
+        # crashed-rewrite leftovers are invisible to readers but would leak
+        # disk forever once their partition is gone — sweep them with it
+        shutil.rmtree(tmp_sibling_dir(part_dir), ignore_errors=True)
+        shutil.rmtree(tmp_sibling_dir(chunk_dir), ignore_errors=True)
         if tier == "1m":
             _invalidate_conv_sidecar(root, part)
         _stamp_manifest(root, tier, part, man, cutoff, rows=0, watermark_us=None,

@@ -29,6 +29,7 @@ __all__ = [
     "manifest_path",
     "load_manifests",
     "completed_parts",
+    "replace_partition_dir",
     "write_partition",
     "PartitionWriter",
 ]
@@ -53,18 +54,28 @@ def read_store_meta(root: str) -> dict | None:
         return json.load(f)
 
 
-def ensure_store_meta(root: str, num_parts: int, with_gorilla: bool) -> None:
+def ensure_store_meta(
+    root: str,
+    num_parts: int,
+    with_gorilla: bool,
+    with_checksum: bool | None = None,
+    width_us: int | None = None,
+) -> None:
     """Record-or-validate the store's structural invariants.
 
     ``conv_partition`` routes rows by ``hash % num_parts``: writing into an
     existing store with a DIFFERENT partition count silently splits each
     conversation's series across two partitions (duplicate windows, wrong
-    open-window merges) — nothing downstream can detect it. Likewise an
-    ingest without gorilla into a gorilla store (or vice versa) leaves the
-    chunk artifacts inconsistent for only the partitions it touched. So the
-    first write records both, and every later write must match or raise.
-    Pre-metadata stores adopt the next writer's values (cannot be validated
-    retroactively)."""
+    open-window merges) — nothing downstream can detect it. An ingest
+    without gorilla into a gorilla store (or vice versa) leaves the chunk
+    artifacts inconsistent for only the partitions it touched. An ingest
+    whose ``with_checksum`` differs from the store's writes segments whose
+    schema (text_checksum present/absent) cannot concatenate with the old
+    ones, and a different finest-tier ``width_us`` merges windows floored
+    on two different grids. So the first write records all four, and every
+    later write must match or raise. Pre-metadata stores (and stores from
+    before a field existed) adopt the next writer's values — they cannot be
+    validated retroactively, so the missing keys are backfilled."""
     meta = read_store_meta(root)
     if meta is not None:
         if int(meta["num_parts"]) != int(num_parts):
@@ -81,12 +92,86 @@ def ensure_store_meta(root: str, num_parts: int, with_gorilla: bool) -> None:
                 f"with_gorilla={with_gorilla} would leave chunk artifacts "
                 f"inconsistent across partitions."
             )
+        if (
+            with_checksum is not None
+            and "with_checksum" in meta
+            and bool(meta["with_checksum"]) != bool(with_checksum)
+        ):
+            raise ValueError(
+                f"store at {root} was built with with_checksum="
+                f"{meta['with_checksum']}; writing with with_checksum="
+                f"{with_checksum} would leave tier segments with mismatched "
+                f"schemas (text_checksum present in some files, absent in "
+                f"others) that cannot be read back together."
+            )
+        if width_us is not None and "width_us" in meta and int(meta["width_us"]) != int(width_us):
+            raise ValueError(
+                f"store at {root} was built with width_us={meta['width_us']}; "
+                f"writing with width_us={width_us} would merge windows floored "
+                f"on two different grids."
+            )
+        backfill = {}
+        if with_checksum is not None and "with_checksum" not in meta:
+            backfill["with_checksum"] = bool(with_checksum)
+        if width_us is not None and "width_us" not in meta:
+            backfill["width_us"] = int(width_us)
+        if backfill:
+            _write_store_meta(root, dict(meta, **backfill))
         return
     os.makedirs(root, exist_ok=True)
+    meta = {"num_parts": int(num_parts), "with_gorilla": bool(with_gorilla)}
+    if with_checksum is not None:
+        meta["with_checksum"] = bool(with_checksum)
+    if width_us is not None:
+        meta["width_us"] = int(width_us)
+    _write_store_meta(root, meta)
+
+
+def _write_store_meta(root: str, meta: dict) -> None:
     tmp = os.path.join(root, STORE_META + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"num_parts": int(num_parts), "with_gorilla": bool(with_gorilla)}, f)
+        json.dump(meta, f)
     os.replace(tmp, os.path.join(root, STORE_META))
+
+
+def tmp_sibling_dir(final_dir: str) -> str:
+    """The hidden staging dir a partition rewrite stages through."""
+    head, tail = os.path.split(final_dir)
+    return os.path.join(head, f".{tail}.tmp")
+
+
+def replace_partition_dir(final_dir: str, table, single_row_group: bool = True) -> None:
+    """Atomically replace a partition artifact directory with one parquet
+    file (temp dir + rename). The temp dir is a DOT-PREFIXED sibling
+    (``.part=0007.tmp``) — every reader of these layouts (tier_table,
+    retention, the DuckDB oracle views) globs ``part=*/*.parquet``, and a
+    plain ``part=0007.tmp`` left by a crash between write and rename WOULD
+    match that glob, making half-written (or retention-pruned) rows visible
+    to queries. ``glob``'s ``*`` never matches a leading dot, so the hidden
+    name closes that crash window; stale hidden dirs are swept before reuse
+    and cost only disk until then.
+
+    The old dir is retired by RENAME (to a hidden ``.trash`` sibling), not
+    rmtree: replacing a dir needs two steps either way, but a rename is one
+    syscall (an rmtree-sized gap would scale with segment count) and a crash
+    between the two renames keeps BOTH copies on disk — the old rows in
+    ``.trash``, the complete new rows in ``.tmp`` — instead of losing the
+    partition's only visible copy."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tmp_dir = tmp_sibling_dir(final_dir)
+    trash_dir = tmp_dir + ".trash"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    kwargs = {"row_group_size": max(table.num_rows, 1)} if single_row_group else {}
+    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"), **kwargs)
+    if os.path.exists(final_dir):
+        shutil.rmtree(trash_dir, ignore_errors=True)
+        os.rename(final_dir, trash_dir)
+    os.rename(tmp_dir, final_dir)
+    shutil.rmtree(trash_dir, ignore_errors=True)
 
 
 def manifest_path(root: str, tier: str, part: int) -> str:
@@ -111,19 +196,10 @@ def write_partition(root: str, tier: str, part: int, table, metrics: dict | None
     """Atomically write one partition's rows + its manifest (both under
     ``root``; pass a distinct root per artifact family, e.g. out/ and
     out/chunks/)."""
-    import pyarrow.parquet as pq
-
     final_dir = os.path.join(root, f"tier={tier}", f"part={part:04d}")
-    tmp_dir = final_dir + ".tmp"
-    os.makedirs(tmp_dir, exist_ok=True)
     # single row group: a partition file is the atomic read unit, so a
     # downstream partition-aligned read can never split it across blocks
-    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"), row_group_size=max(table.num_rows, 1))
-    if os.path.exists(final_dir):
-        import shutil
-
-        shutil.rmtree(final_dir)
-    os.rename(tmp_dir, final_dir)
+    replace_partition_dir(final_dir, table)
     wm = int(table["window_start"].to_numpy().max()) if table.num_rows and "window_start" in table.column_names else None
     man = {
         "complete": True,
@@ -277,14 +353,5 @@ class PartitionWriter:
 def write_chunk_partition(root: str, tier: str, part: int, chunks) -> None:
     """Atomically write one partition's Gorilla chunk rows (no separate
     manifest — the tier manifest, written after, covers both)."""
-    import pyarrow.parquet as pq
-
     final_dir = os.path.join(root, "chunks", f"tier={tier}", f"part={part:04d}")
-    tmp_dir = final_dir + ".tmp"
-    os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(chunks, os.path.join(tmp_dir, "data.parquet"))
-    if os.path.exists(final_dir):
-        import shutil
-
-        shutil.rmtree(final_dir)
-    os.rename(tmp_dir, final_dir)
+    replace_partition_dir(final_dir, chunks, single_row_group=False)

@@ -211,11 +211,28 @@ def decode_values(data: bytes) -> np.ndarray:
     return bits_out.view(np.float64)
 
 
-_T_RANGES = (
-    (0b10, 2, 7),  # dod in [-63, 64)
-    (0b110, 3, 9),  # [-255, 256)
-    (0b1110, 4, 12),  # [-2047, 2048)
-)
+# Timestamp dod token classes — the SINGLE source for both encoders and the
+# decoder (a boundary or width changed in one copy but not the others makes
+# streams undecodable). Class 0 = dod==0 (ctrl-only token), classes 1-3 =
+# bounded payloads with the asymmetric [-63,64) / [-255,256) / [-2047,2048)
+# encode ranges (the decoder accepts the full signed payload range), class 4
+# = raw 64-bit.
+#            (ctrl prefix, ctrl bits, payload bits)
+_T_TOKENS = ((0b0, 1, 0), (0b10, 2, 7), (0b110, 3, 9), (0b1110, 4, 12), (0b1111, 4, 64))
+_T_CTRL_BITS = np.array([t[0] for t in _T_TOKENS], dtype=np.uint64)
+_T_CTRL_N = np.array([t[1] for t in _T_TOKENS], dtype=np.int64)
+_T_PAY_N = np.array([t[2] for t in _T_TOKENS], dtype=np.int64)
+_T_WIDTHS = {t[0]: t[2] for t in _T_TOKENS[1:4]}  # decoder: ctrl prefix → payload width
+
+
+def _dod_class(dod: np.ndarray) -> np.ndarray:
+    """Token class index (into _T_TOKENS) for each delta-of-delta."""
+    cls = np.full(dod.size, 4, dtype=np.int64)
+    cls[(dod >= -2047) & (dod < 2048)] = 3
+    cls[(dod >= -255) & (dod < 256)] = 2
+    cls[(dod >= -63) & (dod < 64)] = 1
+    cls[dod == 0] = 0
+    return cls
 
 
 def encode_timestamps(ts_us: np.ndarray) -> bytes:
@@ -234,14 +251,10 @@ def encode_timestamps(ts_us: np.ndarray) -> bytes:
         return header + struct.pack("<Q", 0)
     dod = np.diff(deltas)
     m = dod.size
-    ctrl = np.full(m, 4, dtype=np.int64)  # index into cases; 4 = raw64
-    ctrl[(dod >= -2047) & (dod < 2048)] = 3
-    ctrl[(dod >= -255) & (dod < 256)] = 2
-    ctrl[(dod >= -63) & (dod < 64)] = 1
-    ctrl[dod == 0] = 0
-    ctrl_bits = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)[ctrl]
-    ctrl_n = np.array([1, 2, 3, 4, 4], dtype=np.int64)[ctrl]
-    pay_n = np.array([0, 7, 9, 12, 64], dtype=np.int64)[ctrl]
+    ctrl = _dod_class(dod)
+    ctrl_bits = _T_CTRL_BITS[ctrl]
+    ctrl_n = _T_CTRL_N[ctrl]
+    pay_n = _T_PAY_N[ctrl]
     # two tokens per element (payload token absent when dod == 0)
     has_pay = ctrl > 0
     tok_per = 1 + has_pay.astype(np.int64)
@@ -279,7 +292,7 @@ def decode_timestamps(data: bytes) -> np.ndarray:
     rdr = _BitReader(data[32:], total_bits)
     delta = first_delta
     cur = out[1]
-    widths = {0b10: 7, 0b110: 9, 0b1110: 12}
+    widths = _T_WIDTHS
     for i in range(2, n):
         prefix = 0
         for _ in range(4):
@@ -464,14 +477,10 @@ def encode_timestamps_batch(ts_us: np.ndarray, starts: np.ndarray) -> list:
     idx = np.flatnonzero(pos_mask)
     if idx.size:
         d = dod[idx]
-        cls = np.full(d.size, 4, dtype=np.int64)
-        cls[(d >= -2047) & (d < 2048)] = 3
-        cls[(d >= -255) & (d < 256)] = 2
-        cls[(d >= -63) & (d < 64)] = 1
-        cls[d == 0] = 0
-        ctrl_bits = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)[cls]
-        ctrl_n = np.array([1, 2, 3, 4, 4], dtype=np.int64)[cls]
-        pay_n = np.array([0, 7, 9, 12, 64], dtype=np.int64)[cls]
+        cls = _dod_class(d)
+        ctrl_bits = _T_CTRL_BITS[cls]
+        ctrl_n = _T_CTRL_N[cls]
+        pay_n = _T_PAY_N[cls]
         has_pay = cls > 0
         tok_per = 1 + has_pay.astype(np.int64)
         tok_off = np.concatenate(([0], np.cumsum(tok_per)))[:-1]

@@ -146,7 +146,12 @@ def test_store_meta_guards_partition_count(ray_session, tmp_path):
     out = str(tmp_path / "store")
     run_rollup_pipeline(transcripts_dataset(30), out, PipelineConfig(num_parts=4))
     meta = read_store_meta(out)
-    assert meta == {"num_parts": 4, "with_gorilla": True}
+    assert meta == {
+        "num_parts": 4,
+        "with_gorilla": True,
+        "with_checksum": True,
+        "width_us": 60_000_000,
+    }
 
     with pytest.raises(ValueError, match="num_parts=4"):
         run_rollup_pipeline(transcripts_dataset(30), out, PipelineConfig(num_parts=8))
