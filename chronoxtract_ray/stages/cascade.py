@@ -23,9 +23,19 @@ pipelines/rollup_pipeline.py):
         .map_batches(cascade_block, batch_size=None, batch_format="pyarrow")
 
 The block function gap-fills and re-aggregates EVERY conversation in the
-block with vectorized scatter/interpolate/reduceat — no per-conversation
-Python dispatch. Tier points are ~width-ratio smaller than their input, so
-this is cheap relative to raw→1m.
+block vectorized — no per-conversation Python dispatch. Only the ``mean``
+series is materialized on the dense slot grid (the point-series features
+consume every interpolated point by definition); the exact merged
+aggregates accumulate straight from the PRESENT rows via ``ufunc.at``
+(gap slots contribute the float identity — 0 to sums, ±inf to min/max —
+so densifying them was pure memory traffic). Gap density is
+data-dependent: a sparse event stream can be <1% dense (measured 0.16%
+on the sf0.1 events table — 63M slots for 100k points), which made the
+old eight-column dense scatter the cascade's bandwidth hot spot.
+NOTE the one observable change vs the dense form: float SUM order within
+a coarse window (reduceat's blocked reduction → sequential present-row
+accumulation); values agree to 1 ulp and both sides of every oracle are
+checked at 6-dp rounding.
 """
 
 from __future__ import annotations
@@ -92,7 +102,17 @@ def gap_fill_group(tbl: pa.Table, width_us: int) -> pa.Table:
 def _gap_fill_block(tbl: pa.Table, width_us: int):
     """Vectorized gap-fill of a whole sorted block of tier points.
 
-    Returns (filled dict of arrays, codes, conv_names, present mask)."""
+    Only the ``mean`` series is materialized on the dense slot grid (the
+    point-series features genuinely consume every interpolated point); all
+    other columns stay SPARSE — ``cascade_block`` merges them straight from
+    the present rows. Gap density is data-dependent (sparse event streams
+    can be <1% dense), so densifying eight columns was the cascade's memory
+    and bandwidth hot spot at scale.
+
+    Returns (dense mean, dense series codes, conv names, dense window
+    starts, the sorted input table, ``pos`` — each present row's dense slot
+    index, ``codes_s`` — each present row's conv code, ``firsts``/``lasts``
+    — per-conv first/last present window)."""
     tbl = tbl.sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
     conv = tbl["conv_id"].to_numpy(zero_copy_only=False)
     change = np.concatenate(([False], conv[1:] != conv[:-1]))
@@ -110,45 +130,31 @@ def _gap_fill_block(tbl: pa.Table, width_us: int):
     within = np.arange(total, dtype=np.int64) - np.repeat(offsets, lens)
     f_win = np.repeat(firsts, lens) + within * width_us
     pos = offsets[codes_s] + (win_s - firsts[codes_s]) // width_us
-    present = np.zeros(total, dtype=bool)
-    present[pos] = True
 
-    def scatter(src: np.ndarray, default, dtype=np.float64) -> np.ndarray:
-        out = np.full(total, default, dtype=dtype)
-        out[pos] = src
-        return out
-
-    mean_f = scatter(tbl["mean"].to_numpy(), np.nan)
-    # linear interpolation of the gaps: prev/next present slot (gap slots lie
-    # strictly between two present points of the SAME conv because conv
-    # first/last are always present)
-    gaps = ~present
-    if gaps.any():
-        idx = np.where(present, np.arange(total), -1)
-        prev = np.maximum.accumulate(idx)
-        ridx = np.where(present[::-1], np.arange(total), -1)
-        nxt = total - 1 - np.maximum.accumulate(ridx)[::-1]
-        g = np.flatnonzero(gaps)
-        x0, x1 = f_win[prev[g]].astype(np.float64), f_win[nxt[g]].astype(np.float64)
-        y0, y1 = mean_f[prev[g]], mean_f[nxt[g]]
+    # dense mean: every slot is either present (scattered) or interior to a
+    # gap run between two consecutive present slots of the SAME conv (conv
+    # first/last are always present, and consecutive present slots that
+    # straddle a conv boundary are dense-adjacent → run length 0), so
+    # np.empty is fully overwritten
+    mean_src = tbl["mean"].to_numpy()
+    mean_f = np.empty(total, dtype=np.float64)
+    mean_f[pos] = mean_src
+    runlens = np.diff(pos) - 1  # gap slots strictly between present pairs
+    gaps_total = int(runlens.sum()) if runlens.size else 0
+    if gaps_total:
+        run_ids = np.flatnonzero(runlens > 0)
+        rl = runlens[run_ids]
+        off = np.concatenate(([0], np.cumsum(rl)))[:-1]
+        k = np.arange(gaps_total, dtype=np.int64) - np.repeat(off, rl) + 1
+        g = np.repeat(pos[run_ids], rl) + k
+        x0 = np.repeat(win_s[run_ids].astype(np.float64), rl)
+        x1 = np.repeat(win_s[run_ids + 1].astype(np.float64), rl)
+        y0 = np.repeat(mean_src[run_ids], rl)
+        y1 = np.repeat(mean_src[run_ids + 1], rl)
         # mult-before-divide: same association as the SQL oracle (see
         # gap_fill_group) so cross-engine values are bit-identical
         mean_f[g] = y0 + (y1 - y0) * (f_win[g] - x0) / (x1 - x0)
-    filled = {
-        "mean": mean_f,
-        "n_turns": scatter(tbl["n_turns"].to_numpy().astype(np.float64), 0.0),
-        "sum": scatter(np.nan_to_num(tbl["sum"].to_numpy()), 0.0),
-        "energy": scatter(np.nan_to_num(tbl["energy"].to_numpy()), 0.0),
-        "sum3": scatter(np.nan_to_num(tbl["sum3"].to_numpy()), 0.0),
-        "sum4": scatter(np.nan_to_num(tbl["sum4"].to_numpy()), 0.0),
-        "min": scatter(np.nan_to_num(tbl["min"].to_numpy(), nan=np.inf), np.inf),
-        "max": scatter(np.nan_to_num(tbl["max"].to_numpy(), nan=-np.inf), -np.inf),
-    }
-    if "text_checksum" in tbl.column_names:
-        chk = np.zeros(total, dtype=np.uint64)
-        chk[pos] = tbl["text_checksum"].to_numpy()
-        filled["text_checksum"] = chk
-    return filled, f_codes, conv_names, f_win, present
+    return mean_f, f_codes, conv_names, f_win, tbl, pos, codes_s, firsts, lasts
 
 
 def cascade_block(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec: FeatureSpec) -> pa.Table:
@@ -156,16 +162,38 @@ def cascade_block(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec:
     coarse-tier rows, fully vectorized."""
     if tbl.num_rows == 0:
         return _empty_cascade_out(spec, with_checksum="text_checksum" in tbl.column_names)
-    filled, f_codes, conv_names, f_win, present = _gap_fill_block(tbl, fine_width_us)
-    out = compute_windowed_features(f_win, filled["mean"], coarse_width_us, spec, series_ids=f_codes)
+    mean_f, f_codes, conv_names, f_win, tbl_s, pos, codes_s, firsts, lasts = _gap_fill_block(
+        tbl, fine_width_us
+    )
+    out = compute_windowed_features(f_win, mean_f, coarse_width_us, spec, series_ids=f_codes)
     starts = out.pop("row_index")
     n_win = starts.size
-    # exact merged aggregates (reduceat over contiguous coarse segments; gap
-    # rows contribute 0 to sums and +/-inf to min/max)
-    merged = {c: np.add.reduceat(filled[c], starts) for c in ("sum", "energy", "sum3", "sum4")}
-    merged_n = np.add.reduceat(filled["n_turns"], starts)
-    merged_min = np.minimum.reduceat(filled["min"], starts)
-    merged_max = np.maximum.reduceat(filled["max"], starts)
+    # exact merged aggregates, accumulated straight from the PRESENT rows
+    # (gap slots contributed exactly 0 to sums and +/-inf to min/max, i.e.
+    # the float identity — densifying them was pure memory traffic). Each
+    # present row's output-row index is arithmetic: the dense grid emits
+    # every coarse window from floor(first_c) to floor(last_c) per conv, in
+    # conv-then-window order — exactly the kernel's segmentation.
+    cw = coarse_width_us
+    wf = (firsts // cw) * cw
+    n_out_c = ((lasts // cw) * cw - wf) // cw + 1
+    out_off = np.concatenate(([0], np.cumsum(n_out_c)))
+    if out_off[-1] != n_win:  # defensive: sparse indexing must mirror the kernel
+        raise AssertionError(f"cascade window count mismatch: {out_off[-1]} != {n_win}")
+    win_s = tbl_s["window_start"].to_numpy()
+    row_out = out_off[codes_s] + ((win_s // cw) * cw - wf[codes_s]) // cw
+
+    def sparse_sum(src: np.ndarray) -> np.ndarray:
+        acc = np.zeros(n_win, dtype=np.float64)
+        np.add.at(acc, row_out, src)
+        return acc
+
+    merged = {c: sparse_sum(np.nan_to_num(tbl_s[c].to_numpy())) for c in ("sum", "energy", "sum3", "sum4")}
+    merged_n = sparse_sum(tbl_s["n_turns"].to_numpy().astype(np.float64))
+    merged_min = np.full(n_win, np.inf)
+    np.minimum.at(merged_min, row_out, np.nan_to_num(tbl_s["min"].to_numpy(), nan=np.inf))
+    merged_max = np.full(n_win, -np.inf)
+    np.maximum.at(merged_max, row_out, np.nan_to_num(tbl_s["max"].to_numpy(), nan=-np.inf))
     with np.errstate(invalid="ignore", divide="ignore"):
         N = merged_n
         m1 = merged["sum"] / N
@@ -205,10 +233,14 @@ def cascade_block(tbl: pa.Table, fine_width_us: int, coarse_width_us: int, spec:
     arrays["sum4"] = pa.array(merged["sum4"], pa.float64())
     arrays["min"] = pa.array(np.where(empty, np.nan, merged_min), pa.float64())
     arrays["max"] = pa.array(np.where(empty, np.nan, merged_max), pa.float64())
-    if "text_checksum" in filled:
-        arrays["text_checksum"] = pa.array(np.add.reduceat(filled["text_checksum"], starts), pa.uint64())
-    gap_f = (~present).astype(np.float64)
-    arrays["n_gap_filled"] = pa.array(np.add.reduceat(gap_f, starts).astype(np.int64), pa.int64())
+    if "text_checksum" in tbl_s.column_names:
+        chk = np.zeros(n_win, dtype=np.uint64)
+        np.add.at(chk, row_out, tbl_s["text_checksum"].to_numpy())
+        arrays["text_checksum"] = pa.array(chk, pa.uint64())
+    # gap slots per window = dense slots minus present rows (exact ints)
+    n_present = np.zeros(n_win, dtype=np.int64)
+    np.add.at(n_present, row_out, 1)
+    arrays["n_gap_filled"] = pa.array(out["n_turns"] - n_present, pa.int64())
     return pa.table(arrays)
 
 

@@ -192,6 +192,85 @@ def test_gap_fill_linear_values(ray_session):
     assert np.isclose(row["merged_mean"], 20.0)  # (10+30)/2
 
 
+def test_cascade_block_sparse_regime():
+    """cascade_block on a VERY sparse multi-conv block (long gaps, skewed
+    spans, single-point convs) must agree with the independent per-conv
+    path: gap_fill_group (dense per-group scatter) + the windowed kernel.
+    Guards the sparse merged-aggregate rewrite (present-row ufunc.at
+    instead of dense scatter+reduceat)."""
+    from chronoxtract_ray.kernels.windowed import compute_windowed_features
+    from chronoxtract_ray.stages.cascade import cascade_block, gap_fill_group
+
+    rng = np.random.default_rng(11)
+    base = 1_700_000_000_000_000
+    rows = {"conv_id": [], "window_start": [], "n_turns": [], "mean": [],
+            "sum": [], "energy": [], "sum3": [], "sum4": [], "min": [], "max": []}
+    for c, n_pts in (("a", 1), ("b", 2), ("c", 37), ("d", 5)):
+        # windows scattered over ~3 days with multi-hour gaps
+        offs = np.sort(rng.choice(3 * 24 * 60, size=n_pts, replace=False)).astype(np.int64)
+        vals = rng.standard_normal(n_pts) * 50
+        for o, v in zip(offs, vals):
+            nt = int(rng.integers(1, 5))
+            rows["conv_id"].append(c)
+            rows["window_start"].append(base + o * MINUTE_US)
+            rows["n_turns"].append(nt)
+            rows["mean"].append(float(v))
+            rows["sum"].append(float(v) * nt)
+            rows["energy"].append(float(v * v) * nt)
+            rows["sum3"].append(float(v**3) * nt)
+            rows["sum4"].append(float(v**4) * nt)
+            rows["min"].append(float(v) - 1.0)
+            rows["max"].append(float(v) + 1.0)
+    t1m = pa.table({k_: pa.array(v, pa.int64() if k_ in ("window_start", "n_turns") else (pa.string() if k_ == "conv_id" else pa.float64())) for k_, v in rows.items()})
+    spec = FeatureSpec()
+    got = cascade_block(t1m, MINUTE_US, HOUR_US, spec).to_pandas()
+
+    # independent reference: dense per-conv gap-fill, then the same kernel
+    # per conv, plus brute-force merged aggregates from the present rows
+    frames = []
+    for c in ("a", "b", "c", "d"):
+        sub = t1m.filter(pa.compute.equal(t1m["conv_id"], c))
+        filled = gap_fill_group(sub, MINUTE_US)
+        out = compute_windowed_features(
+            filled["window_start"].to_numpy(), filled["mean"].to_numpy(), HOUR_US, spec
+        )
+        df = pd.DataFrame({kk: vv for kk, vv in out.items()})
+        df["conv_id"] = c
+        sp = sub.to_pandas()
+        sp["ws_h"] = (sp["window_start"] // HOUR_US) * HOUR_US
+        agg = sp.groupby("ws_h").agg(
+            merged_sum=("sum", "sum"), merged_energy=("energy", "sum"),
+            merged_min=("min", "min"), merged_max=("max", "max"),
+            m_nt=("n_turns", "sum"),
+        )
+        df = df.merge(agg, left_on="window_start", right_index=True, how="left")
+        frames.append(df)
+    ref = pd.concat(frames, ignore_index=True)
+    assert len(got) == len(ref)
+    g = got.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    r = ref.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    assert (g["conv_id"] == r["conv_id"]).all()
+    assert (g["window_start"] == r["window_start"]).all()
+    # point-series features ride the SAME dense mean series → bit-identical
+    # (cascade output's bare min/max are the MERGED values, checked below)
+    for col in ("mean", "median", "variance"):
+        assert np.array_equal(g[col].to_numpy(), r[col].to_numpy(), equal_nan=True), col
+    assert (g["n_points"] == r["n_turns"]).all()
+    # merged aggregates from present rows (all-gap windows → NaN/0)
+    nt = r["m_nt"].fillna(0).to_numpy()
+    assert np.array_equal(g["n_turns"].to_numpy(), nt.astype(np.int64))
+    assert (g.loc[nt == 0, "n_gap_filled"] == g.loc[nt == 0, "n_points"]).all()
+    pres = nt > 0
+    for col in ("merged_sum", "merged_energy"):
+        assert np.allclose(g.loc[pres, col], r.loc[pres, col], rtol=1e-12), col
+        assert np.allclose(g.loc[~pres, col], 0.0), col
+    for col in ("merged_min", "merged_max"):
+        assert np.array_equal(g.loc[pres, col].to_numpy(), r.loc[pres, col].to_numpy()), col
+        assert g.loc[~pres, col].isna().all(), col
+    assert np.allclose(g.loc[pres, "merged_mean"], r.loc[pres, "merged_sum"] / nt[pres], rtol=1e-12)
+    assert g.loc[~pres, "merged_mean"].isna().all()
+
+
 def test_gorilla_chunks_decode_to_tier_points(pipeline_run):
     tbl, _ = pipeline_run
     for tier in ("1m", "1h", "1d"):
