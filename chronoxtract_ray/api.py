@@ -209,7 +209,7 @@ FUNCTIONS: dict[str, tuple[Callable, bool, bool]] = {
     ),
     # frequency domain (src/fda/)
     "perform_fft": (
-        lambda v: _d(fft_re=np.fft.fft(v).real, fft_im=np.fft.fft(v).imag), False, False,
+        lambda v: (lambda F: _d(fft_re=F.real, fft_im=F.imag))(np.fft.fft(v)), False, False,
     ),
     "fft_band_energies": (
         lambda v, n_bands=4: _d(band_energies=K.fft_band_energies(v, n_bands)), False, False,
@@ -375,22 +375,29 @@ def dcf_pairs(
     use_broadcast = broadcast_pairs if broadcast_pairs is not None else (len(pairs) <= 50_000)
 
     def _tagged_broadcast(ds):
-        membership: dict = {}
-        for pid, (a, b) in enumerate(pairs):
-            membership.setdefault(a, []).append((pid, 0))
-            membership.setdefault(b, []).append((pid, 1))
+        import pandas as pd
+
+        mem_df = pd.DataFrame(
+            {
+                "k": [k for ab in pairs for k in ab],
+                "pair_id": np.repeat(np.arange(len(pairs), dtype=np.int64), 2),
+                "side": np.tile(np.array([0, 1], dtype=np.int64), len(pairs)),
+            }
+        )
 
         def tag(batch: pa.Table) -> pa.Table:
-            keys = batch[by].to_numpy(zero_copy_only=False)
-            out_idx, out_pid, out_side = [], [], []
-            for i, k in enumerate(keys):
-                for pid, side in membership.get(k, ()):
-                    out_idx.append(i)
-                    out_pid.append(pid)
-                    out_side.append(side)
-            sub = batch.take(pa.array(out_idx, pa.int64()))
-            sub = sub.append_column("pair_id", pa.array(out_pid, pa.int64()))
-            return sub.append_column("side", pa.array(out_side, pa.int64()))
+            # vectorized membership fan-out: one merge replicates each row
+            # once per (pair, side) it participates in — no per-row Python
+            bdf = pd.DataFrame(
+                {
+                    "k": batch[by].to_numpy(zero_copy_only=False),
+                    "i": np.arange(batch.num_rows, dtype=np.int64),
+                }
+            )
+            j = bdf.merge(mem_df, on="k", sort=False)
+            sub = batch.take(pa.array(j["i"].to_numpy(), pa.int64()))
+            sub = sub.append_column("pair_id", pa.array(j["pair_id"].to_numpy(), pa.int64()))
+            return sub.append_column("side", pa.array(j["side"].to_numpy(), pa.int64()))
 
         return ds.map_batches(tag, batch_format="pyarrow")
 
