@@ -44,10 +44,10 @@ def entry() -> Any:
     def as_transcripts(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        uid = t["user_id"].to_pylist()
+        uid5 = pc.utf8_lpad(pc.cast(t["user_id"], pa.string()), 5, "0")
         return pa.table(
             {
-                "conv_id": pa.array([f"user-{u:05d}" for u in uid], pa.string()),
+                "conv_id": pc.binary_join_element_wise(pa.scalar("user-"), uid5, ""),
                 "turn_idx": t["event_id"].cast(pa.int32()),
                 "role": t["event_type"],
                 "text": t["props"],

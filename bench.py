@@ -68,11 +68,6 @@ def _kernel_screen() -> float:
     window-speed screen used between per-query timings. A point sample is a
     coin flip in flicker regimes — interpret via the geometric mean of the
     screens bracketing each query, not any single value."""
-    import numpy as _np
-
-    from chronoxtract_ray.kernels.windowed import FeatureSpec as _FS
-    from chronoxtract_ray.kernels.windowed import compute_windowed_features as _cwf
-
     return _kernel_run(60_000)
 
 
