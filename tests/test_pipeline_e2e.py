@@ -192,22 +192,14 @@ def test_gap_fill_linear_values(ray_session):
     assert np.isclose(row["merged_mean"], 20.0)  # (10+30)/2
 
 
-def test_cascade_block_sparse_regime():
-    """cascade_block on a VERY sparse multi-conv block (long gaps, skewed
-    spans, single-point convs) must agree with the independent per-conv
-    path: gap_fill_group (dense per-group scatter) + the windowed kernel.
-    Guards the sparse merged-aggregate rewrite (present-row ufunc.at
-    instead of dense scatter+reduceat)."""
-    from chronoxtract_ray.kernels.windowed import compute_windowed_features
-    from chronoxtract_ray.stages.cascade import cascade_block, gap_fill_group
-
-    rng = np.random.default_rng(11)
-    base = 1_700_000_000_000_000
+def _make_cascade_block(conv_sizes: dict, base: int, span_minutes: int, seed: int) -> pa.Table:
+    """Random 1m-tier block: per conv, ``n_pts`` windows scattered over
+    ``span_minutes`` with consistent (mean, sum, energy, …) columns."""
+    rng = np.random.default_rng(seed)
     rows = {"conv_id": [], "window_start": [], "n_turns": [], "mean": [],
             "sum": [], "energy": [], "sum3": [], "sum4": [], "min": [], "max": []}
-    for c, n_pts in (("a", 1), ("b", 2), ("c", 37), ("d", 5)):
-        # windows scattered over ~3 days with multi-hour gaps
-        offs = np.sort(rng.choice(3 * 24 * 60, size=n_pts, replace=False)).astype(np.int64)
+    for c, n_pts in conv_sizes.items():
+        offs = np.sort(rng.choice(span_minutes, size=n_pts, replace=False)).astype(np.int64)
         vals = rng.standard_normal(n_pts) * 50
         for o, v in zip(offs, vals):
             nt = int(rng.integers(1, 5))
@@ -221,14 +213,22 @@ def test_cascade_block_sparse_regime():
             rows["sum4"].append(float(v**4) * nt)
             rows["min"].append(float(v) - 1.0)
             rows["max"].append(float(v) + 1.0)
-    t1m = pa.table({k_: pa.array(v, pa.int64() if k_ in ("window_start", "n_turns") else (pa.string() if k_ == "conv_id" else pa.float64())) for k_, v in rows.items()})
+    return pa.table({k_: pa.array(v, pa.int64() if k_ in ("window_start", "n_turns") else (pa.string() if k_ == "conv_id" else pa.float64())) for k_, v in rows.items()})
+
+
+def _check_cascade_vs_reference(t1m: pa.Table, conv_ids) -> None:
+    """cascade_block vs the independent per-conv path: gap_fill_group (dense
+    per-group scatter) + the windowed kernel, plus brute-force merged
+    aggregates from the present rows. Guards the sparse merged-aggregate
+    rewrite (present-row ufunc.at instead of dense scatter+reduceat)."""
+    from chronoxtract_ray.kernels.windowed import compute_windowed_features
+    from chronoxtract_ray.stages.cascade import cascade_block, gap_fill_group
+
     spec = FeatureSpec()
     got = cascade_block(t1m, MINUTE_US, HOUR_US, spec).to_pandas()
 
-    # independent reference: dense per-conv gap-fill, then the same kernel
-    # per conv, plus brute-force merged aggregates from the present rows
     frames = []
-    for c in ("a", "b", "c", "d"):
+    for c in conv_ids:
         sub = t1m.filter(pa.compute.equal(t1m["conv_id"], c))
         filled = gap_fill_group(sub, MINUTE_US)
         out = compute_windowed_features(
@@ -269,6 +269,39 @@ def test_cascade_block_sparse_regime():
         assert g.loc[~pres, col].isna().all(), col
     assert np.allclose(g.loc[pres, "merged_mean"], r.loc[pres, "merged_sum"] / nt[pres], rtol=1e-12)
     assert g.loc[~pres, "merged_mean"].isna().all()
+
+
+def test_cascade_block_sparse_regime():
+    """Fixed-seed sparse multi-conv block: long gaps, skewed spans,
+    single-point convs."""
+    t1m = _make_cascade_block({"a": 1, "b": 2, "c": 37, "d": 5},
+                              base=1_700_000_000_000_000, span_minutes=3 * 24 * 60, seed=11)
+    _check_cascade_vs_reference(t1m, ("a", "b", "c", "d"))
+
+
+def test_cascade_block_property():
+    """Property sweep: random conv counts/sizes/densities, INCLUDING
+    pre-epoch (negative) window_starts — the sparse output-row indexing is
+    pure floor-division arithmetic and must mirror the kernel's segmentation
+    for any sign (cascade_block carries its own defensive count assertion)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_convs=st.integers(1, 5),
+        span=st.sampled_from([90, 600, 2880]),
+        pre_epoch=st.booleans(),
+    )
+    def run(seed, n_convs, span, pre_epoch):
+        rng = np.random.default_rng(seed)
+        sizes = {f"c{i:02d}": int(rng.integers(1, min(40, span))) for i in range(n_convs)}
+        base = -(5 * 24 * HOUR_US) if pre_epoch else 1_700_000_000_000_000
+        t1m = _make_cascade_block(sizes, base=base, span_minutes=span, seed=seed)
+        _check_cascade_vs_reference(t1m, sorted(sizes))
+
+    run()
 
 
 def test_gorilla_chunks_decode_to_tier_points(pipeline_run):
