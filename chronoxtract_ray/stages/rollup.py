@@ -2,10 +2,12 @@
 
 Ray Data shape:
 
-    derived.repartition(B, keys=["conv_id", "bucket"], sort=True)
+    derived.repartition(B, keys=["conv_id", "bucket"], sort=False)
            .map_batches(block_fn, batch_size=None, batch_format="pyarrow")
 
-ONE hash shuffle co-locates and sorts each (conversation, time-bucket) group;
+ONE hash shuffle co-locates each (conversation, time-bucket) group and the
+block function applies the deterministic (conv, ts, turn_idx) sort itself
+(one C++ Arrow sort per block is cheaper than a sorted shuffle);
 every output block then holds thousands of complete groups and the fused
 multi-series NumPy kernel (kernels/windowed.py) processes the whole block in
 a single vectorized call — no per-group Python dispatch. (A
