@@ -736,7 +736,9 @@ def q_continuous_aggregate(sf_dir: str):
             {
                 "conv_id": pc.cast(batch["user_id"], pa.string()),
                 "turn_idx": pc.cast(batch["event_id"], pa.int32()),
-                "bucket": pc.multiply(pc.divide(ts_us, HOUR_US), HOUR_US),
+                # floor, not pc.divide (truncates toward zero on pre-epoch ts
+                # — same straddling hazard as stages/derive.py)
+                "bucket": pa.array((ts_us.to_numpy() // HOUR_US) * HOUR_US, pa.int64()),
                 "ts_us": ts_us,
                 "value": batch["value"],
             }

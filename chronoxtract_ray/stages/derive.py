@@ -45,7 +45,12 @@ def derive_batch(
     partition is already complete are dropped at the earliest stage."""
     ts_us = batch["ts"].cast(pa.int64())
     value = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
-    bucket = pc.multiply(pc.divide(ts_us, bucket_us), bucket_us)
+    # FLOOR division, not pc.divide: integer pc.divide truncates toward zero,
+    # which for pre-epoch (negative) timestamps puts the rows of one tumbling
+    # window into TWO salt buckets — the window straddles blocks and the
+    # rollup emits duplicate (conv, window) rows. Must match the kernel's
+    # floor (windowed.py window_start) and checkpoint's chunk grid.
+    bucket = pa.array((ts_us.to_numpy() // bucket_us) * bucket_us, pa.int64())
     cols = {
         "conv_id": batch["conv_id"],
         "turn_idx": batch["turn_idx"],

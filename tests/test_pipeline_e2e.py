@@ -304,6 +304,48 @@ def test_cascade_block_property():
     run()
 
 
+def test_pre_epoch_bucket_salting_no_window_split(ray_session):
+    """Pre-epoch (negative) timestamps: the salt bucket must FLOOR-divide.
+    Truncating division (pc.divide) mapped ts=-bucket_us and ts=-bucket_us+1
+    into different buckets, splitting one tumbling window across two shuffle
+    groups — the rollup then emitted duplicate (conv, window) rows."""
+    import ray.data as rd
+
+    from chronoxtract_ray.stages.derive import derive_batch, make_derive
+    from chronoxtract_ray.stages.rollup import RollupConfig, rollup
+
+    # turns straddling the bucket boundary at -HOUR_US and at 0, plus a
+    # plainly pre-epoch window interior
+    ts_list = [-HOUR_US - 30_000_000, -HOUR_US, -HOUR_US + 30_000_000,
+               -90_000_000, -30_000_000, -1, 0, 30_000_000]
+    n = len(ts_list)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c"] * n, pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array(ts_list, pa.timestamp("us")),
+        }
+    )
+    d = derive_batch(tbl, HOUR_US)
+    assert np.array_equal(
+        d["bucket"].to_numpy(), (d["ts_us"].to_numpy() // HOUR_US) * HOUR_US
+    )
+    cfg = RollupConfig(spec=FeatureSpec(order_stats=False, entropy=False, fft=False, shape=False, hjorth=False))
+    derived = rd.from_arrow(tbl).map_batches(make_derive(cfg.bucket_us), batch_format="pyarrow")
+    out = rollup(derived, cfg, num_blocks=4).to_pandas()
+    keys = list(zip(out["conv_id"], out["window_start"]))
+    assert len(keys) == len(set(keys)), "duplicate (conv, window) rows — bucket straddle"
+    # oracle: floor-division window counts
+    ref = pd.Series([(t // MINUTE_US) * MINUTE_US for t in ts_list]).value_counts()
+    got = out.set_index("window_start")["n_turns"]
+    assert len(got) == len(ref)
+    for ws, cnt in ref.items():
+        assert got[ws] == cnt
+
+
 def test_gorilla_chunks_decode_to_tier_points(pipeline_run):
     tbl, _ = pipeline_run
     for tier in ("1m", "1h", "1d"):
