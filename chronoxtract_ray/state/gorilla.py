@@ -473,7 +473,8 @@ def encode_timestamps_batch(ts_us: np.ndarray, starts: np.ndarray) -> list:
     second = starts + 1
     second = second[second < t.size]
     pos_mask[second] = False
-    # also mask positions that belong to the NEXT chunk wrongly? searchsorted handles
+    # (no cross-chunk dod leakage: positions < start+2 are masked, and every
+    # surviving dod reads deltas at offsets >= start+1, both inside the chunk)
     idx = np.flatnonzero(pos_mask)
     if idx.size:
         d = dod[idx]
