@@ -12,9 +12,10 @@ Partition-aligned dataflow — ONE Ray execution, ONE all-to-all shuffle
         chunks + per-partition manifests written atomically per tier
 
 With ``fused_cascade=False`` the cascade runs as a second execution
-(CascadeWriteStage reads whole single-row-group partition files inside the
-actor — the reader can never split a partition across blocks) — useful for
-rebuilding coarse tiers without touching raw input.
+(CascadeWriteStage reads each partition's WHOLE tier directory — every
+segment file — inside the actor, so a reader can never split a partition
+across blocks) — useful for rebuilding coarse tiers without touching raw
+input, including on segmented stores evolved by incremental ingest.
 
 Why this shape: every group-forming step rides ONE hash partitioning that is
 then reused by every later stage (SURVEY.md §7.3 'pick ONE partitioning key
@@ -124,9 +125,9 @@ class RollupWriteStage:
 
 
 class CascadeWriteStage:
-    """Actor-pool UDF (stage 2): reads ONE 1m-tier partition file per call
-    (the read happens inside the actor, so a partition can never be split
-    across blocks by the reader), cascades it to 1h + 1d rows, writes tier
+    """Actor-pool UDF (stage 2): reads ONE 1m-tier partition DIRECTORY per
+    call — every segment file it holds — so a partition can never be split
+    across blocks by a reader, cascades it to 1h + 1d rows, writes tier
     rows + chunks + manifests."""
 
     def __init__(self, out_root: str, cfg: PipelineConfig):
@@ -143,13 +144,25 @@ class CascadeWriteStage:
     )
 
     def __call__(self, paths: pa.Table) -> pa.Table:
+        import glob
+
         import pyarrow.parquet as pq
 
         out_parts, out_rows = [], []
-        for path in paths["path"].to_pylist():
+        for part_dir in paths["path"].to_pylist():
+            # read EVERY segment file of the partition in one call: an
+            # ingest-evolved store holds several seg-*.parquet per partition,
+            # and cascading each file separately would gap-fill each segment
+            # against itself instead of the conversation's full series
+            files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+            if not files:
+                continue
             # prune at the read: the cascade needs ~10 of the ~45 tier columns
-            avail = set(pq.read_schema(path).names)
-            block = pq.read_table(path, columns=[c for c in self.CASCADE_COLUMNS if c in avail])
+            avail = set(pq.read_schema(files[0]).names)
+            cols = [c for c in self.CASCADE_COLUMNS if c in avail]
+            block = pa.concat_tables(
+                [pq.read_table(f, columns=cols) for f in files], promote_options="default"
+            )
             if block.num_rows == 0:
                 continue
             spec = self.cfg.cascade_spec
@@ -389,10 +402,13 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
     # ---- stage 2: 1m → 1h → 1d (partition-aligned read, NO shuffle) ----
     t0 = time.time()
     redo = sorted(set(range(P)) - done_casc)
+    # one item per PARTITION DIRECTORY (not per file): segmented stores hold
+    # several parquet files per partition and the cascade must see them all
+    # together (CascadeWriteStage reads the whole dir per call)
     files = [
-        os.path.join(out_root, "tier=1m", f"part={p:04d}", "data.parquet")
+        os.path.join(out_root, "tier=1m", f"part={p:04d}")
         for p in redo
-        if os.path.exists(os.path.join(out_root, "tier=1m", f"part={p:04d}", "data.parquet"))
+        if os.path.isdir(os.path.join(out_root, "tier=1m", f"part={p:04d}"))
     ]
     if files:
         paths_ds = rd.from_items([{"path": f} for f in files], override_num_blocks=len(files))

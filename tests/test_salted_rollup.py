@@ -4,7 +4,10 @@ path."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from chronoxtract_ray.sources.transcripts import generate_table
@@ -92,6 +95,53 @@ def test_nonfused_pipeline_matches_fused(ray_session):
             bv = b[col].to_numpy(zero_copy_only=False)
             if av.dtype.kind == "f":
                 assert np.allclose(av, bv, rtol=1e-12, atol=1e-12, equal_nan=True), (tier, col)
+            else:
+                assert (av == bv).all(), (tier, col)
+
+
+def test_cascade_stage_reads_segmented_partition(ray_session, tmp_path):
+    """CascadeWriteStage must cascade a partition's SEGMENT FILES together:
+    an ingest-evolved store holds several parquet files per partition, and
+    cascading each file alone would gap-fill each segment against itself
+    instead of the conversation's full series."""
+    import pyarrow.parquet as pq
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import (
+        CascadeWriteStage,
+        PipelineConfig,
+        tier_table,
+    )
+    from chronoxtract_ray.stages.derive import derive_batch
+    from chronoxtract_ray.stages.rollup import make_block_rollup
+
+    tbl = generate_table(3, base_turns=40, hot_every=0)
+    cfg = PipelineConfig(num_parts=1)
+    rows_1m = make_block_rollup(cfg.rollup)(derive_batch(tbl, cfg.rollup.bucket_us))
+
+    def store_with_segments(root, n_segments):
+        pdir = os.path.join(root, "tier=1m", "part=0000")
+        os.makedirs(pdir)
+        # split mid-conversation: row-range halves, NOT conv-aligned
+        step = -(-rows_1m.num_rows // n_segments)
+        for s in range(n_segments):
+            seg = rows_1m.slice(s * step, step)
+            if seg.num_rows:
+                pq.write_table(seg, os.path.join(pdir, f"seg-{s}.parquet"))
+        stage = CascadeWriteStage(str(root), cfg)
+        stage(pa.table({"path": pa.array([pdir], pa.string())}))
+        return root
+
+    one = store_with_segments(tmp_path / "one", 1)
+    two = store_with_segments(tmp_path / "two", 3)
+    for tier in ("1h", "1d"):
+        a = tier_table(str(one), tier)
+        b = tier_table(str(two), tier)
+        assert a.num_rows == b.num_rows, tier
+        for col in a.column_names:
+            av = a[col].to_numpy(zero_copy_only=False)
+            bv = b[col].to_numpy(zero_copy_only=False)
+            if av.dtype.kind == "f":
+                assert np.array_equal(av, bv, equal_nan=True), (tier, col)
             else:
                 assert (av == bv).all(), (tier, col)
 
