@@ -293,6 +293,13 @@ def backfill_partitions(out_root: str, parts: list[int], num_parts: int) -> None
             for root in (out_root, os.path.join(out_root, "chunks")):
                 d = os.path.join(root, f"tier={tier}", f"part={p:04d}")
                 shutil.rmtree(d, ignore_errors=True)
+    # incremental-ingest state is derived from the tier data just deleted:
+    # stale per-conv anchors (_convs) would be preferred over a bootstrap
+    # re-scan by the next ingest, and a stale open buffer (_open) would
+    # re-merge raw turns the backfilled recompute already owns
+    for p in parts:
+        for side in ("_open", "_convs"):
+            shutil.rmtree(os.path.join(out_root, side, f"part={p:04d}"), ignore_errors=True)
 
 
 def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None) -> dict:

@@ -133,6 +133,37 @@ def test_backfill_rejects_bad_partition_without_mutating(runs):
     assert all(os.path.exists(m) for m in mans), "no artifact may be touched"
 
 
+def test_backfill_drops_ingest_sidecars(runs, ray_session):
+    """Backfill must also invalidate incremental-ingest state for the
+    reopened partitions: a surviving _convs sidecar is PREFERRED over a
+    bootstrap re-scan by the next ingest (stale anchors into recomputed
+    data), and a surviving _open buffer would re-merge raw turns the
+    backfilled recompute already owns. Untouched partitions keep theirs.
+    (Runs last in the backfill family: it leaves part 1 reopened, then
+    restores the store by re-running the pipeline.)"""
+    import shutil as _sh
+
+    import ray.data as rd
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import (
+        PipelineConfig,
+        backfill_partitions,
+        run_rollup_pipeline,
+    )
+
+    tbl, _, _, _ = runs
+    for side in ("_open", "_convs"):
+        for p in (1, 2):
+            os.makedirs(os.path.join(PART, side, f"part={p:04d}"), exist_ok=True)
+    backfill_partitions(PART, [1], 4)
+    for side in ("_open", "_convs"):
+        assert not os.path.exists(os.path.join(PART, side, "part=0001")), side
+        assert os.path.exists(os.path.join(PART, side, "part=0002")), side
+    for side in ("_open", "_convs"):
+        _sh.rmtree(os.path.join(PART, side), ignore_errors=True)
+    run_rollup_pipeline(rd.from_arrow(tbl), PART, PipelineConfig(num_parts=4))
+
+
 def test_store_meta_guards_partition_count(ray_session, tmp_path):
     """Writing into an existing store with a different num_parts (or gorilla
     setting) raises instead of silently splitting conversations across
