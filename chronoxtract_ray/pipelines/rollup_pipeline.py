@@ -285,6 +285,12 @@ def backfill_partitions(out_root: str, parts: list[int], num_parts: int) -> None
     for p in parts:
         if not 0 <= p < num_parts:
             raise ValueError(f"partition {p} out of range 0..{num_parts - 1}")
+    # complete any torn ingest swap first: deleting a partition that still
+    # has a pending READY marker would otherwise be undone by the next
+    # ingest/retention run rolling the stale staged state forward
+    from chronoxtract_ray.stages.ingest import recover_all_partitions
+
+    recover_all_partitions(out_root, gc_stale_staging=True)
     for tier, _ in TIERS:
         for p in parts:
             mp = ckpt.manifest_path(out_root, tier, p)
@@ -327,6 +333,13 @@ def run_rollup_pipeline(source, out_root: str, cfg: PipelineConfig | None = None
         with_checksum=cfg.rollup.with_checksum,
         width_us=cfg.rollup.width_us,
     )
+    # roll forward any torn incremental-ingest batch BEFORE writing: a
+    # pending READY marker left by a crashed ingest would otherwise be
+    # completed by the NEXT ingest/retention run — swapping its stale staged
+    # state over whatever this batch run writes now
+    from chronoxtract_ray.stages.ingest import recover_all_partitions
+
+    recover_all_partitions(out_root, gc_stale_staging=True)
     if isinstance(source, str):
         from chronoxtract_ray.sources.transcripts import read_transcripts
 

@@ -133,6 +133,32 @@ def test_backfill_rejects_bad_partition_without_mutating(runs):
     assert all(os.path.exists(m) for m in mans), "no artifact may be touched"
 
 
+def test_batch_entry_rolls_forward_pending_ingest_swap(runs, ray_session, tmp_path):
+    """A READY marker left by a crashed ingest is the batch's durability
+    point — the batch pipeline (and backfill) must complete its swap BEFORE
+    writing, else the NEXT ingest/retention run would roll the stale staged
+    state forward over freshly batch-written data."""
+    import json
+
+    import ray.data as rd
+
+    from chronoxtract_ray.pipelines.rollup_pipeline import PipelineConfig, run_rollup_pipeline
+
+    tbl, _, _, _ = runs
+    root = str(tmp_path / "store")
+    # stage a synthetic post-READY ingest state for partition 0
+    stage = os.path.join(root, "_staged", "torn-batch", "part=0000")
+    os.makedirs(os.path.join(stage, "convs"))
+    with open(os.path.join(stage, "convs", "marker.txt"), "w") as f:
+        f.write("staged")
+    with open(os.path.join(root, "_staged", "torn-batch", "part=0000.READY"), "w") as f:
+        json.dump({}, f)  # no manifests to commit — swap-only
+    run_rollup_pipeline(rd.from_arrow(tbl), root, PipelineConfig(num_parts=4))
+    # the swap completed (staged artifact landed, staging tree gone)
+    assert os.path.exists(os.path.join(root, "_convs", "part=0000", "marker.txt"))
+    assert not os.path.exists(os.path.join(root, "_staged", "torn-batch"))
+
+
 def test_backfill_drops_ingest_sidecars(runs, ray_session):
     """Backfill must also invalidate incremental-ingest state for the
     reopened partitions: a surviving _convs sidecar is PREFERRED over a
