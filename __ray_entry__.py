@@ -33,7 +33,6 @@ def entry() -> Any:
     import shutil
 
     import pyarrow as pa
-    import ray.data as rd
 
     from chronoxtract_ray.pipelines.rollup_pipeline import (
         PipelineConfig,
@@ -56,7 +55,11 @@ def entry() -> Any:
             }
         )
 
-    ds = rd.read_parquet(f"{SF0001}/events.parquet").map_batches(as_transcripts, batch_format="pyarrow")
+    from chronoxtract_ray.stages.util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{SF0001}/events.parquet", columns=["user_id", "event_id", "event_type", "props", "ts"]
+    ).map_batches(as_transcripts, batch_format="pyarrow")
     out = "/tmp/ctx_entry_out"
     shutil.rmtree(out, ignore_errors=True)
     run_rollup_pipeline(ds, out, PipelineConfig(num_parts=4))

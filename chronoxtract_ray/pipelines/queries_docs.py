@@ -28,11 +28,9 @@ from chronoxtract_ray.stages.util import round_half_away as _round
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle, read_parquet_clean
 
-    from chronoxtract_ray.stages.util import ensure_sort_shuffle
-
-    return ensure_sort_shuffle(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns)))
+    return ensure_sort_shuffle(read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns)))
 
 
 # ---- exact dedup: content hash → hash-partitioned first ----

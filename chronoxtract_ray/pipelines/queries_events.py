@@ -36,11 +36,9 @@ from chronoxtract_ray.stages.util import round_half_away as _round
 
 
 def _events(sf_dir: str, columns=("user_id", "ts", "value", "event_id")):
-    import ray.data as rd
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle, read_parquet_clean
 
-    from chronoxtract_ray.stages.util import ensure_sort_shuffle
-
-    return ensure_sort_shuffle(rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns)))
+    return ensure_sort_shuffle(read_parquet_clean(f"{sf_dir}/events.parquet", columns=list(columns)))
 
 
 def _prep(batch: pa.Table) -> pa.Table:
@@ -575,10 +573,11 @@ ORDER BY sum(value*value) DESC, user_id ASC, window_start ASC LIMIT 20
 
 def q_event_type_stats(sf_dir: str):
     """Plain grouped aggregate (warm-up sanity query)."""
-    import ray.data as rd
     from ray.data.aggregate import Count, Max, Mean, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    from chronoxtract_ray.stages.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     t = collect_table(
         ds.groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="vsum"), Mean("value", alias_name="vmean"), Max("value", alias_name="vmax"))

@@ -14,7 +14,12 @@ Operator -> merged-query map (every name below was a standalone round-2
 query; kernels and docstring citations live at the component definitions):
 
 - rolling_scans      = rolling_mean + rolling_variance + expanding_sum + ema
-                       (rows: rn >= 5, the rolling windows' support)
+                       (rows: rn >= 5, the rolling windows' support).
+                       FUSED into one pipeline pass (verbatim component
+                       arithmetic; byte-identity vs the composition pinned
+                       in tests) — the only merge that is not a driver-side
+                       join, because its components each ran a full
+                       read->shuffle->scan over the same rows.
 - window_summary     = window_moments + window_quantiles + window_mode
                        (rows: every (user, hourly window))
 - series_stats       = higher_moments + peak_to_peak + zero_crossing_rate
@@ -53,6 +58,65 @@ def _join_sql(parts: list[str], keys: list[str]) -> str:
 
 
 def q_rolling_scans(sf_dir: str):
+    """Rolling-scan family fused into ONE pipeline pass: one events read, one
+    user shuffle, one per-user scan emitting all four columns (previously
+    four full read->shuffle->scan pipelines merged driver-side — 4x the
+    work for the same rows). Per-column arithmetic is copied VERBATIM from
+    the standalone components (q_rolling_mean's padded-cumsum difference,
+    the rolling_variance kernel, q_expanding_sum's cumsum, q_ema's exact
+    recurrence), so the bit-exactness each component proved against its
+    oracle is preserved; the components' inner join on (user_id, event_id)
+    is reproduced by emitting only rn >= 5 rows — exactly the join's
+    surviving row set, since event_id is unique per user (the same
+    uniqueness the oracle's USING join relies on). Fused-vs-composed byte
+    identity is pinned in tests."""
+    import numpy as np
+
+    from chronoxtract_ray.kernels.rolling import exponential_moving_average, rolling_variance
+
+    _round = qe._round
+    ds = qe._events(sf_dir).map_batches(qe._prep, batch_format="pyarrow")
+    w = 5
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy()
+        turn = group["turn"].to_numpy()
+        val = group["value"].to_numpy()
+        order = np.lexsort((turn, ts))
+        vs, turn_s = val[order], turn[order]
+        if vs.size < w:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "rmean": pa.array([], pa.float64()),
+                    "rvar": pa.array([], pa.float64()),
+                    "esum": pa.array([], pa.float64()),
+                    "ema": pa.array([], pa.float64()),
+                }
+            )
+        cs = np.cumsum(vs)  # q_expanding_sum's esum over the full series
+        c = np.concatenate(([0.0], cs))  # q_rolling_mean's padded cumsum
+        rm = (c[w:] - c[:-w]) / w
+        rv = rolling_variance(vs, w)
+        ema = exponential_moving_average(vs, 0.3, exact=True)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(np.int64(group["user_id"][0].as_py()), rm.size), pa.int64()),
+                "event_id": pa.array(turn_s[w - 1 :], pa.int64()),
+                "rmean": pa.array(_round(rm), pa.float64()),
+                "rvar": pa.array(_round(rv), pa.float64()),
+                "esum": pa.array(_round(cs)[w - 1 :], pa.float64()),
+                "ema": pa.array(_round(ema)[w - 1 :], pa.float64()),
+            }
+        )
+
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
+
+
+def rolling_scans_composed(sf_dir: str):
+    """The original 4-pipeline composition, kept as the independent
+    reference the fused path is byte-compared against in tests."""
     return _merge(
         [qe.q_rolling_mean(sf_dir), qf.q_rolling_variance(sf_dir), qe.q_expanding_sum(sf_dir), qe.q_ema(sf_dir)],
         ["user_id", "event_id"],

@@ -384,12 +384,10 @@ def q_pii_scrub(sf_dir: str):
     """Redact emails / phone numbers / digit runs from ``events.props`` —
     the PII-scrub stage every training-data pipeline runs before
     publishing. Stateless vectorized map_batches; no shuffle."""
-    import ray.data as rd
-
-    from chronoxtract_ray.stages.util import ensure_sort_shuffle
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle, read_parquet_clean
 
     ds = ensure_sort_shuffle(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
     )
     return collect_table(ds.map_batches(pii_scrub_batch, batch_format="pyarrow"))
 

@@ -26,11 +26,9 @@ from chronoxtract_ray.stages.util import round_half_away as _round
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from chronoxtract_ray.stages.util import ensure_sort_shuffle, read_parquet_clean
 
-    from chronoxtract_ray.stages.util import ensure_sort_shuffle
-
-    return ensure_sort_shuffle(rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
+    return ensure_sort_shuffle(read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
 
 
 # Per-block float64 matrix budget for the block self-join: a score task

@@ -144,10 +144,12 @@ def write_transcripts(path: str, n_convs: int, base_turns: int = 40, hot_every: 
 def read_transcripts(path: str):
     """Streaming read of a transcripts directory/file, explicitly projected
     to the canonical columns so only TRANSCRIPT_SCHEMA leaves storage even
-    when a producer wrote extra columns alongside."""
-    import ray.data as rd
+    when a producer wrote extra columns alongside. Metadata-stripped read:
+    producer-written files (pandas) carry a b'pandas' schema dict that
+    defeats Ray's block-schema dedup in every downstream shuffle."""
+    from chronoxtract_ray.stages.util import read_parquet_clean
 
-    return rd.read_parquet(path, columns=[f.name for f in TRANSCRIPT_SCHEMA])
+    return read_parquet_clean(path, columns=[f.name for f in TRANSCRIPT_SCHEMA])
 
 
 # ---------------------------------------------------------------------------

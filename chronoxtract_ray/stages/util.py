@@ -9,7 +9,38 @@ __all__ = [
     "collect_table",
     "round_half_away",
     "file_cache_key",
+    "read_parquet_clean",
 ]
+
+
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the file's own schema minus its
+    schema-level metadata.
+
+    pandas-written parquet (the driver's testdata) carries a ``b'pandas'``
+    schema-metadata dict, which makes the resulting ``pyarrow.Schema``
+    UNHASHABLE (``hash(schema)`` raises ``unhashable type: 'dict'``) — Ray
+    Data's block-schema dedup fast path (``set(schemas)`` in
+    ``unify_schemas``) then fails on EVERY block concat in every shuffle,
+    logging "Failed to hash the schemas (for deduplication)" per task and
+    falling back to full schema unification. Passing an explicit
+    metadata-free schema keeps every downstream block hashable with zero
+    extra pipeline stages; cost is one footer read on the driver.
+
+    Engine-written tier/store files are already metadata-free (plain
+    ``pq.write_table`` of fresh tables), so their readers skip this."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    try:
+        full = pads.dataset(path).schema.remove_metadata()
+        schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    except Exception:
+        # unreadable/odd layout: fall back to plain read_parquet — this
+        # helper is a log/perf nicety, never a correctness gate
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 
 def round_half_away(x, nd: int = 6):

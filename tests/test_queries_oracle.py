@@ -94,6 +94,28 @@ def test_knn_ann_recall_vs_bruteforce(entrymod):
         assert set(zip(m["query_id"], m["neighbor_id"])) == a
 
 
+def test_rolling_scans_fused_equals_composition(entrymod):
+    """The fused single-pass rolling_scans must be byte-identical (dtype and
+    float bit pattern) to the original four-pipeline composition it
+    replaced — the composition is the form whose components are each
+    individually oracle-proven."""
+    from chronoxtract_ray.pipelines import queries_merged as qm
+
+    a = qm.q_rolling_scans(SF).to_pandas()
+    b = qm.rolling_scans_composed(SF).to_pandas()
+    a = a[sorted(a.columns)].sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype == bv.dtype, f"{c}: {av.dtype} vs {bv.dtype}"
+        if av.dtype.kind == "f":
+            assert np.array_equal(av.view(np.uint64), bv.view(np.uint64)), f"{c}: float bits differ"
+        else:
+            assert np.array_equal(av, bv), f"{c}: values differ"
+
+
 def test_entry_smoke(entrymod):
     df = entrymod.entry()
     assert len(df) > 0
