@@ -55,16 +55,25 @@ def q_c4_filters(sf_dir: str):
     ds = _docs(sf_dir)
 
     def flags(t: pa.Table) -> pa.Table:
-        s = pd.Series(t["text"].to_pylist())
-        st = s.str.strip()
-        toks = st.str.split()
-        n_words = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        word_chars = st.str.replace(r"\s+", "", regex=True).str.len().fillna(0).astype(np.int64).to_numpy()
-        max_wl = toks.map(
-            lambda ws: max((len(w) for w in ws), default=0) if isinstance(ws, list) else 0
-        ).to_numpy(np.int64)
-        n_chars = s.str.len().to_numpy(np.int64)
-        n_alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+        import pyarrow.compute as pc
+
+        # all-Arrow/numpy: the previous pandas form boxed every text through
+        # to_pylist and ran a Python lambda per row for max word length —
+        # this is the per-doc projection a 100-TB corpus streams through
+        txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+        if t.num_rows == 0:
+            n_words = word_chars = max_wl = n_chars = n_alpha = np.empty(0, np.int64)
+        else:
+            tr = pc.utf8_trim_whitespace(txt)
+            sp = pc.utf8_split_whitespace(tr)  # [''] for whitespace-only rows
+            counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
+            flat_len = pc.utf8_length(pc.list_flatten(sp)).to_numpy().astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            word_chars = np.add.reduceat(flat_len, offsets)  # '' token adds 0
+            max_wl = np.maximum.reduceat(flat_len, offsets)
+            n_words = np.where(pc.utf8_length(tr).to_numpy().astype(np.int64) == 0, 0, counts)
+            n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+            n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
         mwl = np.where(n_words > 0, word_chars / np.maximum(n_words, 1), 0.0)
         ar = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
         keep = (
@@ -131,16 +140,20 @@ def _freq_cache_key(sf_dir: str):
 
 
 def _partial_token_counts(t: pa.Table) -> pa.Table:
-    """Per-batch token histogram (pandas value_counts in C): the shuffle
-    after this moves one row per DISTINCT token per batch, not one per
-    occurrence — the partial/combiner pattern SURVEY §4.3 prescribes."""
-    s = pd.Series(t["text"].to_pylist()).str.strip()
-    ex = s[s != ""].str.split().explode().dropna()
-    vc = ex.value_counts()
+    """Per-batch token histogram (all-Arrow split/flatten/value_counts — no
+    Python string boxing): the shuffle after this moves one row per DISTINCT
+    token per batch, not one per occurrence — the partial/combiner pattern
+    SURVEY §4.3 prescribes."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+    flat = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(txt)))
+    flat = flat.filter(pc.not_equal(flat, ""))  # whitespace-only rows split to ['']
+    vc = pc.value_counts(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
     return pa.table(
         {
-            "token": pa.array(vc.index.to_numpy(), pa.string()),
-            "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            "token": vc.field("values"),
+            "n": vc.field("counts"),
         }
     )
 
