@@ -85,18 +85,41 @@ SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 # ---- text analysis ----
 
+def _tokenized(txt) -> tuple[np.ndarray, "pa.Array", np.ndarray]:
+    """(n_tokens, flat_tokens, reduceat_offsets) for a text column — the
+    all-Arrow split shared by the per-doc token kernels. Whitespace-only
+    rows split to [''] (one zero-length token), so length-based reduceats
+    naturally contribute 0; n_tokens masks them to 0 explicitly."""
+    import pyarrow.compute as pc
+
+    tr = pc.utf8_trim_whitespace(txt)
+    sp = pc.utf8_split_whitespace(tr)
+    counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
+    n_tokens = np.where(pc.utf8_length(tr).to_numpy().astype(np.int64) == 0, 0, counts)
+    flat = pc.list_flatten(sp)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return n_tokens, flat, offsets
+
+
 def token_stats_batch(t: pa.Table) -> pa.Table:
-    s = pd.Series(t["text"].to_pylist())
-    toks = s.str.split()
-    n_tokens = toks.str.len().fillna(0).astype(np.int64)
-    total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0).astype(np.int64)
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+    if t.num_rows == 0:
+        n_tokens = total_len = n_chars = np.empty(0, np.int64)
+    else:
+        n_tokens, flat, offsets = _tokenized(txt)
+        total_len = np.add.reduceat(pc.utf8_length(flat).to_numpy().astype(np.int64), offsets)
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
     with np.errstate(invalid="ignore", divide="ignore"):
         mean_len = np.where(n_tokens > 0, total_len / np.maximum(n_tokens, 1), 0.0)
     return pa.table(
         {
             "doc_id": t["doc_id"],
-            "n_chars": pa.array(s.str.len().to_numpy(np.int64), pa.int64()),
-            "n_tokens": pa.array(n_tokens.to_numpy(), pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
             "mean_token_len": pa.array(_round(mean_len), pa.float64()),
         }
     )
@@ -128,10 +151,15 @@ _STOPSET = frozenset("the a and of to in is for on with".split())
 
 
 def quality_score_batch(t: pa.Table) -> pa.Table:
-    s = pd.Series(t["text"].to_pylist())
-    toks = s.str.lower().str.split()
-    n_tokens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-    n_stop = toks.map(lambda ws: sum(w in _STOPSET for w in ws) if ws else 0).to_numpy(np.int64)
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+    if t.num_rows == 0:
+        n_tokens = n_stop = np.empty(0, np.int64)
+    else:
+        n_tokens, flat, offsets = _tokenized(pc.utf8_lower(txt))
+        is_stop = pc.is_in(flat, value_set=pa.array(sorted(_STOPSET), pa.string()))
+        n_stop = np.add.reduceat(is_stop.to_numpy(zero_copy_only=False).astype(np.int64), offsets)
     with np.errstate(invalid="ignore", divide="ignore"):
         stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
     # score: documents with some stopwords and 3..1000 tokens look "natural"
