@@ -245,14 +245,20 @@ def q_unigram_logprob(sf_dir: str):
     vocab = freq["token"].to_numpy()
     total = float(freq["n"].to_numpy().sum())
     lp = np.log(freq["n"].to_numpy().astype(np.float64) / total)
-    ref = ray.put({"idx": {t: i for i, t in enumerate(vocab)}, "lp": lp})
+    # vocab ships as an Arrow array so scoring maps token->index with ONE
+    # vectorized hash lookup (pc.index_in) instead of a Python dict lookup
+    # per token occurrence; index_in positions == the old dict's values
+    # because both are the same token-ascending vocab order
+    ref = ray.put({"vocab": pa.array(vocab, pa.string()), "lp": lp})
     ds = _docs(sf_dir)
 
     def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from chronoxtract_ray.pipelines.queries_docs import _tokenized
+
         model = ray.get(ref)
-        idx, lpv = model["idx"], model["lp"]
-        s = pd.Series(t["text"].to_pylist()).str.strip()
-        ex = s.str.split().explode().dropna()
+        vocab_arr, lpv = model["vocab"], model["lp"]
         # sparse accumulation, O(token occurrences) — a dense
         # (rows x vocab) matrix is a memory bomb at real vocab sizes.
         # Bit-exactness vs the oracle is preserved: terms are applied with
@@ -262,9 +268,23 @@ def q_unigram_logprob(sf_dir: str):
         # absent-token terms were ±0.0 no-ops.
         acc = np.zeros(t.num_rows, dtype=np.float64)
         n_tok = np.zeros(t.num_rows, dtype=np.int64)
-        if len(ex):
-            rows = ex.index.to_numpy(np.int64)
-            toks = ex.map(idx).to_numpy(np.int64)
+        if t.num_rows:
+            txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+            _, flat, offsets = _tokenized(txt)
+            rows = np.repeat(
+                np.arange(t.num_rows, dtype=np.int64),
+                np.diff(np.append(offsets, len(flat))),
+            )
+            keep_tok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        else:
+            keep_tok = np.empty(0, bool)
+        if keep_tok.any():
+            rows = rows[keep_tok]
+            toks = (
+                pc.index_in(flat.filter(pa.array(keep_tok)), value_set=vocab_arr)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
             order = np.lexsort((toks, rows))
             rows_s, toks_s = rows[order], toks[order]
             run_start = np.ones(len(rows_s), dtype=bool)
