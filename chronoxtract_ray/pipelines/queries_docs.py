@@ -289,7 +289,10 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
     doc_a < doc_b, each unordered pair exactly once.
 
     Shape: shingle→minhash per batch (map_batches) → explode to
-    (band, band_hash, doc_id, sig) → groupby(band, band_hash). A bucket of
+    (band, band_hash, doc_id, sig) → groupby(bpart), a COARSE key
+    (band_hash & 0xFF) that co-locates whole fine buckets while avoiding a
+    per-bucket Python dispatch; fine (band, band_hash) runs are split
+    vectorized inside the group body. A bucket of
     k <= _BUCKET_CAP docs scores its pairs in-place (vectorized); an
     oversized bucket emits one TASK row per block pair, resolved by a
     downstream map_batches — so no single worker owns a degenerate bucket's
@@ -320,11 +323,21 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
         mix = np.uint64(0x9E3779B97F4A7C15) ** np.arange(1, rows_per_band + 1, dtype=np.uint64)
         band_hash = (band_view * mix[None, None, :]).sum(axis=2, dtype=np.uint64)  # (n, B)
         band_hash ^= np.arange(_N_BANDS, dtype=np.uint64)[None, :]
+        bh = band_hash.ravel()
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), _N_BANDS), pa.int64()),
                 "band": pa.array(np.tile(np.arange(_N_BANDS), n), pa.int64()),
-                "band_hash": pa.array(band_hash.ravel(), pa.uint64()),
+                "band_hash": pa.array(bh, pa.uint64()),
+                # COARSE shuffle key: most (band, band_hash) buckets are
+                # singletons (sf0.1: 56k buckets from 80k band-rows), so
+                # grouping by the fine key pays one Python map_groups
+                # dispatch per bucket. Grouping by band_hash & 0xFF keeps
+                # every fine bucket intact inside one coarse group (the
+                # coarse key is a pure function of the fine key) while
+                # cutting dispatches to <= 256; the per-group body then
+                # splits fine buckets with vectorized run detection.
+                "bpart": pa.array((bh & np.uint64(0xFF)).astype(np.int64), pa.int64()),
                 "sig": pa.array(list(np.repeat(sigs, _N_BANDS, axis=0))),
             }
         )
@@ -345,33 +358,60 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
         return t if tasks is None else pa.concat_tables([t, tasks])
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        if ids.size < 2:
+        """Score every fine (band, band_hash) bucket inside ONE coarse
+        group: lexsort by the fine key, split runs vectorized, pair each
+        run of >= 2 docs in place (mega-runs emit block-pair task rows).
+        One list-column flatten replaces the old per-row ``as_py()``."""
+        n = group.num_rows
+        if n < 2:
             return _rows(*(np.array([]),) * 3)
-        uniq, idx = np.unique(ids, return_index=True)
-        sigs = np.stack([np.asarray(group["sig"][int(i)].as_py()) for i in idx]).astype(np.uint64)
-        if uniq.size <= _BUCKET_CAP:
-            da, db, jj = _pair_block(uniq, sigs, uniq, sigs, min_sig_jaccard, triu=True)
-            return _rows(da, db, jj)
-        # degenerate bucket: emit block-pair tasks instead of scoring here
-        nb = -(-uniq.size // _BUCKET_CAP)
-        bounds = [(i * _BUCKET_CAP, min((i + 1) * _BUCKET_CAP, uniq.size)) for i in range(nb)]
-        recs = []
-        for x in range(nb):
-            for y in range(x, nb):
-                (sa, ea), (sb, eb) = bounds[x], bounds[y]
-                recs.append(
-                    {
-                        "doc_a": -1,
-                        "doc_b": -1,
-                        "sig_jaccard": -1.0,
-                        "ids_a": uniq[sa:ea].tolist(),
-                        "sigs_a": sigs[sa:ea].ravel().tolist(),
-                        "ids_b": uniq[sb:eb].tolist(),
-                        "sigs_b": sigs[sb:eb].ravel().tolist(),
-                    }
-                )
-        return _rows(*(np.array([]),) * 3, tasks=pa.Table.from_pylist(recs, schema=_TASK_SCHEMA))
+        band = group["band"].to_numpy()
+        bh = group["band_hash"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        flat = np.asarray(group["sig"].combine_chunks().flatten(), dtype=np.uint64).reshape(n, _N_HASHES)
+        order = np.lexsort((ids, band, bh))
+        band, bh, ids, flat = band[order], bh[order], ids[order], flat[order]
+        brk = np.flatnonzero((bh[1:] != bh[:-1]) | (band[1:] != band[:-1])) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [n]))
+        das, dbs, jjs, recs = [], [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            uniq, sigs = ids[s:e], flat[s:e]
+            if (uniq[1:] == uniq[:-1]).any():  # defensive: one row per (doc, band) by construction
+                uniq, idx = np.unique(uniq, return_index=True)
+                sigs = sigs[idx]
+                if uniq.size < 2:
+                    continue
+            if uniq.size <= _BUCKET_CAP:
+                da, db, jj = _pair_block(uniq, sigs, uniq, sigs, min_sig_jaccard, triu=True)
+                das.append(da)
+                dbs.append(db)
+                jjs.append(jj)
+                continue
+            # degenerate bucket: emit block-pair tasks instead of scoring here
+            nb = -(-uniq.size // _BUCKET_CAP)
+            bounds = [(i * _BUCKET_CAP, min((i + 1) * _BUCKET_CAP, uniq.size)) for i in range(nb)]
+            for x in range(nb):
+                for y in range(x, nb):
+                    (sa, ea), (sb, eb) = bounds[x], bounds[y]
+                    recs.append(
+                        {
+                            "doc_a": -1,
+                            "doc_b": -1,
+                            "sig_jaccard": -1.0,
+                            "ids_a": uniq[sa:ea].tolist(),
+                            "sigs_a": sigs[sa:ea].ravel().tolist(),
+                            "ids_b": uniq[sb:eb].tolist(),
+                            "sigs_b": sigs[sb:eb].ravel().tolist(),
+                        }
+                    )
+        da = np.concatenate(das) if das else np.array([], np.int64)
+        db = np.concatenate(dbs) if dbs else np.array([], np.int64)
+        jj = np.concatenate(jjs) if jjs else np.array([], np.float64)
+        tasks = pa.Table.from_pylist(recs, schema=_TASK_SCHEMA) if recs else None
+        return _rows(da, db, jj, tasks=tasks)
 
     def resolve(t: pa.Table) -> pa.Table:
         # input stream holds ONLY task rows (doc_a < 0); direct pairs take
@@ -409,7 +449,7 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
 
     grouped = (
         ds.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        .groupby("bpart")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         # materialized ONCE so the two consumers below (direct-pair stream,
         # task stream) don't each re-run the shingle→minhash→groupby
