@@ -47,17 +47,26 @@ def q_dedup_exact(sf_dir: str):
         h = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "content_hash": pa.array(h, pa.string())})
 
-    def first(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
+    from ray.data.aggregate import Count, Min
+
+    def rename(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "content_hash": pa.array([group["content_hash"][0].as_py()], pa.string()),
-                "keeper_doc_id": pa.array([int(ids.min())], pa.int64()),
-                "n_copies": pa.array([ids.size], pa.int64()),
+                "content_hash": t["content_hash"],
+                "keeper_doc_id": t["min(doc_id)"].cast(pa.int64()),
+                "n_copies": t["count()"].cast(pa.int64()),
             }
         )
 
-    out = ds.map_batches(add_hash, batch_format="pyarrow").groupby("content_hash").map_groups(first, batch_format="pyarrow")
+    # native Min/Count aggregates: per-block partial aggregation before the
+    # shuffle and no per-group Python dispatch (the previous map_groups paid
+    # one call per distinct hash)
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id"), Count())
+        .map_batches(rename, batch_format="pyarrow")
+    )
     return collect_table(out)
 
 

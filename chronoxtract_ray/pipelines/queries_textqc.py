@@ -45,13 +45,24 @@ _MIN_WORDS = 40  # splits the synthetic corpus ~69/31 (10..99 words/doc)
 _MEAN_WL_LO, _MEAN_WL_HI = 3.0, 10.0
 _MAX_WORD_LEN = 15
 _MIN_ALPHA_RATIO = 0.6
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 shape, values
+# picked to split THIS corpus meaningfully: top-word ~0.05-0.25 here).
+# Thresholds compare UNROUNDED fractions on both sides (the
+# detect_seasonality precedent).
+_REP_TOP_WORD = 0.10
+_REP_TOP_BIGRAM = 0.05
+_REP_DUP_TRIGRAM = 0.01
 
 
 def q_c4_filters(sf_dir: str):
-    """Per-doc C4-style filter verdict: word count, mean/max word length and
-    alphabetic-character ratio rules, combined into a ``keep`` flag. One
+    """Per-doc C4-style filter verdict (word count, mean/max word length,
+    alphabetic-character ratio → ``keep``) PLUS Gopher-style repetition
+    metrics (top-word fraction, top-bigram fraction, duplicated-trigram
+    occurrence fraction → ``rep_keep``; Rae et al. 2021 §A1.1). One
     stateless vectorized map_batches — at 100 TB this runs as a pure
-    streaming projection with no shuffle and no driver contact."""
+    streaming projection with no shuffle and no driver contact; n-gram
+    counting is dictionary-encode + integer-key np.unique, never a Python
+    loop over tokens."""
     ds = _docs(sf_dir)
 
     def flags(t: pa.Table) -> pa.Table:
@@ -61,19 +72,52 @@ def q_c4_filters(sf_dir: str):
         # to_pylist and ran a Python lambda per row for max word length —
         # this is the per-doc projection a 100-TB corpus streams through
         txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
-        if t.num_rows == 0:
+        ndocs = t.num_rows
+        topw = np.zeros(ndocs, np.int64)
+        topb = np.zeros(ndocs, np.int64)
+        tot3 = np.zeros(ndocs, np.int64)
+        dis3 = np.zeros(ndocs, np.int64)
+        if ndocs == 0:
             n_words = word_chars = max_wl = n_chars = n_alpha = np.empty(0, np.int64)
         else:
             tr = pc.utf8_trim_whitespace(txt)
             sp = pc.utf8_split_whitespace(tr)  # [''] for whitespace-only rows
             counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
-            flat_len = pc.utf8_length(pc.list_flatten(sp)).to_numpy().astype(np.int64)
+            flat_tok = pc.list_flatten(sp)
+            if isinstance(flat_tok, pa.ChunkedArray):
+                flat_tok = flat_tok.combine_chunks()
+            flat_len = pc.utf8_length(flat_tok).to_numpy().astype(np.int64)
             offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
             word_chars = np.add.reduceat(flat_len, offsets)  # '' token adds 0
             max_wl = np.maximum.reduceat(flat_len, offsets)
             n_words = np.where(pc.utf8_length(tr).to_numpy().astype(np.int64) == 0, 0, counts)
             n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
             n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
+            # ---- repetition n-gram counts over dictionary-encoded tokens:
+            # per-doc group keys are doc*K + gram_id (hierarchical ids keep
+            # every key far inside int64), counted with one np.unique pass
+            tid = pc.dictionary_encode(flat_tok).indices.to_numpy().astype(np.int64)
+            V = np.int64(max(int(tid.max(initial=-1)) + 1, 1))
+            doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+            uk, ck = np.unique(doc_idx * V + tid, return_counts=True)
+            np.maximum.at(topw, uk // V, ck)
+            adj = doc_idx[1:] == doc_idx[:-1]
+            if adj.any():
+                bdoc = doc_idx[:-1][adj]
+                pu, pinv = np.unique(tid[:-1][adj] * V + tid[1:][adj], return_inverse=True)
+                P = np.int64(pu.size)
+                ukb, ckb = np.unique(bdoc * P + pinv, return_counts=True)
+                np.maximum.at(topb, ukb // P, ckb)
+                adj2 = adj[1:] & adj[:-1]
+                if adj2.any():
+                    pair_full = np.full(tid.size - 1, -1, np.int64)
+                    pair_full[adj] = pinv
+                    tdoc = doc_idx[2:][adj2]
+                    _tu, tinv = np.unique(pair_full[:-1][adj2] * V + tid[2:][adj2], return_inverse=True)
+                    T = np.int64(_tu.size)
+                    ukt = np.unique(tdoc * T + tinv)
+                    np.add.at(dis3, ukt // T, 1)
+                    tot3 = np.bincount(tdoc, minlength=ndocs).astype(np.int64)
         mwl = np.where(n_words > 0, word_chars / np.maximum(n_words, 1), 0.0)
         ar = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
         keep = (
@@ -83,6 +127,13 @@ def q_c4_filters(sf_dir: str):
             & (max_wl <= _MAX_WORD_LEN)
             & (ar >= _MIN_ALPHA_RATIO)
         )
+        # docs under 3 tokens have no defined repetition stats: 0.0 on both
+        # sides (the oracle CASE-guards identically) so the hash stays exact
+        ok = n_words >= 3
+        fw = np.where(ok, topw / np.maximum(n_words, 1), 0.0)
+        fb = np.where(ok, topb / np.maximum(n_words - 1, 1), 0.0)
+        fd = np.where(ok, (tot3 - dis3) / np.maximum(tot3, 1), 0.0)
+        rep_keep = ok & (fw <= _REP_TOP_WORD) & (fb <= _REP_TOP_BIGRAM) & (fd <= _REP_DUP_TRIGRAM)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -91,6 +142,10 @@ def q_c4_filters(sf_dir: str):
                 "mean_word_len": pa.array(_round(mwl), pa.float64()),
                 "alpha_ratio": pa.array(_round(ar), pa.float64()),
                 "keep": pa.array(keep, pa.bool_()),
+                "top_word_frac": pa.array(_round(fw), pa.float64()),
+                "top_bigram_frac": pa.array(_round(fb), pa.float64()),
+                "dup_trigram_frac": pa.array(_round(fd), pa.float64()),
+                "rep_keep": pa.array(rep_keep, pa.bool_()),
             }
         )
 
@@ -109,16 +164,50 @@ WITH w AS (
          ELSE list_max(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) END
       AS max_word_len
   FROM documents
+), tok AS (
+  SELECT doc_id, u.t AS tok, u.i AS i
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents WHERE trim(text) != '') d,
+  LATERAL (SELECT unnest(arr) AS t, unnest(range(1, len(arr) + 1)) AS i) u
+), tw AS (
+  SELECT doc_id, max(c) AS topw
+  FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1
+), bg AS (
+  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM tok
+), tb AS (
+  SELECT doc_id, max(c) AS topb
+  FROM (SELECT doc_id, tok, nxt, count(*) AS c FROM bg WHERE nxt IS NOT NULL GROUP BY 1, 2, 3)
+  GROUP BY 1
+), tg AS (
+  SELECT doc_id, tok, lead(tok) OVER win AS t2, lead(tok, 2) OVER win AS t3
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), tgc AS (
+  SELECT doc_id, count(*) AS tot, count(DISTINCT (tok, t2, t3)) AS dis
+  FROM tg WHERE t3 IS NOT NULL GROUP BY 1
+), rep AS (
+  SELECT w.doc_id,
+    CASE WHEN w.n_words >= 3 THEN tw.topw / w.n_words::DOUBLE ELSE 0.0 END AS fw,
+    CASE WHEN w.n_words >= 3 THEN tb.topb / (w.n_words - 1)::DOUBLE ELSE 0.0 END AS fb,
+    CASE WHEN w.n_words >= 3 THEN (tgc.tot - tgc.dis) / tgc.tot::DOUBLE ELSE 0.0 END AS fd
+  FROM w
+  LEFT JOIN tw ON tw.doc_id = w.doc_id
+  LEFT JOIN tb ON tb.doc_id = w.doc_id
+  LEFT JOIN tgc ON tgc.doc_id = w.doc_id
 )
-SELECT doc_id, n_words, max_word_len,
+SELECT w.doc_id, n_words, max_word_len,
   ROUND(CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END, 6) AS mean_word_len,
   ROUND(CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END, 6) AS alpha_ratio,
   (n_words >= {_MIN_WORDS}
    AND (CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END)
        BETWEEN {_MEAN_WL_LO} AND {_MEAN_WL_HI}
    AND max_word_len <= {_MAX_WORD_LEN}
-   AND (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END) >= {_MIN_ALPHA_RATIO}) AS keep
-FROM w
+   AND (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END) >= {_MIN_ALPHA_RATIO}) AS keep,
+  ROUND(rep.fw, 6) AS top_word_frac,
+  ROUND(rep.fb, 6) AS top_bigram_frac,
+  ROUND(rep.fd, 6) AS dup_trigram_frac,
+  (n_words >= 3 AND rep.fw <= {_REP_TOP_WORD} AND rep.fb <= {_REP_TOP_BIGRAM}
+   AND rep.fd <= {_REP_DUP_TRIGRAM}) AS rep_keep
+FROM w JOIN rep ON rep.doc_id = w.doc_id
 """
 
 

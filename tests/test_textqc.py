@@ -171,3 +171,45 @@ def test_freq_cache_invalidates_on_regenerated_corpus(tq, ray_session, tmp_path)
     os.utime(p, ns=(st.st_mtime_ns + 1, st.st_mtime_ns + 1))  # force new identity
     df2 = tq._token_counts(str(tmp_path))
     assert dict(zip(df2.token, df2.n)) == {"cc": 3}
+
+
+def test_repetition_metrics_hand_computed(tq, ray_session, tmp_path):
+    """Gopher-style repetition fractions pinned on hand-built docs:
+    a heavily repetitive doc, a no-repeat doc, and degenerate (< 3 token)
+    docs that must emit 0.0 fractions with rep_keep=false."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        # "x y x y x y": topw=3/6, top bigram ("x y")=3/5,
+        # trigrams: xyx, yxy, xyx, yxy -> tot=4 dis=2 -> dup=0.5
+        "x y x y x y",
+        # all distinct: topw=1/5, topb=1/4, dup=0
+        "a b c d e",
+        # degenerate: 1 and 2 tokens
+        "solo",
+        "two tokens",
+    ]
+    p = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}), p)
+    t = tq.q_c4_filters(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert t.top_word_frac.tolist() == [0.5, 0.2, 0.0, 0.0]
+    assert t.top_bigram_frac.tolist() == [0.6, 0.25, 0.0, 0.0]
+    assert t.dup_trigram_frac.tolist() == [0.5, 0.0, 0.0, 0.0]
+    # doc 0 trips every repetition rule; doc 1 trips top_word (0.2 > 0.10);
+    # degenerates are rep-rejected by the n >= 3 guard
+    assert t.rep_keep.tolist() == [False, False, False, False]
+    # and a genuinely diverse long doc passes
+    long_doc = " ".join(f"w{i}" for i in range(50))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([long_doc], pa.string())}), p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_mtime_ns + 1, st.st_mtime_ns + 1))
+    t2 = tq.q_c4_filters(str(tmp_path)).to_pandas()
+    assert bool(t2.rep_keep[0]) is True
+    assert float(t2.dup_trigram_frac[0]) == 0.0
