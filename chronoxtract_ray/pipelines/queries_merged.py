@@ -197,12 +197,20 @@ SQL_MATRIX_TRANSFORMS = "\nUNION ALL\n".join(
 
 def q_doc_text_stats(sf_dir: str):
     """Per-doc text-analysis family fused into ONE corpus pass: fingerprint
-    + token stats + quality score + language ID + SimHash. Every component
-    kernel is per-doc and row-aligned within a batch, so one ``map_batches``
-    applies all five and column-concatenates — identical values to running
-    the five component queries (same per-batch kernels, see their
-    definitions in queries_docs.py), at one read/scan instead of five."""
+    + token stats + quality score + language ID + SimHash + benchmark
+    decontamination. Every component kernel is per-doc and row-aligned
+    within a batch, so one ``map_batches`` applies all six and
+    column-concatenates — identical values to running the component queries
+    (same per-batch kernels, see their definitions in queries_docs.py /
+    queries_traindata.py), at one read/scan instead of six. The decon
+    kernel's benchmark gram set is built first (benchmark-sized) and rides
+    the same broadcast-once pattern as its standalone query."""
+    import ray
+
     from chronoxtract_ray.pipelines import queries_docs as qd
+    from chronoxtract_ray.pipelines import queries_traindata as qtd
+
+    bench_ref = ray.put(set(qtd._benchmark_grams(sf_dir).tolist()))
 
     kernels = (
         qd.doc_fingerprint_batch,
@@ -214,8 +222,9 @@ def q_doc_text_stats(sf_dir: str):
 
     def fused(t: pa.Table) -> pa.Table:
         out = kernels[0](t)
-        for fn in kernels[1:]:
-            p = fn(t)
+        parts = [fn(t) for fn in kernels[1:]]
+        parts.append(qtd.decontaminate_batch(t, ray.get(bench_ref)))
+        for p in parts:
             for name in p.column_names:
                 if name != "doc_id":
                     out = out.append_column(name, p[name])
@@ -226,6 +235,7 @@ def q_doc_text_stats(sf_dir: str):
 
 def _sql_doc_text_stats() -> str:
     from chronoxtract_ray.pipelines import queries_docs as qd
+    from chronoxtract_ray.pipelines import queries_traindata as qtd
 
     return _join_sql(
         [
@@ -234,6 +244,7 @@ def _sql_doc_text_stats() -> str:
             qd.SQL_QUALITY_SCORE,
             qd.SQL_LANG_ID,
             qd.SQL_SIMHASH,
+            qtd.SQL_DECONTAMINATE,
         ],
         ["doc_id"],
     )

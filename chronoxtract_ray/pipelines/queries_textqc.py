@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from chronoxtract_ray.stages.util import collect_table
+from chronoxtract_ray.stages.util import collect_table, from_pandas_clean
 
 from chronoxtract_ray.pipelines.queries_docs import _docs, _round
 
@@ -289,9 +289,8 @@ def q_vocab_topk(sf_dir: str):
 
     def local_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().rename(columns={"sum(n)": "n"})
-        return pa.Table.from_pandas(
-            df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK),
-            preserve_index=False,
+        return from_pandas_clean(
+            df.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(_TOPK)
         )
 
     df = collect_table(
@@ -439,7 +438,7 @@ def q_stratified_sample(sf_dir: str):
             .groupby("source", sort=False)
             .head(_SAMPLE_K)
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     def head(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values(["sample_key", "doc_id"], kind="stable").head(_SAMPLE_K)

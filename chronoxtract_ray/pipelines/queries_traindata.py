@@ -1,0 +1,515 @@
+"""Training-data curation beyond the dedup/QC families: benchmark
+DECONTAMINATION (n-gram overlap against a held-out eval set), SOURCE MIX
+statistics (the per-domain token accounting behind mixture weighting),
+TOKEN-BUDGET sampling (fill a per-source token budget deterministically),
+and SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023 shape:
+k-means clusters, then prune near-duplicates within each cluster).
+
+Reference parity: none — like queries_docs/queries_textqc these extend
+SURVEY.md §2.12's engine-side surface with the curation operators a
+100-TB LLM-data pipeline runs that the reference library does not have.
+
+Dataflow shapes (the point at scale):
+
+* ``decontaminate``      — TWO passes over documents: pass 1 distills the
+  BENCHMARK (docs with ``doc_id % 20 == 0``) into a distinct-trigram set
+  (benchmark-sized by definition — eval sets are tiny next to the corpus),
+  broadcast once with ``ray.put``; pass 2 is a stateless vectorized
+  ``map_batches`` scoring every doc's distinct trigrams against the set.
+  No shuffle touches the corpus.
+* ``source_mix``         — per-batch PARTIAL (source, lang) aggregates →
+  one group-count-sized ``groupby([source, lang]).sum`` shuffle → shares
+  computed on the tiny aggregate table: the combiner pattern (vocab_topk
+  precedent).
+* ``token_budget_sample``— per-(source) hash-ordered prefix until the
+  token budget fills. The local combiner keeps each batch's qualifying
+  PREFIX plus one RESIDUAL-MASS MARKER row carrying the pruned suffix's
+  token total, so the final per-group cumsum is exact while the shuffle
+  stays budget-bounded (proof sketch in _sample_local_prune; pinned by a
+  random-batch-split property test).
+* ``semdedup``           — the IVF quantizer (queries_vec._ivf_centroids,
+  broadcast) assigns every vector a cluster in one map_batches; ONE
+  ``groupby(cluster)`` shuffle co-locates each cluster; within a cluster
+  the near-dup scan is a vectorized masked matmul. Partitioning
+  assumption: a cluster fits one block — at 100 TB raise n_lists with the
+  corpus (cluster size ~n/n_lists) or fall back to queries_vec's block
+  self-join inside oversized clusters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from chronoxtract_ray.stages.util import collect_table, from_pandas_clean
+from chronoxtract_ray.stages.util import round_half_away as _round
+
+from chronoxtract_ray.pipelines.queries_docs import _docs
+
+_BENCH_MOD = 20  # benchmark = docs with doc_id % 20 == 0 (5% of the corpus)
+_NGRAM = 3  # word n-gram order for contamination overlap
+_BUDGET_TOKENS = 600  # per-source token budget for budget sampling
+_SEM_TAU = 0.40  # within-cluster cosine near-dup threshold. Chosen off the
+# data's cliff: the synthetic embeddings' within-cluster pairwise cosines
+# keep min|sim - 0.40| >= 1.2e-4 at sf0.001/0.01/0.1 (measured), ~10^8x the
+# engine-vs-DuckDB summation-order noise on a 64-dim dot product, so the
+# unrounded >= compare is stable across engines (detect_seasonality
+# precedent). Same band as embedding_neardup's 0.40.
+_SEM_LISTS = 8
+_SEM_ITERS = 10
+
+
+# ---- shared tokenization (must match the SQL oracles' regexp_split) -------
+
+
+def _doc_trigrams(t: pa.Table) -> pd.DataFrame:
+    """Distinct word trigrams per doc: DataFrame(d=row index, g=gram).
+    Tokenization matches ``regexp_split_to_array(trim(text), '\\s+')`` on
+    non-empty-trim docs (parity established by c4_filters' n_words, which
+    hash-passes on the same split). Vectorized: one Arrow split, one
+    object-array concat, one drop_duplicates — no per-token Python loop."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+    tr = pc.utf8_trim_whitespace(txt)
+    sp = pc.utf8_split_whitespace(tr)  # [''] for whitespace-only rows
+    counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(sp)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    tok = flat.to_numpy(zero_copy_only=False)  # object array of str
+    doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    if tok.size < _NGRAM:
+        return pd.DataFrame({"d": np.empty(0, np.int64), "g": np.empty(0, object)})
+    same = doc_idx[: -(_NGRAM - 1)] == doc_idx[_NGRAM - 1 :]
+    # whitespace-only rows contribute a single '' token which can never
+    # anchor a trigram within its doc unless the doc has >= 3 tokens — and
+    # trim=='' rows have exactly one, so they drop out here like the SQL's
+    # ``WHERE trim(text) != ''``
+    g = tok[:-2][same] + " " + tok[1:-1][same] + " " + tok[2:][same]
+    return pd.DataFrame({"d": doc_idx[:-2][same], "g": g}).drop_duplicates()
+
+
+def _n_words(t: pa.Table) -> np.ndarray:
+    """Whitespace word count per row, c4_filters semantics (0 for
+    empty-trim rows; the split's [''] artifact corrected identically)."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+    tr = pc.utf8_trim_whitespace(txt)
+    counts = pc.list_value_length(pc.utf8_split_whitespace(tr)).to_numpy().astype(np.int64)
+    return np.where(pc.utf8_length(tr).to_numpy().astype(np.int64) == 0, 0, counts)
+
+
+# ---- benchmark decontamination ---------------------------------------------
+
+
+def _benchmark_grams(sf_dir: str) -> np.ndarray:
+    """Distinct trigram vocabulary of the benchmark slice, built THROUGH
+    Ray (per-batch filter + local distinct; only benchmark-sized gram sets
+    reach the driver)."""
+    import pyarrow.compute as pc
+
+    def bench_batch(t: pa.Table) -> pa.Table:
+        sel = t.filter(pa.array(t["doc_id"].to_numpy() % _BENCH_MOD == 0))
+        df = _doc_trigrams(sel)
+        return pa.table({"g": pa.array(df["g"].unique(), pa.string())})
+
+    tbl = collect_table(_docs(sf_dir).map_batches(bench_batch, batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return np.empty(0, object)
+    return pd.unique(tbl["g"].to_numpy(zero_copy_only=False))
+
+
+def decontaminate_batch(t: pa.Table, bench: set) -> pa.Table:
+    """Per-doc contamination scores against a broadcast benchmark gram set.
+    Row-aligned with the input batch (doc_text_stats fusion contract)."""
+    n = t.num_rows
+    doc_id = t["doc_id"].to_numpy()
+    n_grams = np.zeros(n, np.int64)
+    n_overlap = np.zeros(n, np.int64)
+    df = _doc_trigrams(t)
+    if len(df):
+        per = df.groupby("d", sort=False).size()
+        n_grams[per.index.to_numpy()] = per.to_numpy()
+        hit = df["g"].isin(bench).to_numpy()
+        if hit.any():
+            ov = df.loc[hit].groupby("d", sort=False).size()
+            n_overlap[ov.index.to_numpy()] = ov.to_numpy()
+    is_bench = doc_id % _BENCH_MOD == 0
+    rate = n_overlap / np.maximum(n_grams, 1)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "is_benchmark": pa.array(is_bench, pa.bool_()),
+            "n_trigrams": pa.array(n_grams, pa.int64()),
+            "n_bench_overlap": pa.array(n_overlap, pa.int64()),
+            "bench_overlap_rate": pa.array(_round(rate), pa.float64()),
+            "contaminated": pa.array((~is_bench) & (n_overlap > 0), pa.bool_()),
+        }
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any word trigram
+    with the held-out benchmark slice (train/test overlap removal — the
+    standard pre-training hygiene pass). Broadcast-set + stateless scan;
+    also fused into doc_text_stats for the driver's hash check."""
+    import ray
+
+    bench = _benchmark_grams(sf_dir)
+    ref = ray.put(set(bench.tolist()))
+
+    def score(t: pa.Table) -> pa.Table:
+        return decontaminate_batch(t, ray.get(ref))
+
+    return collect_table(_docs(sf_dir).map_batches(score, batch_format="pyarrow"))
+
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE trim(text) != ''
+), tok AS (
+  SELECT doc_id, u.t AS tok, u.i AS i
+  FROM d, LATERAL (SELECT unnest(arr) AS t, unnest(range(1, len(arr) + 1)) AS i) u
+), tg AS (
+  SELECT doc_id,
+    tok || ' ' || lead(tok) OVER win || ' ' || lead(tok, 2) OVER win AS g,
+    lead(tok, 2) OVER win AS t3
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM tg WHERE t3 IS NOT NULL
+), bench AS (
+  SELECT DISTINCT g FROM dg WHERE doc_id % {_BENCH_MOD} = 0
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+    CAST(count(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS BIGINT) AS n_bench_overlap
+  FROM dg GROUP BY 1
+)
+SELECT doc.doc_id, (doc.doc_id % {_BENCH_MOD} = 0) AS is_benchmark,
+  CAST(coalesce(per.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+  CAST(coalesce(per.n_bench_overlap, 0) AS BIGINT) AS n_bench_overlap,
+  ROUND(coalesce(per.n_bench_overlap, 0) /
+        GREATEST(coalesce(per.n_trigrams, 0), 1)::DOUBLE, 6) AS bench_overlap_rate,
+  (doc.doc_id % {_BENCH_MOD} != 0 AND coalesce(per.n_bench_overlap, 0) > 0) AS contaminated
+FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+"""
+
+
+# ---- source mixture statistics ---------------------------------------------
+
+
+def q_source_mix(sf_dir: str):
+    """Per-(source, lang) doc/token accounting + corpus shares — the
+    numbers behind data-mixture weighting. Combiner pattern: per-batch
+    pandas groupby partials, then one tiny groupby([source, lang]) shuffle;
+    shares derive from the aggregate table's own integer totals (summation
+    order irrelevant: int64 adds are associative)."""
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source", "lang"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        nw = _n_words(t)
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "n_tokens": nw,
+            }
+        )
+        g = df.groupby(["source", "lang"], sort=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        )
+        g = g.reset_index()
+        return from_pandas_clean(g)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs"), Sum("n_tokens"))
+    )
+    tbl = collect_table(agg)
+    n_docs = tbl["sum(n_docs)"].to_numpy().astype(np.int64)
+    n_tokens = tbl["sum(n_tokens)"].to_numpy().astype(np.int64)
+    td, tt = n_docs.sum(), n_tokens.sum()
+    return pa.table(
+        {
+            "source": tbl["source"],
+            "lang": tbl["lang"],
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "mean_tokens": pa.array(_round(n_tokens / np.maximum(n_docs, 1)), pa.float64()),
+            "doc_share": pa.array(_round(n_docs / max(td, 1)), pa.float64()),
+            "token_share": pa.array(_round(n_tokens / max(tt, 1)), pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH w AS (
+  SELECT source, lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nw
+  FROM documents
+), g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS n_tokens
+  FROM w GROUP BY 1, 2
+), t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM g
+)
+SELECT source, lang, n_docs, n_tokens,
+  ROUND(n_tokens / GREATEST(n_docs, 1)::DOUBLE, 6) AS mean_tokens,
+  ROUND(n_docs / GREATEST(t.td, 1)::DOUBLE, 6) AS doc_share,
+  ROUND(n_tokens / GREATEST(t.tt, 1)::DOUBLE, 6) AS token_share
+FROM g, t
+"""
+
+
+# ---- token-budget sampling --------------------------------------------------
+
+
+def _doc_sample_stream(sf_dir: str):
+    """(source, doc_id, sample_key, n_tokens) stream: md5(doc_id) hash key
+    (stratified_sample's key, so hash-order parity is already proven) plus
+    the c4-semantics token count."""
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        ks = [hashlib.md5(str(d).encode()).hexdigest() for d in t["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": t["doc_id"],
+                "sample_key": pa.array(ks, pa.string()),
+                "n_tokens": pa.array(_n_words(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _sample_local_prune(t: pa.Table, k: int, budget: int) -> pa.Table:
+    """Per-batch combiner for BOTH sampling policies. Keeps, per source,
+    the batch's hash-order prefix qualifying under either rule (rank <= k
+    OR batch-cum <= budget) plus one residual-mass MARKER row (doc_id=-1,
+    sample_key = first pruned key, n_tokens = pruned token total).
+
+    Exactness argument: both rules are monotone prefix rules, so pruned
+    rows form a SUFFIX of each batch's hash order. Every globally
+    qualifying row's predecessors therefore all survive (its global rank /
+    cum bounds theirs), so qualifying rows' final cums are exact. A pruned
+    suffix's mass is re-injected at its first key, which sorts AFTER every
+    globally qualifying row (a pruned row's batch-cum > budget bounds any
+    qualifying row's global cum below its own), so markers only inflate
+    already-disqualified rows — never a false positive, never a false
+    negative. Pinned by the random-batch-split property test."""
+    df = (
+        t.to_pandas()
+        .sort_values(["sample_key", "doc_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    g = df.groupby("source", sort=False)
+    rank = g.cumcount().to_numpy()
+    cum = g["n_tokens"].cumsum().to_numpy()
+    keep = (rank < k) | (cum <= budget)
+    pruned = df[~keep]
+    out = df[keep]
+    if len(pruned):
+        m = pruned.groupby("source", sort=False).agg(
+            sample_key=("sample_key", "first"), n_tokens=("n_tokens", "sum")
+        )
+        m = m.reset_index()
+        m["doc_id"] = np.int64(-1)
+        out = pd.concat([out, m[["source", "doc_id", "sample_key", "n_tokens"]]], ignore_index=True)
+    return from_pandas_clean(out)
+
+
+def _sample_final(group: pa.Table, k: int, budget: int) -> pd.DataFrame:
+    """Per-source finalization: exact global rank/cum over survivors+markers
+    (see _sample_local_prune), returning rows tagged by qualifying policy."""
+    df = (
+        group.to_pandas()
+        .sort_values(["sample_key", "doc_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    cum = df["n_tokens"].cumsum().to_numpy()  # markers included: exact mass
+    real = (df["doc_id"] >= 0).to_numpy()
+    rank = np.cumsum(real) - 1  # rank among real rows only
+    df["cum_tokens"] = cum
+    parts = []
+    topk = df[real & (rank < k)].copy()
+    topk.insert(0, "method", "topk")
+    parts.append(topk)
+    bud = df[real & (cum <= budget)].copy()
+    bud.insert(0, "method", "budget")
+    parts.append(bud)
+    return pd.concat(parts, ignore_index=True)
+
+
+def q_token_budget_sample(sf_dir: str, budget: int = _BUDGET_TOKENS):
+    """Deterministic per-source token-budget fill: docs in md5-hash order
+    until the source's cumulative token count exceeds ``budget`` — the
+    fixed-token-mixture sampling a data-curation pipeline runs after
+    weighting. Output is budget-bounded per source regardless of corpus
+    size; the shuffle is bounded by the combiner (see _sample_local_prune)."""
+    ds = _doc_sample_stream(sf_dir)
+
+    def prune(t: pa.Table) -> pa.Table:
+        return _sample_local_prune(t, 0, budget)
+
+    def final(group: pa.Table) -> pa.Table:
+        df = _sample_final(group, 0, budget)
+        df = df[df["method"] == "budget"].drop(columns=["method"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    return collect_table(out)
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH w AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY sample_key, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM w
+)
+SELECT source, doc_id, sample_key, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
+def q_sampling_policies(sf_dir: str, k: int = 5, budget: int = _BUDGET_TOKENS):
+    """BOTH deterministic sampling policies as one method-tagged query
+    (knn_ann precedent): 'topk' = stratified_sample's K-smallest-hash rows
+    per source (same selection, now with token accounting), 'budget' = the
+    token-budget prefix. One read, one combiner, one shuffle for both."""
+    ds = _doc_sample_stream(sf_dir)
+
+    def prune(t: pa.Table) -> pa.Table:
+        return _sample_local_prune(t, k, budget)
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_sample_final(group, k, budget), preserve_index=False)
+
+    out = (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    return collect_table(out)
+
+
+SQL_SAMPLING_POLICIES = f"""
+WITH w AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS rn,
+    CAST(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY sample_key, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM w
+)
+SELECT 'topk' AS method, source, doc_id, sample_key, n_tokens, cum_tokens
+FROM c WHERE rn <= 5
+UNION ALL
+SELECT 'budget' AS method, source, doc_id, sample_key, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
+# ---- SemDeDup-style semantic deduplication ----------------------------------
+
+
+def q_semdedup(sf_dir: str):
+    """Semantic near-dup pruning (SemDeDup shape): assign every embedding
+    to its IVF cluster (shared quantizer: queries_vec._ivf_centroids), then
+    within each cluster mark vec v a duplicate iff some lower-id member u
+    has cosine(u, v) >= {tau}. Keep-lowest-id is the deterministic stand-in
+    for SemDeDup's keep-one-per-neighborhood. Output: per-vec cluster,
+    is_dup flag, and the max similarity to a lower-id cluster-mate.""".format(tau=_SEM_TAU)
+    import ray
+
+    from chronoxtract_ray.pipelines.queries_vec import _emb, _ivf_centroids, _to_matrix
+
+    ds = _emb(sf_dir)
+    C = _ivf_centroids(ds, _SEM_LISTS, _SEM_ITERS)
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        lab = np.argmax(Mn @ ray.get(ref).T, axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(lab, pa.int64()))
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(group)
+        order = np.argsort(ids, kind="stable")
+        ids, M = ids[order], M[order]
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        # S[i, j] with i < j = sim(lower-id i, higher-id j): mask the strict
+        # upper triangle, reduce over rows -> per-column max sim to lower ids
+        up = np.triu(np.ones(S.shape, bool), 1)
+        masked = np.where(up, S, -np.inf)
+        max_lower = masked.max(axis=0)
+        has_lower = np.isfinite(max_lower)
+        max_out = np.where(has_lower, max_lower, 0.0)
+        is_dup = has_lower & (max_lower >= _SEM_TAU)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.repeat(group["cluster"][0].as_py(), ids.size), pa.int64()),
+                "is_dup": pa.array(is_dup, pa.bool_()),
+                "max_sim_lower": pa.array(_round(max_out), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+    return collect_table(out)
+
+
+def _semdedup_sql() -> str:
+    from chronoxtract_ray.pipelines.queries_vec import _kmeans_assign_sql
+
+    return (
+        _kmeans_assign_sql(_SEM_LISTS, _SEM_ITERS)
+        + f""",
+pairs AS (
+  SELECT b.vec_id AS vb, list_cosine_similarity(ea.emb, eb.emb) AS sim
+  FROM vl a JOIN vl b ON b.k = a.k AND b.vec_id > a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+), dup AS (
+  SELECT vb AS vec_id, max(sim) AS ms FROM pairs GROUP BY 1
+)
+SELECT v.vec_id, CAST(v.k AS BIGINT) AS cluster,
+  (coalesce(d.ms, -2.0) >= {_SEM_TAU}) AS is_dup,
+  ROUND(coalesce(d.ms, 0.0), 6) AS max_sim_lower
+FROM vl v LEFT JOIN dup d ON d.vec_id = v.vec_id"""
+    )
+
+
+SQL_SEMDEDUP = _semdedup_sql()

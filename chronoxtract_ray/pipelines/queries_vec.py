@@ -333,6 +333,35 @@ def q_knn_lsh(sf_dir: str):
     return _merge_topk(collect_table(_emb(sf_dir).map_batches(score, batch_format="pyarrow")))
 
 
+def _ivf_centroids(ds, n_lists: int = 8, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means coarse quantizer shared by q_knn_ivf and
+    q_semdedup (queries_traindata.py): ~512-row strided training sample
+    pulled THROUGH Ray (the corpus is never read driver-side), strided
+    init (centroid k = sample row floor(k*n/n_lists) in vec_id order —
+    reproducible in the SQL oracles, unlike a seeded rng.choice), then
+    ``iters`` Lloyd rounds on unit vectors. Extracted verbatim from
+    q_knn_ivf so the two consumers stay bit-identical."""
+    n_total = ds.count()
+    step = max(n_total // 512, 1)
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["vec_id"].to_numpy() % step == 0))
+
+    sample_tbl = collect_table(ds.map_batches(sample_batch, batch_format="pyarrow"))
+    s_ids, S = _to_matrix(sample_tbl)
+    S = S[np.argsort(s_ids)]  # block arrival order is nondeterministic; sort
+    sample = S / np.linalg.norm(S, axis=1, keepdims=True)
+    C = sample[(np.arange(n_lists) * sample.shape[0]) // n_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for k in range(n_lists):
+            members = sample[assign == k]
+            if members.shape[0]:
+                c = members.mean(axis=0)
+                C[k] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
 def q_knn_ivf(sf_dir: str):
     """Approximate top-5 via an IVF index: k-means coarse quantizer trained
     on a deterministic ~512-row strided sample pulled THROUGH Ray (the
@@ -345,29 +374,7 @@ def q_knn_ivf(sf_dir: str):
 
     n_lists, n_probe, iters = 8, 3, 10
     ds = _emb(sf_dir)
-    # deterministic strided training sample pulled THROUGH Ray (only ~512
-    # rows reach the driver — the corpus itself is never read driver-side)
-    n_total = ds.count()
-    step = max(n_total // 512, 1)
-
-    def sample_batch(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(t["vec_id"].to_numpy() % step == 0))
-
-    sample_tbl = collect_table(ds.map_batches(sample_batch, batch_format="pyarrow"))
-    s_ids, S = _to_matrix(sample_tbl)
-    S = S[np.argsort(s_ids)]  # block arrival order is nondeterministic; sort
-    sample = S / np.linalg.norm(S, axis=1, keepdims=True)
-    # deterministic strided init: centroid k seeds from the sample row at
-    # position floor(k*n/n_lists) in vec_id order — reproducible in the SQL
-    # oracle (a seeded rng.choice would not be)
-    C = sample[(np.arange(n_lists) * sample.shape[0]) // n_lists].copy()
-    for _ in range(iters):
-        assign = np.argmax(sample @ C.T, axis=1)
-        for k in range(n_lists):
-            members = sample[assign == k]
-            if members.shape[0]:
-                c = members.mean(axis=0)
-                C[k] = c / max(np.linalg.norm(c), 1e-12)
+    C = _ivf_centroids(ds, n_lists, iters)
 
     def query_batch(t: pa.Table) -> pa.Table:
         return t.filter(pc.less(t["vec_id"], N_QUERIES))
@@ -475,7 +482,12 @@ SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM r WHERE rn <= {TOP
 """
 
 
-def _ivf_sql(n_lists: int = 8, n_probe: int = 3, iters: int = 10, dim: int = 64) -> str:
+def _kmeans_assign_sql(n_lists: int = 8, iters: int = 10, dim: int = 64) -> str:
+    """WITH-clause text reproducing _ivf_centroids + full-corpus assignment:
+    CTEs ``e`` (vec_id, emb), ``allv`` (vec_id, normalized nv) and ``vl``
+    (vec_id, k = argmax-inner-product cluster, ties to lowest k exactly like
+    np.argmax). Shared verbatim by SQL_KNN_IVF and SQL_SEMDEDUP
+    (queries_traindata.py) so both oracles carry the identical quantizer."""
     parts = [f"""
 WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 st AS (SELECT GREATEST(COUNT(*) // 512, 1) AS step FROM e),
@@ -527,7 +539,13 @@ vl AS (
              ORDER BY list_inner_product(a.nv, c.v) DESC, c.k) AS rn
     FROM allv a CROSS JOIN cent{iters} c
   ) WHERE rn = 1
-),
+)""")
+    return "".join(parts)
+
+
+def _ivf_sql(n_lists: int = 8, n_probe: int = 3, iters: int = 10, dim: int = 64) -> str:
+    parts = [_kmeans_assign_sql(n_lists, iters, dim)]
+    parts.append(f""",
 qp AS (
   SELECT vec_id AS query_id, k FROM (
     SELECT a.vec_id, c.k,

@@ -162,6 +162,17 @@ def ensure_hash_shuffle(ds=None, num_partitions: int | None = None):
     return ds
 
 
+def from_pandas_clean(df):
+    """``pa.Table.from_pandas`` without the pandas schema-metadata dict.
+    Mid-pipeline tables MUST use this: the metadata blob makes block
+    schemas unhashable to Ray's shuffle dedup ("Failed to hash the schemas"
+    log spam + per-task schema unification) and makes byte-identical blocks
+    compare unequal."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def collect_table(ds):
     """Arrow-native driver collect of a SMALL-RESULT Dataset: fetch the
     result blocks (zero-copy Arrow out of the object store) and concat,
