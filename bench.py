@@ -222,7 +222,7 @@ def run_bench() -> dict:
                      "knn_bruteforce", "doc_text_stats", "find_peaks", "dedup_clusters",
                      "embedding_neardup", "lomb_scargle", "retention_prune", "continuous_aggregate",
                      "c4_filters", "vocab_topk", "unigram_logprob", "stratified_sample", "pii_scrub",
-                     "knn_ann"):
+                     "knn_ann", "decontaminate", "token_budget_sample", "source_mix", "semdedup"):
             t0 = time.time()
             qs[name](SF_DIR)
             queries[name] = round(time.time() - t0, 3)
