@@ -68,7 +68,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """58 entries: every operator family from SURVEY.md §2 + the
+    """59 entries: every operator family from SURVEY.md §2 + the
     training-data extensions (dedup/ANN/text-QC/sampling/curation), with
     same-row-set families merged into compositional queries
     (queries_merged.py, knn_ann, sampling_policies) so that the 50 slots of
@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": qtd.q_token_budget_sample,
         "source_mix": qtd.q_source_mix,
         "semdedup": qtd.q_semdedup,
+        "curation_pipeline": qtd.q_curation_pipeline,
     }
 
 
@@ -241,4 +242,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": qtd.SQL_TOKEN_BUDGET_SAMPLE,
         "source_mix": qtd.SQL_SOURCE_MIX,
         "semdedup": qtd.SQL_SEMDEDUP,
+        "curation_pipeline": qtd.SQL_CURATION_PIPELINE,
     }

@@ -513,3 +513,82 @@ FROM vl v LEFT JOIN dup d ON d.vec_id = v.vec_id"""
 
 
 SQL_SEMDEDUP = _semdedup_sql()
+
+
+# ---- composed curation pipeline ---------------------------------------------
+
+
+def q_curation_pipeline(sf_dir: str):
+    """The end-to-end keep/drop decision a curation run produces: quality
+    filters -> repetition filters -> benchmark decontamination -> exact
+    dedup -> MinHash near-dup, with the FIRST failing stage as the drop
+    reason (the standard funnel ordering: cheap stateless filters first,
+    shuffle-bearing dedup last). Pure composition of hash-proven component
+    queries (queries_merged precedent) — no arithmetic re-derived, outputs
+    are bools/strings only, so the compare is representation-cliff-free.
+    Dedup keep policy: lowest doc_id survives (exact: the groupby-min
+    keeper; near-dup: a doc is dropped iff it appears as doc_b in a
+    verified pair — pairs are emitted doc_a < doc_b)."""
+    from chronoxtract_ray.pipelines.queries_docs import (
+        q_dedup_exact,
+        q_doc_fingerprint,
+        q_minhash_neardup,
+    )
+    from chronoxtract_ray.pipelines.queries_textqc import q_c4_filters
+
+    c4 = q_c4_filters(sf_dir).to_pandas()[["doc_id", "keep", "rep_keep"]]
+    dec = q_decontaminate(sf_dir).to_pandas()[["doc_id", "contaminated"]]
+    fp = q_doc_fingerprint(sf_dir).to_pandas()
+    dup = q_dedup_exact(sf_dir).to_pandas()[["content_hash", "keeper_doc_id"]]
+    nd = q_minhash_neardup(sf_dir).to_pandas()
+
+    df = c4.merge(dec, on="doc_id").merge(fp, on="doc_id")
+    df = df.merge(dup, left_on="fingerprint", right_on="content_hash", how="left")
+    exact_dup = (df.doc_id != df.keeper_doc_id).to_numpy()
+    near_dup = df.doc_id.isin(nd.doc_b.unique()).to_numpy()
+    keep = df.keep.to_numpy()
+    rep = df.rep_keep.to_numpy()
+    cont = df.contaminated.to_numpy()
+    reason = np.select(
+        [~keep, ~rep, cont, exact_dup, near_dup],
+        ["quality", "repetition", "contaminated", "exact_dup", "near_dup"],
+        default="kept",
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df.doc_id.to_numpy(), pa.int64()),
+            "kept": pa.array(reason == "kept", pa.bool_()),
+            "drop_reason": pa.array(reason, pa.string()),
+        }
+    )
+
+
+def _curation_sql() -> str:
+    from chronoxtract_ray.pipelines.queries_docs import SQL_DEDUP_EXACT, SQL_MINHASH_NEARDUP
+    from chronoxtract_ray.pipelines.queries_textqc import SQL_C4_FILTERS
+
+    return f"""
+SELECT j.doc_id,
+  (j.keep AND j.rep_keep AND NOT j.contaminated
+   AND NOT j.exact_dup AND NOT j.near_dup) AS kept,
+  CASE WHEN NOT j.keep THEN 'quality'
+       WHEN NOT j.rep_keep THEN 'repetition'
+       WHEN j.contaminated THEN 'contaminated'
+       WHEN j.exact_dup THEN 'exact_dup'
+       WHEN j.near_dup THEN 'near_dup'
+       ELSE 'kept' END AS drop_reason
+FROM (
+  SELECT c4.doc_id, c4.keep, c4.rep_keep, dec.contaminated,
+    (dup.keeper_doc_id != c4.doc_id) AS exact_dup,
+    (nd.doc_b IS NOT NULL) AS near_dup
+  FROM ({SQL_C4_FILTERS}) c4
+  JOIN ({SQL_DECONTAMINATE}) dec USING (doc_id)
+  JOIN documents d ON d.doc_id = c4.doc_id
+  JOIN ({SQL_DEDUP_EXACT}) dup ON dup.content_hash = md5(d.text)
+  LEFT JOIN (SELECT DISTINCT doc_b FROM ({SQL_MINHASH_NEARDUP})) nd
+    ON nd.doc_b = c4.doc_id
+) j
+"""
+
+
+SQL_CURATION_PIPELINE = _curation_sql()

@@ -145,3 +145,25 @@ def test_semdedup_semantics(td):
     assert (dup.max_sim_lower >= td._SEM_TAU - 1e-6).all()
     assert dup.shape[0] > 0, "the synthetic embeddings contain near-dups above tau"
     assert dup.shape[0] < len(a) / 2, "pruning should not remove most of the corpus"
+
+
+def test_curation_pipeline_funnel(td):
+    t = td.q_curation_pipeline(SF).to_pandas()
+    assert len(t) == 500 and t.doc_id.is_unique
+    assert (t.kept == (t.drop_reason == "kept")).all()
+    reasons = set(t.drop_reason.unique())
+    assert "kept" in reasons and {"quality", "repetition", "contaminated"} & reasons
+    # first-fail precedence: recompute from the component queries
+    from chronoxtract_ray.pipelines.queries_docs import q_minhash_neardup
+    from chronoxtract_ray.pipelines.queries_textqc import q_c4_filters
+
+    c4 = q_c4_filters(SF).to_pandas().set_index("doc_id")
+    dec = td.q_decontaminate(SF).to_pandas().set_index("doc_id")
+    nd = q_minhash_neardup(SF).to_pandas()
+    assert (nd.doc_a < nd.doc_b).all()  # the keep-lowest policy's premise
+    joined = t.set_index("doc_id")
+    q = c4.loc[joined.index]
+    assert (joined.drop_reason[~q.keep] == "quality").all()
+    assert (joined.drop_reason[q.keep & ~q.rep_keep] == "repetition").all()
+    d = dec.loc[joined.index]
+    assert (joined.drop_reason[q.keep & q.rep_keep & d.contaminated] == "contaminated").all()
