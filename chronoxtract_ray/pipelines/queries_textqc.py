@@ -452,16 +452,11 @@ def q_stratified_sample(sf_dir: str):
     return collect_table(out)
 
 
-SQL_STRATIFIED_SAMPLE = f"""
-WITH r AS (
-  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
-    row_number() OVER (
-      PARTITION BY source
-      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-  FROM documents
-)
-SELECT source, doc_id, sample_key FROM r WHERE rn <= {_SAMPLE_K}
-"""
+# The registered oracle for the 'stratified_sample' driver slot lives in
+# queries_traindata.SQL_SAMPLING_POLICIES (method-tagged union of this
+# top-K policy + the token-budget policy, r4); this component's selection
+# is pinned against q_sampling_policies' 'topk' half in
+# tests/test_traindata.py so the two can't drift.
 
 
 # ---- PII scrubbing ---------------------------------------------------------

@@ -94,14 +94,17 @@ def _doc_trigrams(t: pa.Table) -> pd.DataFrame:
 
 
 def _n_words(t: pa.Table) -> np.ndarray:
-    """Whitespace word count per row, c4_filters semantics (0 for
-    empty-trim rows; the split's [''] artifact corrected identically)."""
+    """Whitespace word count per row — ONE tokenization contract for the
+    whole doc family: delegates to queries_docs._tokenized (the kernel the
+    SQL oracles are proven against) instead of re-deriving the
+    empty-trim/[''] handling here."""
     import pyarrow.compute as pc
 
+    from chronoxtract_ray.pipelines.queries_docs import _tokenized
+
     txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
-    tr = pc.utf8_trim_whitespace(txt)
-    counts = pc.list_value_length(pc.utf8_split_whitespace(tr)).to_numpy().astype(np.int64)
-    return np.where(pc.utf8_length(tr).to_numpy().astype(np.int64) == 0, 0, counts)
+    n_tokens, _flat, _offsets = _tokenized(txt)
+    return n_tokens
 
 
 # ---- benchmark decontamination ---------------------------------------------
@@ -393,11 +396,24 @@ FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
 """
 
 
-def q_sampling_policies(sf_dir: str, k: int = 5, budget: int = _BUDGET_TOKENS):
+def _sample_k_default() -> int:
+    """stratified_sample's K — referenced, not duplicated, so the union's
+    topk half can never drift from the component query."""
+    from chronoxtract_ray.pipelines.queries_textqc import _SAMPLE_K
+
+    return _SAMPLE_K
+
+
+def q_sampling_policies(sf_dir: str, k: int | None = None, budget: int = _BUDGET_TOKENS):
     """BOTH deterministic sampling policies as one method-tagged query
     (knn_ann precedent): 'topk' = stratified_sample's K-smallest-hash rows
     per source (same selection, now with token accounting), 'budget' = the
-    token-budget prefix. One read, one combiner, one shuffle for both."""
+    token-budget prefix. One read, one combiner, one shuffle for both.
+    NOTE: SQL_SAMPLING_POLICIES is built for the DEFAULTS (k=_SAMPLE_K,
+    budget=_BUDGET_TOKENS); non-default arguments are for library callers
+    and have no registered oracle."""
+    if k is None:
+        k = _sample_k_default()
     ds = _doc_sample_stream(sf_dir)
 
     def prune(t: pa.Table) -> pa.Table:
@@ -414,7 +430,8 @@ def q_sampling_policies(sf_dir: str, k: int = 5, budget: int = _BUDGET_TOKENS):
     return collect_table(out)
 
 
-SQL_SAMPLING_POLICIES = f"""
+def _sampling_policies_sql() -> str:
+    return f"""
 WITH w AS (
   SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
     CAST(CASE WHEN trim(text) = '' THEN 0
@@ -429,11 +446,14 @@ WITH w AS (
   FROM w
 )
 SELECT 'topk' AS method, source, doc_id, sample_key, n_tokens, cum_tokens
-FROM c WHERE rn <= 5
+FROM c WHERE rn <= {_sample_k_default()}
 UNION ALL
 SELECT 'budget' AS method, source, doc_id, sample_key, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
 """
+
+
+SQL_SAMPLING_POLICIES = _sampling_policies_sql()
 
 
 # ---- SemDeDup-style semantic deduplication ----------------------------------

@@ -79,6 +79,17 @@ def test_sampling_policies_vs_independent_reference(td):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_sampling_topk_half_equals_component_query(td):
+    """The union's 'topk' half must select exactly q_stratified_sample's
+    rows (the component keeps its own API; this pins them together)."""
+    from chronoxtract_ray.pipelines.queries_textqc import q_stratified_sample
+
+    union = td.q_sampling_policies(SF).to_pandas()
+    topk = union[union.method == "topk"][["source", "doc_id", "sample_key"]]
+    comp = q_stratified_sample(SF).to_pandas()[["source", "doc_id", "sample_key"]]
+    pd.testing.assert_frame_equal(_canon(topk), _canon(comp), check_dtype=False)
+
+
 def test_budget_sample_maximality(td):
     """Selected per-source prefixes are maximal: each source's selection
     fills the budget exactly up to (not past) the next doc in hash order."""
@@ -129,7 +140,10 @@ def test_sample_local_prune_exact_under_random_splits(td):
         got = pd.concat(outs, ignore_index=True)
         got_sel = _canon(got[["source", "doc_id", "sample_key", "n_tokens", "cum_tokens"]].drop_duplicates())
         want = _canon(truth[["source", "doc_id", "sample_key", "n_tokens", "cum_tokens"]])
-        pd.testing.assert_frame_equal(got_sel, want, check_dtype=False), f"trial {trial}"
+        try:
+            pd.testing.assert_frame_equal(got_sel, want, check_dtype=False)
+        except AssertionError as e:
+            raise AssertionError(f"trial {trial} (n={n}, k={k}, budget={budget}, nb={nb})") from e
 
 
 def test_semdedup_semantics(td):
