@@ -202,9 +202,10 @@ def q_doc_text_stats(sf_dir: str):
     within a batch, so one ``map_batches`` applies all six and
     column-concatenates — identical values to running the component queries
     (same per-batch kernels, see their definitions in queries_docs.py /
-    queries_traindata.py), at one read/scan instead of six. The decon
-    kernel's benchmark gram set is built first (benchmark-sized) and rides
-    the same broadcast-once pattern as its standalone query."""
+    queries_traindata.py), at one scoring scan plus the benchmark-set pass
+    (the decon kernel's gram set is distilled from a separate pass over the
+    benchmark slice — benchmark-sized output, corpus-sized read — then
+    rides the same broadcast-once pattern as its standalone query)."""
     import ray
 
     from chronoxtract_ray.pipelines import queries_docs as qd

@@ -54,6 +54,95 @@ _REP_TOP_BIGRAM = 0.05
 _REP_DUP_TRIGRAM = 0.01
 
 
+def c4_flags_batch(t: pa.Table) -> pa.Table:
+    """Module-level C4+Gopher per-batch kernel so q_curation_pipeline can
+    fuse it with the decontamination / fingerprint kernels in one corpus
+    pass (same pattern as queries_merged's fused doc_text_stats)."""
+    import pyarrow.compute as pc
+
+    # all-Arrow/numpy: the previous pandas form boxed every text through
+    # to_pylist and ran a Python lambda per row for max word length —
+    # this is the per-doc projection a 100-TB corpus streams through
+    txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
+    ndocs = t.num_rows
+    topw = np.zeros(ndocs, np.int64)
+    topb = np.zeros(ndocs, np.int64)
+    tot3 = np.zeros(ndocs, np.int64)
+    dis3 = np.zeros(ndocs, np.int64)
+    if ndocs == 0:
+        n_words = word_chars = max_wl = n_chars = n_alpha = np.empty(0, np.int64)
+    else:
+        tr = pc.utf8_trim_whitespace(txt)
+        sp = pc.utf8_split_whitespace(tr)  # [''] for whitespace-only rows
+        counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
+        flat_tok = pc.list_flatten(sp)
+        if isinstance(flat_tok, pa.ChunkedArray):
+            flat_tok = flat_tok.combine_chunks()
+        flat_len = pc.utf8_length(flat_tok).to_numpy().astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        word_chars = np.add.reduceat(flat_len, offsets)  # '' token adds 0
+        max_wl = np.maximum.reduceat(flat_len, offsets)
+        n_words = np.where(pc.utf8_length(tr).to_numpy().astype(np.int64) == 0, 0, counts)
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
+        # ---- repetition n-gram counts over dictionary-encoded tokens:
+        # per-doc group keys are doc*K + gram_id (hierarchical ids keep
+        # every key far inside int64), counted with one np.unique pass
+        tid = pc.dictionary_encode(flat_tok).indices.to_numpy().astype(np.int64)
+        V = np.int64(max(int(tid.max(initial=-1)) + 1, 1))
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        uk, ck = np.unique(doc_idx * V + tid, return_counts=True)
+        np.maximum.at(topw, uk // V, ck)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        if adj.any():
+            bdoc = doc_idx[:-1][adj]
+            pu, pinv = np.unique(tid[:-1][adj] * V + tid[1:][adj], return_inverse=True)
+            P = np.int64(pu.size)
+            ukb, ckb = np.unique(bdoc * P + pinv, return_counts=True)
+            np.maximum.at(topb, ukb // P, ckb)
+            adj2 = adj[1:] & adj[:-1]
+            if adj2.any():
+                pair_full = np.full(tid.size - 1, -1, np.int64)
+                pair_full[adj] = pinv
+                tdoc = doc_idx[2:][adj2]
+                _tu, tinv = np.unique(pair_full[:-1][adj2] * V + tid[2:][adj2], return_inverse=True)
+                T = np.int64(_tu.size)
+                ukt = np.unique(tdoc * T + tinv)
+                np.add.at(dis3, ukt // T, 1)
+                tot3 = np.bincount(tdoc, minlength=ndocs).astype(np.int64)
+    mwl = np.where(n_words > 0, word_chars / np.maximum(n_words, 1), 0.0)
+    ar = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+    keep = (
+        (n_words >= _MIN_WORDS)
+        & (mwl >= _MEAN_WL_LO)
+        & (mwl <= _MEAN_WL_HI)
+        & (max_wl <= _MAX_WORD_LEN)
+        & (ar >= _MIN_ALPHA_RATIO)
+    )
+    # docs under 3 tokens have no defined repetition stats: 0.0 on both
+    # sides (the oracle CASE-guards identically) so the hash stays exact
+    ok = n_words >= 3
+    fw = np.where(ok, topw / np.maximum(n_words, 1), 0.0)
+    fb = np.where(ok, topb / np.maximum(n_words - 1, 1), 0.0)
+    fd = np.where(ok, (tot3 - dis3) / np.maximum(tot3, 1), 0.0)
+    rep_keep = ok & (fw <= _REP_TOP_WORD) & (fb <= _REP_TOP_BIGRAM) & (fd <= _REP_DUP_TRIGRAM)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "max_word_len": pa.array(max_wl, pa.int64()),
+            "mean_word_len": pa.array(_round(mwl), pa.float64()),
+            "alpha_ratio": pa.array(_round(ar), pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
+            "top_word_frac": pa.array(_round(fw), pa.float64()),
+            "top_bigram_frac": pa.array(_round(fb), pa.float64()),
+            "dup_trigram_frac": pa.array(_round(fd), pa.float64()),
+            "rep_keep": pa.array(rep_keep, pa.bool_()),
+        }
+    )
+
+
+
 def q_c4_filters(sf_dir: str):
     """Per-doc C4-style filter verdict (word count, mean/max word length,
     alphabetic-character ratio → ``keep``) PLUS Gopher-style repetition
@@ -62,94 +151,8 @@ def q_c4_filters(sf_dir: str):
     stateless vectorized map_batches — at 100 TB this runs as a pure
     streaming projection with no shuffle and no driver contact; n-gram
     counting is dictionary-encode + integer-key np.unique, never a Python
-    loop over tokens."""
-    ds = _docs(sf_dir)
-
-    def flags(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # all-Arrow/numpy: the previous pandas form boxed every text through
-        # to_pylist and ran a Python lambda per row for max word length —
-        # this is the per-doc projection a 100-TB corpus streams through
-        txt = pc.fill_null(t["text"], "") if t["text"].null_count else t["text"]
-        ndocs = t.num_rows
-        topw = np.zeros(ndocs, np.int64)
-        topb = np.zeros(ndocs, np.int64)
-        tot3 = np.zeros(ndocs, np.int64)
-        dis3 = np.zeros(ndocs, np.int64)
-        if ndocs == 0:
-            n_words = word_chars = max_wl = n_chars = n_alpha = np.empty(0, np.int64)
-        else:
-            tr = pc.utf8_trim_whitespace(txt)
-            sp = pc.utf8_split_whitespace(tr)  # [''] for whitespace-only rows
-            counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
-            flat_tok = pc.list_flatten(sp)
-            if isinstance(flat_tok, pa.ChunkedArray):
-                flat_tok = flat_tok.combine_chunks()
-            flat_len = pc.utf8_length(flat_tok).to_numpy().astype(np.int64)
-            offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            word_chars = np.add.reduceat(flat_len, offsets)  # '' token adds 0
-            max_wl = np.maximum.reduceat(flat_len, offsets)
-            n_words = np.where(pc.utf8_length(tr).to_numpy().astype(np.int64) == 0, 0, counts)
-            n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
-            n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
-            # ---- repetition n-gram counts over dictionary-encoded tokens:
-            # per-doc group keys are doc*K + gram_id (hierarchical ids keep
-            # every key far inside int64), counted with one np.unique pass
-            tid = pc.dictionary_encode(flat_tok).indices.to_numpy().astype(np.int64)
-            V = np.int64(max(int(tid.max(initial=-1)) + 1, 1))
-            doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
-            uk, ck = np.unique(doc_idx * V + tid, return_counts=True)
-            np.maximum.at(topw, uk // V, ck)
-            adj = doc_idx[1:] == doc_idx[:-1]
-            if adj.any():
-                bdoc = doc_idx[:-1][adj]
-                pu, pinv = np.unique(tid[:-1][adj] * V + tid[1:][adj], return_inverse=True)
-                P = np.int64(pu.size)
-                ukb, ckb = np.unique(bdoc * P + pinv, return_counts=True)
-                np.maximum.at(topb, ukb // P, ckb)
-                adj2 = adj[1:] & adj[:-1]
-                if adj2.any():
-                    pair_full = np.full(tid.size - 1, -1, np.int64)
-                    pair_full[adj] = pinv
-                    tdoc = doc_idx[2:][adj2]
-                    _tu, tinv = np.unique(pair_full[:-1][adj2] * V + tid[2:][adj2], return_inverse=True)
-                    T = np.int64(_tu.size)
-                    ukt = np.unique(tdoc * T + tinv)
-                    np.add.at(dis3, ukt // T, 1)
-                    tot3 = np.bincount(tdoc, minlength=ndocs).astype(np.int64)
-        mwl = np.where(n_words > 0, word_chars / np.maximum(n_words, 1), 0.0)
-        ar = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
-        keep = (
-            (n_words >= _MIN_WORDS)
-            & (mwl >= _MEAN_WL_LO)
-            & (mwl <= _MEAN_WL_HI)
-            & (max_wl <= _MAX_WORD_LEN)
-            & (ar >= _MIN_ALPHA_RATIO)
-        )
-        # docs under 3 tokens have no defined repetition stats: 0.0 on both
-        # sides (the oracle CASE-guards identically) so the hash stays exact
-        ok = n_words >= 3
-        fw = np.where(ok, topw / np.maximum(n_words, 1), 0.0)
-        fb = np.where(ok, topb / np.maximum(n_words - 1, 1), 0.0)
-        fd = np.where(ok, (tot3 - dis3) / np.maximum(tot3, 1), 0.0)
-        rep_keep = ok & (fw <= _REP_TOP_WORD) & (fb <= _REP_TOP_BIGRAM) & (fd <= _REP_DUP_TRIGRAM)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_words": pa.array(n_words, pa.int64()),
-                "max_word_len": pa.array(max_wl, pa.int64()),
-                "mean_word_len": pa.array(_round(mwl), pa.float64()),
-                "alpha_ratio": pa.array(_round(ar), pa.float64()),
-                "keep": pa.array(keep, pa.bool_()),
-                "top_word_frac": pa.array(_round(fw), pa.float64()),
-                "top_bigram_frac": pa.array(_round(fb), pa.float64()),
-                "dup_trigram_frac": pa.array(_round(fd), pa.float64()),
-                "rep_keep": pa.array(rep_keep, pa.bool_()),
-            }
-        )
-
-    return collect_table(ds.map_batches(flags, batch_format="pyarrow"))
+    loop over tokens (kernel: c4_flags_batch)."""
+    return collect_table(_docs(sf_dir).map_batches(c4_flags_batch, batch_format="pyarrow"))
 
 
 SQL_C4_FILTERS = rf"""
