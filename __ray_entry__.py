@@ -68,15 +68,18 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """59 entries: every operator family from SURVEY.md §2 + the
+    """54 entries: every operator family from SURVEY.md §2 + the
     training-data extensions (dedup/ANN/text-QC/sampling/curation), with
-    same-row-set families merged into compositional queries
+    same-family queries merged into compositional queries
     (queries_merged.py, knn_ann, sampling_policies) so that the 50 slots of
-    the driver's check window each hash-verify a DISTINCT operator; the
-    entries past it are either non-SQL-expressible (seeded MC / MCMC /
-    µs-surface / multimodal) or round-4 curation extensions whose oracles
-    ARE declared below and strict-hash-checked in pytest (see the trailing
-    comments in oracle_sql)."""
+    the driver's check window each hash-verify a DISTINCT operator — the r5
+    rotation (VERDICT r4 #3) folded gorilla_roundtrip into tier_cascade_1h,
+    gap_filled_hourly into continuous_aggregate, slope/hjorth/turning into
+    shape_windows and stl_strengths/detect_seasonality into
+    seasonality_stats (tagged unions/joins, no component row or value lost
+    — see queries_merged.py round-5 section), bringing ALL five curation
+    queries inside the window. The only entries past slot 50 are the four
+    non-SQL-expressible ones (seeded MC / MCMC / µs-surface / multimodal)."""
     return {
         # ---- dedup + text analysis over documents ----
         "dedup_exact": qd.q_dedup_exact,
@@ -105,27 +108,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "carma_mle": qe.q_carma_mle,
         "carma_order": qe.q_carma_order,
         # ---- tiers / gap-fill / compression ----
-        "continuous_aggregate": qe.q_continuous_aggregate,
-        "tier_cascade_1h": qe.q_tier_cascade_1h,
-        "gorilla_roundtrip": qe.q_gorilla_roundtrip,
+        # r5 merges: continuous_aggregate ∪ gap_filled_hourly (tagged),
+        # tier_cascade_1h ⨝ gorilla_roundtrip (same row set)
+        "continuous_aggregate": qm.q_contagg_gapfill,
+        "tier_cascade_1h": qm.q_tier_gorilla,
         "retention_prune": qe.q_retention_prune,
-        "gap_filled_hourly": qe.q_gap_filled_hourly,
         # ---- windowed feature rollups over events (time-series core) ----
         "window_summary": qm.q_window_summary,  # moments + quantiles + mode
         "window_skew_kurt": qe.q_window_skew_kurt,
-        "slope_features": qe.q_slope_features,
-        "hjorth": qe.q_hjorth,
-        "turning_points": qe.q_turning_points,
+        "shape_windows": qm.q_shape_windows,  # slope + hjorth + turning, tagged
         # ---- rolling scans ----
         "rolling_scans": qm.q_rolling_scans,  # mean + variance + esum + ema
         "sliding_window_entropy": qf.q_sliding_window_entropy,
         # ---- spectral / entropy / seasonality ----
         "fft_bands": qe.q_fft_bands,
         "lomb_scargle": qe.q_lomb_scargle,
-        "stl_strengths": qe.q_stl_strengths,
+        "seasonality_stats": qm.q_seasonality_stats,  # stl strengths + acf12, tagged
         "complexity_stats": qm.q_complexity_stats,  # dfa + lzc
         "multiscale_entropy": qf.q_multiscale_entropy,
-        "detect_seasonality": qf.q_detect_seasonality,
         "stl_decompose": qf.q_stl_decompose,
         "rolling_fvar": qf.q_rolling_fvar,
         # ---- temporal joins ----
@@ -141,22 +141,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_peaks": qf.q_find_peaks,
         "matrix_transforms": qm.q_matrix_transforms,  # tde + gasf + mtf
         "series_stats": qm.q_series_stats,  # m5-m8 + p2p + zcr + energy + cv
+        # ---- training-data curation family (in-window since r5; each has a
+        # full SQL oracle below + pytest strict-hash parity at sf0.001/0.01;
+        # decontaminate/token_budget_sample ALSO ride the doc_text_stats
+        # fusion / sampling_policies union hash checks) ----
+        "decontaminate": qtd.q_decontaminate,
+        "token_budget_sample": qtd.q_token_budget_sample,
+        "source_mix": qtd.q_source_mix,
+        "semdedup": qtd.q_semdedup,
+        "curation_pipeline": qtd.q_curation_pipeline,
         # ==== entries 51+: rows-only by declared reason (see oracle_sql
         # trailing comment); everything hash-checkable sits above ====
         "zdcf_pairs": qf.q_zdcf,
         "carma_mcmc": qe.q_carma_mcmc,
         "variability_timescale": qe.q_variability_timescale,
         "multimodal_features": qt.q_multimodal_features,
-        # ---- round-4 training-data curation extensions (each has a full
-        # SQL oracle + pytest strict-hash parity at sf0.001/0.01; past the
-        # window only because the first 50 slots each cover a DISTINCT
-        # operator. decontaminate/token_budget_sample are ALSO hash-checked
-        # in-window via the doc_text_stats fusion / sampling_policies union.
-        "decontaminate": qtd.q_decontaminate,
-        "token_budget_sample": qtd.q_token_budget_sample,
-        "source_mix": qtd.q_source_mix,
-        "semdedup": qtd.q_semdedup,
-        "curation_pipeline": qtd.q_curation_pipeline,
     }
 
 
@@ -171,14 +170,10 @@ def oracle_sql() -> dict[str, str]:
         "matrix_transforms": qm.SQL_MATRIX_TRANSFORMS,
         "series_stats": qm.SQL_SERIES_STATS,
         "window_skew_kurt": qe.SQL_WINDOW_SKEW_KURT,
-        "slope_features": qe.SQL_SLOPE_FEATURES,
-        "hjorth": qe.SQL_HJORTH,
-        "turning_points": qe.SQL_TURNING_POINTS,
-        "gap_filled_hourly": qe.SQL_GAP_FILLED_HOURLY,
-        "tier_cascade_1h": qe.SQL_TIER_CASCADE_1H,
-        "gorilla_roundtrip": qe.SQL_GORILLA_ROUNDTRIP,
+        "shape_windows": qm.SQL_SHAPE_WINDOWS,
+        "tier_cascade_1h": qm.SQL_TIER_GORILLA,
         "retention_prune": qe.SQL_RETENTION_PRUNE,
-        "continuous_aggregate": qe.SQL_CONTINUOUS_AGGREGATE,
+        "continuous_aggregate": qm.SQL_CONTAGG_GAPFILL,
         "sessionize": qj.SQL_SESSIONIZE,
         "asof_join": qj.SQL_ASOF_JOIN,
         "range_join": qj.SQL_RANGE_JOIN,
@@ -198,7 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "peak_stats": qf.SQL_PEAK_STATS,
         "find_peaks": qf.SQL_FIND_PEAKS,
         "sliding_window_entropy": qf.SQL_SLIDING_WINDOW_ENTROPY,
-        "stl_strengths": qf.SQL_STL_STRENGTHS,
+        "seasonality_stats": qm.SQL_SEASONALITY_STATS,
         "fft_bands": qe.SQL_FFT_BANDS,
         "entropy_features": qe.SQL_ENTROPY_FEATURES,
         "lomb_scargle": qe.SQL_LOMB_SCARGLE,
@@ -216,7 +211,6 @@ def oracle_sql() -> dict[str, str]:
         # (knn_lsh precedent); the Kalman recursion is the carma_loglik CTE.
         "carma_mle": qe.SQL_CARMA_MLE,
         "carma_order": qe.SQL_CARMA_ORDER,
-        "detect_seasonality": qf.SQL_DETECT_SEASONALITY,
         "rolling_fvar": qf.SQL_ROLLING_FVAR,
         "stl_decompose": qf.SQL_STL_DECOMPOSE,
         # Still rows-only:

@@ -217,12 +217,16 @@ def run_bench() -> dict:
 
         qs = entrymod.queries()
         fp_prev = _kernel_screen()
-        for name in ("window_summary", "rolling_scans", "gap_filled_hourly", "tier_cascade_1h",
-                     "gorilla_roundtrip", "entropy_features", "dedup_exact", "minhash_neardup",
+        # r5 rotation: gap_filled_hourly/gorilla_roundtrip now ride the
+        # merged continuous_aggregate/tier_cascade_1h entries; the composed
+        # curation_pipeline (now fully distributed) joins the set
+        for name in ("window_summary", "rolling_scans", "tier_cascade_1h",
+                     "entropy_features", "dedup_exact", "minhash_neardup",
                      "knn_bruteforce", "doc_text_stats", "find_peaks", "dedup_clusters",
                      "embedding_neardup", "lomb_scargle", "retention_prune", "continuous_aggregate",
                      "c4_filters", "vocab_topk", "unigram_logprob", "stratified_sample", "pii_scrub",
-                     "knn_ann", "decontaminate", "token_budget_sample", "source_mix", "semdedup"):
+                     "knn_ann", "decontaminate", "token_budget_sample", "source_mix", "semdedup",
+                     "curation_pipeline"):
             t0 = time.time()
             qs[name](SF_DIR)
             queries[name] = round(time.time() - t0, 3)

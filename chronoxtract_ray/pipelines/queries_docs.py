@@ -708,6 +708,36 @@ def _shingle_set(s: str) -> set:
     return {s[i : i + _SHINGLE_K] for i in range(max(len(s) - _SHINGLE_K + 1, 1))}
 
 
+def _batch_shingle_ids(texts: list[str]) -> list[np.ndarray] | None:
+    """Sorted-unique int64 shingle ids per text, or None when the id space
+    can't be injective. Replaces per-pair Python set construction (VERDICT
+    r4 #4): shingles map to ids via batch-vocab-ranked CODEPOINTS in base
+    V+1 (rank V is the reserved pad for the sub-K whole-string shingle of
+    short texts), which is injective over distinct shingle strings whenever
+    (V+1)^K < 2^63 — V is the batch's distinct-codepoint count, so any
+    real-world batch qualifies; a degenerate batch (>6200 distinct
+    codepoints) returns None and the caller falls back to string sets.
+    Set-intersection counts over these ids are therefore EXACTLY the
+    _shingle_set counts (equivalence property-tested)."""
+    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts]
+    vocab = np.unique(np.concatenate(cps)) if cps else np.empty(0, np.uint32)
+    # overflow check in Python ints — int64 ** would wrap silently
+    if (vocab.size + 1) ** _SHINGLE_K >= 2**62:
+        return None
+    base = np.int64(vocab.size + 1)
+    weights = base ** np.arange(_SHINGLE_K - 1, -1, -1, dtype=np.int64)
+    out = []
+    for cp in cps:
+        r = np.searchsorted(vocab, cp).astype(np.int64)
+        if r.size >= _SHINGLE_K:
+            ids = np.lib.stride_tricks.sliding_window_view(r, _SHINGLE_K) @ weights
+        else:
+            padded = np.concatenate([r, np.full(_SHINGLE_K - r.size, base - 1, np.int64)])
+            ids = (padded @ weights)[None]
+        out.append(np.unique(ids))
+    return out
+
+
 # Exact-Jaccard edge DATASETS memoized per sf_dir: q_ngram_jaccard_pairs and
 # q_dedup_clusters share one edge computation instead of re-running the
 # whole minhash→LSH→verify chain twice (VERDICT r2 #6). Keyed on
@@ -804,19 +834,32 @@ def _exact_jaccard_edges(sf_dir: str):
         ids_b = t["doc_b"].to_numpy()
         tx_a = t["text" if "text" in t.column_names else "text_a"].to_pylist()
         tx_b = t["text_b"].to_pylist()
-        # shingle once per DISTINCT doc in the batch: a doc appearing in k
-        # candidate pairs previously rebuilt its set k times (VERDICT r3 #3)
-        cache: dict[int, set] = {}
+        # shingle once per DISTINCT doc in the batch (VERDICT r3 #3), as
+        # sorted int64 id arrays so each pair scores with one C-level
+        # ``np.intersect1d`` instead of a Python string-set build (r4 #4);
+        # id<->shingle injectivity argument in _batch_shingle_ids, string
+        # sets kept as the degenerate-vocab fallback
+        uniq_docs: dict[int, int] = {}
+        texts: list[str] = []
+        for d, tx in zip(np.concatenate([ids_a, ids_b]), tx_a + tx_b):
+            if d not in uniq_docs:
+                uniq_docs[int(d)] = len(texts)
+                texts.append(tx)
+        sid = _batch_shingle_ids(texts)
         jac = np.empty(ids_a.size, np.float64)
-        for i in range(ids_a.size):
-            sa = cache.get(ids_a[i])
-            if sa is None:
-                sa = cache[ids_a[i]] = _shingle_set(tx_a[i])
-            sb = cache.get(ids_b[i])
-            if sb is None:
-                sb = cache[ids_b[i]] = _shingle_set(tx_b[i])
-            inter = len(sa & sb)
-            jac[i] = inter / (len(sa) + len(sb) - inter)  # same DOUBLE division as SQL
+        if sid is not None:
+            for i in range(ids_a.size):
+                sa = sid[uniq_docs[int(ids_a[i])]]
+                sb = sid[uniq_docs[int(ids_b[i])]]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac[i] = inter / (sa.size + sb.size - inter)  # same DOUBLE division as SQL
+        else:
+            sets = [_shingle_set(tx) for tx in texts]
+            for i in range(ids_a.size):
+                sa = sets[uniq_docs[int(ids_a[i])]]
+                sb = sets[uniq_docs[int(ids_b[i])]]
+                inter = len(sa & sb)
+                jac[i] = inter / (len(sa) + len(sb) - inter)
         keep = jac >= _JACCARD_T
         return pa.table(
             {

@@ -256,3 +256,167 @@ def _sql_doc_text_stats() -> str:
 # deferring the build would complicate the oracle registry (which wants a
 # plain string) to save an import that happens anyway.
 SQL_DOC_TEXT_STATS = _sql_doc_text_stats()
+
+
+# ---- round-5 window-rotation merges (VERDICT r4 #3) ------------------------
+#
+# The driver hash-checks only the FIRST 50 queries() entries; round 4 left
+# the five curation queries past the window. These four merges free five
+# slots WITHOUT dropping any operator's distinct hash check:
+#
+# - tier_cascade_1h      += gorilla_roundtrip   (same (user, hour) row set:
+#                           inner join; the codec's decoded mean rides as
+#                           ``gorilla_mean``)
+# - continuous_aggregate += gap_filled_hourly   (different row sets: tagged
+#                           UNION, matrix_transforms precedent)
+# - shape_windows         = slope_features + hjorth + turning_points
+#                           (per-(user, day-window) families with different
+#                           row filters: tagged union over harmonized
+#                           (v1, v2, v3) value columns)
+# - seasonality_stats     = stl_strengths + detect_seasonality
+#                           (per-user scalars, different n filters: tagged
+#                           union over (v1, v2))
+#
+# Tagged unions preserve EVERY component row and value bit-for-bit (no
+# intersection semantics); harmonized columns cast identically on both the
+# engine and oracle sides (int -> double, bool -> double), so each
+# component's proven hash surface survives the merge unchanged.
+
+
+def q_tier_gorilla(sf_dir: str):
+    """tier_cascade_1h ⨝ gorilla_roundtrip on (user_id, window_start) —
+    both emit exactly the (user, non-empty hour) row set, so the inner join
+    is lossless; ``gorilla_mean`` is the encode→decode roundtrip output."""
+    gr = qe.q_gorilla_roundtrip(sf_dir).rename_columns(["user_id", "window_start", "gorilla_mean"])
+    return _merge([qe.q_tier_cascade_1h(sf_dir), gr], ["user_id", "window_start"])
+
+
+SQL_TIER_GORILLA = _join_sql(
+    [
+        qe.SQL_TIER_CASCADE_1H,
+        f"SELECT user_id, window_start, mean AS gorilla_mean FROM ({qe.SQL_GORILLA_ROUNDTRIP})",
+    ],
+    ["user_id", "window_start"],
+)
+
+
+def q_contagg_gapfill(sf_dir: str):
+    """continuous_aggregate (minute tier read back through the incremental
+    ingest store) ∪ gap_filled_hourly (hourly grid with interpolated gaps),
+    tagged by ``part`` — different grains, so a union, not a join."""
+    ca = qe.q_continuous_aggregate(sf_dir)
+    gf = qe.q_gap_filled_hourly(sf_dir)
+    import numpy as np
+
+    parts = [
+        pa.table(
+            {
+                "part": pa.array(["contagg"] * ca.num_rows, pa.string()),
+                "user_id": ca["user_id"],
+                "window_start": ca["window_start"],
+                "value": ca["mean"],
+                "gap_filled": pa.array(np.zeros(ca.num_rows, bool), pa.bool_()),
+            }
+        ),
+        pa.table(
+            {
+                "part": pa.array(["gapfill"] * gf.num_rows, pa.string()),
+                "user_id": gf["user_id"],
+                "window_start": gf["window_start"],
+                "value": gf["mean_filled"],
+                "gap_filled": gf["gap_filled"],
+            }
+        ),
+    ]
+    return pa.concat_tables(parts)
+
+
+SQL_CONTAGG_GAPFILL = f"""
+SELECT 'contagg' AS part, user_id, window_start, mean AS value, FALSE AS gap_filled
+FROM ({qe.SQL_CONTINUOUS_AGGREGATE})
+UNION ALL
+SELECT 'gapfill' AS part, user_id, window_start, mean_filled AS value, gap_filled
+FROM ({qe.SQL_GAP_FILLED_HOURLY})
+"""
+
+
+def _tagged_union(parts):
+    """(tag, table, value_col_names) triples → one table with harmonized
+    (part, key..., v1..vK) columns; missing trailing values pad with 0.0 and
+    ints/bools cast to float64 — mirrored literally in the oracle SQL."""
+    import numpy as np
+
+    width = max(len(cols) for _, _, _, cols in parts)
+    out = []
+    for tag, t, keys, cols in parts:
+        data = {"part": pa.array([tag] * t.num_rows, pa.string())}
+        for k in keys:
+            data[k] = t[k]
+        for i in range(width):
+            if i < len(cols):
+                col = t[cols[i]]
+                if col.type != pa.float64():
+                    col = pa.array(
+                        col.to_numpy(zero_copy_only=False).astype(np.float64), pa.float64()
+                    )
+            else:
+                col = pa.array(np.zeros(t.num_rows), pa.float64())
+            data[f"v{i + 1}"] = col
+        out.append(pa.table(data))
+    return pa.concat_tables(out)
+
+
+def q_shape_windows(sf_dir: str):
+    """slope_features ∪ hjorth ∪ turning_points over daily windows, tagged
+    by ``part``; value-column map: slope = (mean_slope, slope_variance,
+    max_slope_abs), hjorth = (activity, mobility, complexity), turning =
+    (tp, tp_rate, 0.0 pad). Row sets differ per component filter (n >= 2 /
+    n >= 3 + variance floors / n >= 3) and every one survives verbatim."""
+    return _tagged_union(
+        [
+            ("slope", qe.q_slope_features(sf_dir), ["user_id", "window_start"],
+             ["mean_slope", "slope_variance", "max_slope_abs"]),
+            ("hjorth", qe.q_hjorth(sf_dir), ["user_id", "window_start"],
+             ["activity", "mobility", "complexity"]),
+            ("turning", qe.q_turning_points(sf_dir), ["user_id", "window_start"],
+             ["tp", "tp_rate"]),
+        ]
+    )
+
+
+SQL_SHAPE_WINDOWS = f"""
+SELECT 'slope' AS part, user_id, window_start,
+  mean_slope AS v1, slope_variance AS v2, max_slope_abs AS v3
+FROM ({qe.SQL_SLOPE_FEATURES})
+UNION ALL
+SELECT 'hjorth' AS part, user_id, window_start,
+  activity AS v1, mobility AS v2, complexity AS v3
+FROM ({qe.SQL_HJORTH})
+UNION ALL
+SELECT 'turning' AS part, user_id, window_start,
+  tp::DOUBLE AS v1, tp_rate AS v2, 0.0 AS v3
+FROM ({qe.SQL_TURNING_POINTS})
+"""
+
+
+def q_seasonality_stats(sf_dir: str):
+    """stl_strengths ∪ detect_seasonality per user, tagged by ``part``;
+    value-column map: stl = (seasonal_strength, trend_strength), acf12 =
+    (acf_lag12, detected as 0.0/1.0)."""
+    det = qf.q_detect_seasonality(sf_dir)
+    return _tagged_union(
+        [
+            ("stl", qe.q_stl_strengths(sf_dir), ["user_id"],
+             ["seasonal_strength", "trend_strength"]),
+            ("acf12", det, ["user_id"], ["acf_lag12", "detected"]),
+        ]
+    )
+
+
+SQL_SEASONALITY_STATS = f"""
+SELECT 'stl' AS part, user_id, seasonal_strength AS v1, trend_strength AS v2
+FROM ({qf.SQL_STL_STRENGTHS})
+UNION ALL
+SELECT 'acf12' AS part, user_id, acf_lag12 AS v1, detected::DOUBLE AS v2
+FROM ({qf.SQL_DETECT_SEASONALITY})
+"""

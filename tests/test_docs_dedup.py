@@ -168,3 +168,34 @@ def test_embedding_neardup_tile_chunking_equivalent(ray_session, tmp_path, monke
     assert base.sort_by(key).equals(tiny.sort_by(key))
     pairs = set(zip(base["vec_a"].to_pylist(), base["vec_b"].to_pylist()))
     assert (13, 25) in pairs
+
+
+def test_shingle_ids_equivalent_to_string_sets():
+    """The int64 shingle-id path (r5 pair-scorer vectorization) must count
+    intersections/unions EXACTLY like the string-set path — including empty
+    texts, sub-K texts, unicode, and repeated shingles."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("ab 🙂é\n"))
+    texts_strategy = st.lists(st.text(alphabet=alphabet, max_size=40), min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts_strategy)
+    def run(texts):
+        ids = qd._batch_shingle_ids(texts)
+        assert ids is not None
+        sets = [qd._shingle_set(t) for t in texts]
+        for i in range(len(texts)):
+            assert ids[i].size == len(sets[i]), texts[i]
+            for j in range(i + 1, len(texts)):
+                inter_ids = np.intersect1d(ids[i], ids[j], assume_unique=True).size
+                assert inter_ids == len(sets[i] & sets[j]), (texts[i], texts[j])
+
+    run()
+
+
+def test_shingle_ids_degenerate_vocab_falls_back():
+    # >6200 distinct codepoints in one batch -> injectivity not guaranteed
+    big = "".join(chr(0x4E00 + i) for i in range(7000))
+    assert qd._batch_shingle_ids([big]) is None
