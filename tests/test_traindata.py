@@ -207,3 +207,99 @@ def test_sem_n_lists_derivation(td):
     # expected cluster size stays bounded by the target as the corpus grows
     for n in (10**6, 10**9, 10**12):
         assert n / td._sem_n_lists(n) <= td._SEM_CLUSTER_TARGET
+
+
+def test_sampling_combiner_under_adversarial_skew(td):
+    """VERDICT r4 #7: one source holding 99% of documents must not break the
+    residual-mass combiner's exactness NOR its shuffle bound — per batch and
+    source, the combiner may keep at most k + budget + 1 rows (every
+    positive-token doc adds >= 1 to the cum) plus one marker."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    src = np.where(rng.random(n) < 0.99, "mega", rng.choice(["a", "b", "c"], n))
+    df = pd.DataFrame(
+        {
+            "source": src,
+            "doc_id": np.arange(n, dtype=np.int64),
+            "sample_key": [hashlib.md5(str(d).encode()).hexdigest() for d in range(n)],
+            "n_tokens": rng.integers(1, 60, n).astype(np.int64),
+        }
+    )
+    k, budget = 5, 300
+    s = df.sort_values(["sample_key", "doc_id"], kind="stable")
+    g = s.groupby("source", sort=False)
+    rn = g.cumcount().to_numpy()
+    cum = g["n_tokens"].cumsum().to_numpy()
+    keep_mask = (rn < k) | (cum <= budget)
+    truth = s[keep_mask].copy()
+    truth["cum_tokens"] = cum[keep_mask]
+    for nb in (1, 3, 8):
+        pieces = np.array_split(rng.permutation(n), nb)
+        pruned = []
+        for p in pieces:
+            out = td._sample_local_prune(pa.Table.from_pandas(df.iloc[p], preserve_index=False), k, budget)
+            od = out.to_pandas()
+            real = od[od.doc_id >= 0]
+            markers = od[od.doc_id < 0]
+            # shuffle bound: survivors per (batch, source) <= k + budget
+            # (tokens >= 1 so a budget prefix has <= budget rows), + 1 marker
+            assert real.groupby("source").size().max() <= k + budget
+            assert markers.groupby("source").size().max() <= 1 if len(markers) else True
+            pruned.append(out)
+        merged = pa.concat_tables(pruned, promote_options="default").to_pandas()
+        outs = [
+            td._sample_final(pa.Table.from_pandas(grp, preserve_index=False), k, budget)
+            for _, grp in merged.groupby("source", sort=False)
+        ]
+        got = pd.concat(outs, ignore_index=True)
+        got_sel = _canon(got[["source", "doc_id", "sample_key", "n_tokens", "cum_tokens"]].drop_duplicates())
+        want = _canon(truth[["source", "doc_id", "sample_key", "n_tokens", "cum_tokens"]])
+        pd.testing.assert_frame_equal(got_sel, want, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def saturated_sf(tmp_path_factory):
+    """A corpus where 99% of docs repeat benchmark trigrams verbatim — the
+    decontamination broadcast's adversarial case: overlap is corpus-wide
+    but the BROADCAST set stays benchmark-sized."""
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("satsf")
+    rng = np.random.default_rng(5)
+    n = 1000
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    texts = []
+    for d in range(n):
+        if d % 20 == 0:
+            texts.append(bench_text)  # the benchmark slice itself
+        elif rng.random() < 0.99:
+            texts.append("noise " + bench_text + " tail")  # saturated overlap
+        else:
+            texts.append(f"clean doc {d} with its own distinct words {d * 7}")
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["s"] * n),
+            "lang": pa.array(["en"] * n),
+        }
+    )
+    pq.write_table(t, root / "documents.parquet")
+    return str(root)
+
+
+def test_decontaminate_broadcast_under_saturation(td, saturated_sf):
+    grams = td._benchmark_grams(saturated_sf)
+    # broadcast set is benchmark-content-sized: 6 tokens -> 4 trigrams,
+    # regardless of 99% of the corpus repeating them
+    assert len(grams) == 4
+    t = td.q_decontaminate(saturated_sf).to_pandas()
+    assert len(t) == 1000
+    bench = t[t.is_benchmark]
+    assert (~bench.contaminated).all()
+    # every saturated doc contains all 4 benchmark trigrams -> contaminated
+    overlap = t[~t.is_benchmark & (t.n_bench_overlap > 0)]
+    assert (overlap.contaminated).all()
+    assert (overlap.n_bench_overlap == 4).all()
+    clean = t[~t.is_benchmark & (t.n_bench_overlap == 0)]
+    assert (~clean.contaminated).all() and len(clean) > 0
