@@ -322,6 +322,10 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
     saves, and the extra materialize + two join actor pools tripled the
     chain's wall time (31 s vs 10-11 s cold, back-to-back in one host
     window at sf0.1/32 cpus)."""
+    key0 = _edge_cache_key(sf_dir)
+    key = None if key0 is None else key0 + ("minhash", float(min_sig_jaccard))
+    if key is not None and key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
     ds = _docs(sf_dir)
 
     def sig_batch(t: pa.Table) -> pa.Table:
@@ -477,7 +481,7 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
 
         return t.filter(pc.field("doc_a") < 0)
 
-    return (
+    out = (
         # direct pairs (the common case) stream through with default
         # batching; ONLY the rare mega-bucket task rows go through the
         # batch_size=1 fanout, so a degenerate bucket's decomposed O(CAP²)
@@ -491,7 +495,15 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
         .groupby(["doc_a", "doc_b"])
         .min("sig_jaccard")
         .map_batches(rename, batch_format="pyarrow")
+        # materialized: pair-population-sized, and memoized below so the
+        # chain's several consumers (minhash_neardup, the Jaccard verify
+        # stage at thr=0.35, curation_pipeline's near-dup set at thr=0.5)
+        # pay the shingle→LSH→bucket-score upstream once per (corpus, thr)
+        .materialize()
     )
+    if key is not None:
+        _cache_put(key, out)
+    return out
 
 
 def q_minhash_neardup(sf_dir: str, min_sig_jaccard: float = 0.5):
@@ -738,9 +750,11 @@ def _batch_shingle_ids(texts: list[str]) -> list[np.ndarray] | None:
     return out
 
 
-# Exact-Jaccard edge DATASETS memoized per sf_dir: q_ngram_jaccard_pairs and
-# q_dedup_clusters share one edge computation instead of re-running the
-# whole minhash→LSH→verify chain twice (VERDICT r2 #6). Keyed on
+# Exact-Jaccard edge AND MinHash-pair DATASETS memoized per
+# (sf_dir[, threshold]): q_ngram_jaccard_pairs and q_dedup_clusters share
+# one edge computation instead of re-running the whole minhash→LSH→verify
+# chain twice (VERDICT r2 #6), and q_minhash_neardup /
+# q_curation_pipeline's near-dup set share the thr=0.5 pair set (r5). Keyed on
 # (path, mtime, size) of documents.parquet so a regenerated corpus at the
 # same path invalidates naturally, PLUS the Ray job id so a cached
 # MaterializedDataset (object-store blocks) never outlives its session;
@@ -748,6 +762,14 @@ def _batch_shingle_ids(texts: list[str]) -> list[np.ndarray] | None:
 # every corpus it ever touched).
 _EDGE_CACHE: dict[tuple, "object"] = {}
 _EDGE_CACHE_MAX = 8
+
+
+def _cache_put(key: tuple, value) -> None:
+    """Bounded insert (evicts oldest only when an insert follows — an
+    uncacheable call must not discard another corpus's live entries)."""
+    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+        _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
+    _EDGE_CACHE[key] = value
 
 
 def _edge_cache_key(sf_dir: str):
@@ -799,10 +821,6 @@ def _exact_jaccard_edges(sf_dir: str):
     key = _edge_cache_key(sf_dir)
     if key is not None and key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
-    if key is not None and len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
-        # evict only when an insert will follow — an uncacheable call must
-        # not discard another corpus's live memoized edges
-        _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
 
     cands = _minhash_pairs_ds(sf_dir, min_sig_jaccard=0.35).select_columns(["doc_a", "doc_b"]).materialize()
@@ -810,7 +828,7 @@ def _exact_jaccard_edges(sf_dir: str):
     if n_cands == 0:
         out = rd.from_arrow(empty).materialize()
         if key is not None:
-            _EDGE_CACHE[key] = out
+            _cache_put(key, out)
         return out
     n_parts = max(2, min(32, n_cands // 2048 + 1))
 
@@ -871,7 +889,7 @@ def _exact_jaccard_edges(sf_dir: str):
 
     out = joined.map_batches(score, batch_format="pyarrow").materialize()
     if key is not None:
-        _EDGE_CACHE[key] = out
+        _cache_put(key, out)
     return out
 
 

@@ -683,13 +683,19 @@ def q_semdedup(sf_dir: str):
         lab = np.argmax(Mn @ ray.get(ref).T, axis=1).astype(np.int64)
         return t.append_column("cluster", pa.array(lab, pa.int64()))
 
-    # materialized: consumed by the size census + one or two prune paths
-    assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
-    sizes_tbl = collect_table(assigned.groupby("cluster").count())  # n_lists rows
-    sizes = dict(
-        zip(sizes_tbl["cluster"].to_pylist(), sizes_tbl["count()"].to_pylist())
-    )
-    big = {c for c, n in sizes.items() if n > _SEM_DENSE_CAP}
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    if n_vecs <= _SEM_DENSE_CAP:
+        # no cluster can exceed the cap when the whole corpus fits under it:
+        # skip the census (one shuffle) and the materialize (single consumer)
+        sizes, big = {}, set()
+    else:
+        # materialized: consumed by the size census + one or two prune paths
+        assigned = assigned.materialize()
+        sizes_tbl = collect_table(assigned.groupby("cluster").count())  # n_lists rows
+        sizes = dict(
+            zip(sizes_tbl["cluster"].to_pylist(), sizes_tbl["count()"].to_pylist())
+        )
+        big = {c for c, n in sizes.items() if n > _SEM_DENSE_CAP}
     big_ref = ray.put(np.array(sorted(big), dtype=np.int64))
 
     def take_small(t: pa.Table) -> pa.Table:
