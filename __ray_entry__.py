@@ -227,11 +227,10 @@ def oracle_sql() -> dict[str, str]:
         # direct numpy pinned in tests/test_multimodal.py, determinism and
         # shape pinned in tests/test_textqc.py).
         #
-        # Round-4 curation extensions: full oracles declared here even
-        # though the entries sit past the driver's 50-query window (strict
-        # hash parity is pinned in tests/test_traindata.py at sf0.001 and
-        # sf0.01; decontaminate and token_budget_sample additionally ride
-        # the in-window doc_text_stats / stratified_sample hash checks).
+        # Curation family: IN-WINDOW since the r5 rotation (slots 46-50);
+        # strict hash parity additionally pinned in tests/test_traindata.py
+        # at sf0.001/sf0.01, and decontaminate / token_budget_sample also
+        # ride the doc_text_stats fusion / sampling_policies union checks.
         "decontaminate": qtd.SQL_DECONTAMINATE,
         "token_budget_sample": qtd.SQL_TOKEN_BUDGET_SAMPLE,
         "source_mix": qtd.SQL_SOURCE_MIX,

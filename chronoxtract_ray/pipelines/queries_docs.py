@@ -726,8 +726,8 @@ def _batch_shingle_ids(texts: list[str]) -> list[np.ndarray] | None:
     r4 #4): shingles map to ids via batch-vocab-ranked CODEPOINTS in base
     V+1 (rank V is the reserved pad for the sub-K whole-string shingle of
     short texts), which is injective over distinct shingle strings whenever
-    (V+1)^K < 2^63 — V is the batch's distinct-codepoint count, so any
-    real-world batch qualifies; a degenerate batch (>6200 distinct
+    (V+1)^K < 2^62 — V is the batch's distinct-codepoint count, so any
+    real-world batch qualifies; a degenerate batch (>~5400 distinct
     codepoints) returns None and the caller falls back to string sets.
     Set-intersection counts over these ids are therefore EXACTLY the
     _shingle_set counts (equivalence property-tested)."""

@@ -287,7 +287,12 @@ def q_tier_gorilla(sf_dir: str):
     """tier_cascade_1h ⨝ gorilla_roundtrip on (user_id, window_start) —
     both emit exactly the (user, non-empty hour) row set, so the inner join
     is lossless; ``gorilla_mean`` is the encode→decode roundtrip output."""
-    gr = qe.q_gorilla_roundtrip(sf_dir).rename_columns(["user_id", "window_start", "gorilla_mean"])
+    gr = qe.q_gorilla_roundtrip(sf_dir)
+    # rename by NAME, not position — positional rename_columns would
+    # silently mislabel if the component's column order ever changed
+    gr = gr.select(["user_id", "window_start", "mean"]).rename_columns(
+        ["user_id", "window_start", "gorilla_mean"]
+    )
     return _merge([qe.q_tier_cascade_1h(sf_dir), gr], ["user_id", "window_start"])
 
 
@@ -341,9 +346,10 @@ FROM ({qe.SQL_GAP_FILLED_HOURLY})
 
 
 def _tagged_union(parts):
-    """(tag, table, value_col_names) triples → one table with harmonized
-    (part, key..., v1..vK) columns; missing trailing values pad with 0.0 and
-    ints/bools cast to float64 — mirrored literally in the oracle SQL."""
+    """(tag, table, key_cols, value_col_names) 4-tuples → one table with
+    harmonized (part, key..., v1..vK) columns; missing trailing values pad
+    with 0.0 and ints/bools cast to float64 — mirrored literally in the
+    oracle SQL."""
     import numpy as np
 
     width = max(len(cols) for _, _, _, cols in parts)

@@ -534,7 +534,14 @@ def _sem_block_prune(big_ds, sizes: dict, cap: int):
     groupby(vec_id) max over partials + a -2.0 sentinel row per member
     (cosine >= -1, so max > -1.5 <=> some lower-id mate exists) reconstructs
     exactly the dense path's (is_dup, max_sim_lower). No task ever holds
-    more than two blocks; no group ever holds a whole cluster."""
+    more than two blocks; no group ever holds a whole cluster. Block
+    assignment HASHES the id (splitmix-style multiply-shift) before the
+    modulo so residue-structured id spaces (stride-replicated corpora)
+    can't collapse a cluster into one block, and a driver-built footer
+    manifest of per-(cluster, block) row counts is validated inside every
+    score task — a staging path invisible to a worker (mis-pointed
+    CTX_SCRATCH_DIR on multi-node) raises instead of silently reporting
+    is_dup=False (r5 review findings #1/#2)."""
     import glob
     import os
     import shutil
@@ -556,7 +563,10 @@ def _sem_block_prune(big_ds, sizes: dict, cap: int):
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         cl = t["cluster"].to_numpy()
         nbm = ray.get(nb_ref)
-        blocks = ids % np.array([nbm[int(c)] for c in cl], dtype=np.int64)
+        # hash before modulo: a bare ids % B puts a residue-class-structured
+        # id space (e.g. stride-k replication) entirely into one block
+        h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+        blocks = (h % np.array([nbm[int(c)] for c in cl], dtype=np.uint64)).astype(np.int64)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
@@ -571,14 +581,49 @@ def _sem_block_prune(big_ds, sizes: dict, cap: int):
             tmp, partition_cols=["cluster", "block"]
         )
 
+        # driver-built manifest from parquet FOOTERS (metadata reads only):
+        # per-(cluster, block) row counts, cross-checked against the known
+        # oversized-member total so a torn stage fails HERE, and validated
+        # again inside every score task so a worker that cannot see the
+        # staging path fails LOUDLY instead of scoring empty blocks
+        manifest: dict[tuple, int] = {}
+        import pyarrow.parquet as _pqm
+
+        for f in glob.glob(f"{tmp}/cluster=*/block=*/*.parquet"):
+            parts = f.split(os.sep)
+            c = int(parts[-3].split("=")[1])
+            b = int(parts[-2].split("=")[1])
+            manifest[(c, b)] = manifest.get((c, b), 0) + _pqm.ParquetFile(f).metadata.num_rows
+        expected_total = sum(int(n) for n in sizes.values())
+        staged_total = sum(manifest.values())
+        if staged_total != expected_total:
+            raise RuntimeError(
+                f"semdedup block stage torn: staged {staged_total} rows vs "
+                f"{expected_total} oversized-cluster members under {tmp}"
+            )
+        man_ref = ray.put(manifest)
+
         def _read_block(c: int, b: int):
             import pyarrow.parquet as pq
 
+            expected = ray.get(man_ref).get((c, b), 0)
             files = sorted(glob.glob(f"{tmp}/cluster={c}/block={b}/*.parquet"))
             if not files:
+                if expected:
+                    raise RuntimeError(
+                        f"semdedup score task cannot see staged block "
+                        f"cluster={c}/block={b} ({expected} rows) under {tmp} — "
+                        "is CTX_SCRATCH_DIR cluster-visible?"
+                    )
                 return np.array([], np.int64), np.zeros((0, 1), np.float64)
             t = pa.concat_tables([pq.read_table(f, columns=["vec_id", "embedding"]) for f in files])
-            return _to_matrix(t)
+            ids, M = _to_matrix(t)
+            if ids.size != expected:
+                raise RuntimeError(
+                    f"semdedup staged block cluster={c}/block={b} read "
+                    f"{ids.size} rows, manifest says {expected}"
+                )
+            return ids, M
 
         def score(t: pa.Table) -> pa.Table:
             outs = [pa.table({"vec_id": pa.array([], pa.int64()),

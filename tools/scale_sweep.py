@@ -73,6 +73,9 @@ def _cipher_table(k: int) -> np.ndarray:
 def _apply_cipher(texts: list[str], table: np.ndarray) -> list[str]:
     out = []
     for t in texts:
+        if t is None:  # null text is a legal corpus state (kernels fill_null)
+            out.append(None)
+            continue
         cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
         out.append(table[cp].tobytes().decode("utf-32-le"))
     return out
