@@ -249,6 +249,12 @@ def _minhash_batch(texts: list[str], seed: int = 7) -> np.ndarray:
 # (~0.5 MiB at 512).
 _BUCKET_CAP = 512
 
+# Base signature-Jaccard threshold the LSH pair chain is computed (and
+# memoized) at; requests at-or-above it are served as filters over the
+# cached base pair set (see _minhash_pairs_ds). 0.35 is the verify stage's
+# prefilter bound — the lowest threshold any production consumer uses.
+_PAIR_BASE_THR = 0.35
+
 _EMPTY_PAIRS = pa.table(
     {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "sig_jaccard": pa.array([], pa.float64())}
 )
@@ -322,6 +328,20 @@ def _minhash_pairs_ds(sf_dir: str, min_sig_jaccard: float):
     saves, and the extra materialize + two join actor pools tripled the
     chain's wall time (31 s vs 10-11 s cold, back-to-back in one host
     window at sf0.1/32 cpus)."""
+    if min_sig_jaccard > _PAIR_BASE_THR:
+        # sig_jaccard is a pure pair function, so the thr=T pair set is
+        # exactly the BASE-threshold pair set filtered at T — one chain
+        # execution serves every consumer at or above the base (the 0.5
+        # near-dup query, curation's drop set) AND the 0.35 verify stage
+        base = _minhash_pairs_ds(sf_dir, _PAIR_BASE_THR)
+        thr = float(min_sig_jaccard)
+
+        def at_thr(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.greater_equal(t["sig_jaccard"], thr))
+
+        return base.map_batches(at_thr, batch_format="pyarrow")
     key0 = _edge_cache_key(sf_dir)
     key = None if key0 is None else key0 + ("minhash", float(min_sig_jaccard))
     if key is not None and key in _EDGE_CACHE:
