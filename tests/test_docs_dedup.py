@@ -199,3 +199,18 @@ def test_shingle_ids_degenerate_vocab_falls_back():
     # >6200 distinct codepoints in one batch -> injectivity not guaranteed
     big = "".join(chr(0x4E00 + i) for i in range(7000))
     assert qd._batch_shingle_ids([big]) is None
+
+
+def test_dedup_clusters_paths_equivalent(ray_session, monkeypatch):
+    """The driver-side union-find fast path and the distributed hash-to-min
+    rounds must produce identical cluster labels (r5 small-graph path)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    fast = qd.q_dedup_clusters(sf).to_pandas()
+    monkeypatch.setattr(qd, "_CC_DRIVER_EDGE_CAP", 0)  # force distributed rounds
+    dist = qd.q_dedup_clusters(sf).to_pandas()
+    pd.testing.assert_frame_equal(fast, dist)
+    # label of every cluster is its minimum member
+    mins = fast.groupby("cluster_id").doc_id.min()
+    assert (mins.index.to_numpy() == mins.to_numpy()).all()
