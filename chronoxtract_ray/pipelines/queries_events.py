@@ -14,6 +14,8 @@ by tests/ and bench.py on the deterministic synthetic table.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pyarrow as pa
 
@@ -54,6 +56,16 @@ def _prep(batch: pa.Table) -> pa.Table:
 
 
 _WINDOWED_CACHE: dict[tuple, object] = {}
+_WINDOWED_LOCKS: dict[tuple, threading.Lock] = {}
+_WINDOWED_META = threading.Lock()
+
+
+def _windowed_lock(key: tuple):
+    with _WINDOWED_META:
+        lk = _WINDOWED_LOCKS.get(key)
+        if lk is None:
+            lk = _WINDOWED_LOCKS[key] = threading.Lock()
+        return lk
 
 
 def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
@@ -64,13 +76,31 @@ def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
     memoized per (file identity, spec, width) — several queries project
     different columns of the same windowed feature table, and the FILE key
     (path, mtime, size — not path alone) means a regenerated events.parquet
-    at the same path invalidates naturally; un-stat-able → uncacheable."""
+    at the same path invalidates naturally; un-stat-able → uncacheable.
+
+    SINGLE-FLIGHT per key: queries_merged._par runs component queries in
+    driver threads, and the window trio / shape trio share one windowed
+    table — without the per-key lock, concurrent first calls would all
+    miss the in-flight computation and pay the kernel 3x (observed: the
+    parallel merge was SLOWER than sequential before this). Distinct keys
+    still compute concurrently."""
     from chronoxtract_ray.stages.util import file_cache_key
 
     fkey = file_cache_key(f"{sf_dir}/events.parquet")
     key = None if fkey is None else (fkey, spec, width_us)
-    if key is not None and key in _WINDOWED_CACHE:
-        return _WINDOWED_CACHE[key]
+    if key is not None:
+        if key in _WINDOWED_CACHE:
+            return _WINDOWED_CACHE[key]
+        with _windowed_lock(key):
+            if key in _WINDOWED_CACHE:  # computed while we waited
+                return _WINDOWED_CACHE[key]
+            tbl = _windowed_compute(sf_dir, spec, width_us)
+            _WINDOWED_CACHE[key] = tbl
+            return tbl
+    return _windowed_compute(sf_dir, spec, width_us)
+
+
+def _windowed_compute(sf_dir: str, spec: FeatureSpec, width_us: int):
     ds = _events(sf_dir).map_batches(_prep, batch_format="pyarrow")
 
     def fn(group: pa.Table) -> pa.Table:
@@ -85,10 +115,7 @@ def _windowed(sf_dir: str, spec: FeatureSpec, width_us: int = HOUR_US):
             cols[name] = pa.array(arr)
         return pa.table(cols)
 
-    tbl = collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
-    if key is not None:
-        _WINDOWED_CACHE[key] = tbl
-    return tbl
+    return collect_table(ds.groupby("user_id").map_groups(fn, batch_format="pyarrow"))
 
 
 _MOMENT_SPEC = FeatureSpec(order_stats=True, entropy=False, fft=False, shape=True, hjorth=True)

@@ -49,6 +49,19 @@ def _merge(parts, keys):
     return pa.Table.from_pandas(df.sort_values(keys), preserve_index=False)
 
 
+def _par(sf_dir: str, *fns):
+    """Run independent component queries CONCURRENTLY from driver threads
+    (each is its own Ray Data pipeline; the streaming executor interleaves
+    them, so a merged query's wall is its slowest component instead of the
+    sum). Results return in argument order — composition stays
+    deterministic regardless of completion order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as ex:
+        futs = [ex.submit(fn, sf_dir) for fn in fns]
+        return [f.result() for f in futs]
+
+
 def _join_sql(parts: list[str], keys: list[str]) -> str:
     using = ", ".join(keys)
     sql = f"({parts[0]}) q0"
@@ -131,7 +144,7 @@ SQL_ROLLING_SCANS = _join_sql(
 
 def q_window_summary(sf_dir: str):
     return _merge(
-        [qe.q_window_moments(sf_dir), qe.q_window_quantiles(sf_dir), qe.q_window_mode(sf_dir)],
+        _par(sf_dir, qe.q_window_moments, qe.q_window_quantiles, qe.q_window_mode),
         ["user_id", "window_start"],
     )
 
@@ -144,13 +157,14 @@ SQL_WINDOW_SUMMARY = _join_sql(
 
 def q_series_stats(sf_dir: str):
     return _merge(
-        [
-            qf.q_higher_moments(sf_dir),
-            qf.q_peak_to_peak(sf_dir),
-            qf.q_zero_crossing_rate(sf_dir),
-            qf.q_energy_distribution(sf_dir),
-            qf.q_variability_features(sf_dir),
-        ],
+        _par(
+            sf_dir,
+            qf.q_higher_moments,
+            qf.q_peak_to_peak,
+            qf.q_zero_crossing_rate,
+            qf.q_energy_distribution,
+            qf.q_variability_features,
+        ),
         ["user_id"],
     )
 
@@ -168,23 +182,23 @@ SQL_SERIES_STATS = _join_sql(
 
 
 def q_complexity_stats(sf_dir: str):
-    return _merge([qe.q_dfa(sf_dir), qe.q_lzc(sf_dir)], ["user_id"])
+    return _merge(_par(sf_dir, qe.q_dfa, qe.q_lzc), ["user_id"])
 
 
 SQL_COMPLEXITY_STATS = _join_sql([qf.SQL_DFA, qf.SQL_LZC], ["user_id"])
 
 
 def q_variability_summary(sf_dir: str):
-    return _merge([qe.q_fvar_per_user(sf_dir), qf.q_variability_tau(sf_dir)], ["user_id"])
+    return _merge(_par(sf_dir, qe.q_fvar_per_user, qf.q_variability_tau), ["user_id"])
 
 
 SQL_VARIABILITY_SUMMARY = _join_sql([qe.SQL_FVAR_PER_USER, qf.SQL_VARIABILITY_TAU], ["user_id"])
 
 
 def q_matrix_transforms(sf_dir: str):
+    tables = _par(sf_dir, qf.q_tde, qf.q_gasf, qf.q_mtf)
     parts = []
-    for kind, fn in (("tde", qf.q_tde), ("gasf", qf.q_gasf), ("mtf", qf.q_mtf)):
-        t = fn(sf_dir)
+    for kind, t in zip(("tde", "gasf", "mtf"), tables):
         parts.append(t.add_column(0, "kind", pa.array([kind] * t.num_rows, pa.string())))
     return pa.concat_tables(parts)
 
@@ -287,13 +301,13 @@ def q_tier_gorilla(sf_dir: str):
     """tier_cascade_1h ⨝ gorilla_roundtrip on (user_id, window_start) —
     both emit exactly the (user, non-empty hour) row set, so the inner join
     is lossless; ``gorilla_mean`` is the encode→decode roundtrip output."""
-    gr = qe.q_gorilla_roundtrip(sf_dir)
+    tc, gr = _par(sf_dir, qe.q_tier_cascade_1h, qe.q_gorilla_roundtrip)
     # rename by NAME, not position — positional rename_columns would
     # silently mislabel if the component's column order ever changed
     gr = gr.select(["user_id", "window_start", "mean"]).rename_columns(
         ["user_id", "window_start", "gorilla_mean"]
     )
-    return _merge([qe.q_tier_cascade_1h(sf_dir), gr], ["user_id", "window_start"])
+    return _merge([tc, gr], ["user_id", "window_start"])
 
 
 SQL_TIER_GORILLA = _join_sql(
@@ -309,8 +323,7 @@ def q_contagg_gapfill(sf_dir: str):
     """continuous_aggregate (minute tier read back through the incremental
     ingest store) ∪ gap_filled_hourly (hourly grid with interpolated gaps),
     tagged by ``part`` — different grains, so a union, not a join."""
-    ca = qe.q_continuous_aggregate(sf_dir)
-    gf = qe.q_gap_filled_hourly(sf_dir)
+    ca, gf = _par(sf_dir, qe.q_continuous_aggregate, qe.q_gap_filled_hourly)
     import numpy as np
 
     parts = [
@@ -378,13 +391,14 @@ def q_shape_windows(sf_dir: str):
     max_slope_abs), hjorth = (activity, mobility, complexity), turning =
     (tp, tp_rate, 0.0 pad). Row sets differ per component filter (n >= 2 /
     n >= 3 + variance floors / n >= 3) and every one survives verbatim."""
+    sl, hj, tp = _par(sf_dir, qe.q_slope_features, qe.q_hjorth, qe.q_turning_points)
     return _tagged_union(
         [
-            ("slope", qe.q_slope_features(sf_dir), ["user_id", "window_start"],
+            ("slope", sl, ["user_id", "window_start"],
              ["mean_slope", "slope_variance", "max_slope_abs"]),
-            ("hjorth", qe.q_hjorth(sf_dir), ["user_id", "window_start"],
+            ("hjorth", hj, ["user_id", "window_start"],
              ["activity", "mobility", "complexity"]),
-            ("turning", qe.q_turning_points(sf_dir), ["user_id", "window_start"],
+            ("turning", tp, ["user_id", "window_start"],
              ["tp", "tp_rate"]),
         ]
     )
@@ -409,10 +423,10 @@ def q_seasonality_stats(sf_dir: str):
     """stl_strengths ∪ detect_seasonality per user, tagged by ``part``;
     value-column map: stl = (seasonal_strength, trend_strength), acf12 =
     (acf_lag12, detected as 0.0/1.0)."""
-    det = qf.q_detect_seasonality(sf_dir)
+    stl, det = _par(sf_dir, qe.q_stl_strengths, qf.q_detect_seasonality)
     return _tagged_union(
         [
-            ("stl", qe.q_stl_strengths(sf_dir), ["user_id"],
+            ("stl", stl, ["user_id"],
              ["seasonal_strength", "trend_strength"]),
             ("acf12", det, ["user_id"], ["acf_lag12", "detected"]),
         ]

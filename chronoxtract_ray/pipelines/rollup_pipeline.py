@@ -188,7 +188,13 @@ def tier_dataset(root: str, tier: str, columns: list[str] | None = None):
     rest out of the row groups."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(root, f"tier={tier}"), columns=columns)
+    from chronoxtract_ray.stages.util import _READ_CONSTRUCT_LOCK
+
+    # same construction lock as read_parquet_clean: Ray's path resolution
+    # is not thread-safe in this env (fsspec http probe race) and tier
+    # reads run concurrently with other component queries (_par)
+    with _READ_CONSTRUCT_LOCK:
+        ds = rd.read_parquet(os.path.join(root, f"tier={tier}"), columns=columns)
 
     def strip(t: pa.Table) -> pa.Table:
         drop = [c for c in ("tier", "part") if c in t.column_names]

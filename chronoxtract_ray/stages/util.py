@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import threading
+
+_READ_CONSTRUCT_LOCK = threading.Lock()
+
 __all__ = [
     "ensure_hash_shuffle",
     "ensure_sort_shuffle",
@@ -28,19 +32,28 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     extra pipeline stages; cost is one footer read on the driver.
 
     Engine-written tier/store files are already metadata-free (plain
-    ``pq.write_table`` of fresh tables), so their readers skip this."""
+    ``pq.write_table`` of fresh tables), so their readers skip this.
+
+    Construction is serialized under a module lock: Ray's path resolution
+    probes ``fsspec.implementations.http`` (absent aiohttp in this env, so
+    the import always fails) and only catches ``ModuleNotFoundError`` —
+    two threads importing the failing module concurrently surface a plain
+    ``ImportError`` instead, crashing concurrent component queries
+    (queries_merged._par). The lock costs milliseconds (plan construction
+    only); pipeline EXECUTION stays fully concurrent."""
     import pyarrow as pa
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    try:
-        full = pads.dataset(path).schema.remove_metadata()
-        schema = pa.schema([full.field(c) for c in columns]) if columns else full
-    except Exception:
-        # unreadable/odd layout: fall back to plain read_parquet — this
-        # helper is a log/perf nicety, never a correctness gate
-        return rd.read_parquet(path, columns=columns, **kwargs)
-    return rd.read_parquet(path, schema=schema, columns=columns, **kwargs)
+    with _READ_CONSTRUCT_LOCK:
+        try:
+            full = pads.dataset(path).schema.remove_metadata()
+            schema = pa.schema([full.field(c) for c in columns]) if columns else full
+        except Exception:
+            # unreadable/odd layout: fall back to plain read_parquet — this
+            # helper is a log/perf nicety, never a correctness gate
+            return rd.read_parquet(path, columns=columns, **kwargs)
+        return rd.read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 
 def round_half_away(x, nd: int = 6):
