@@ -167,12 +167,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "export":
             import os
 
-            import ray.data as rd
+            from chronoxtract_ray.stages.util import read_parquet_locked
 
             src = os.path.join(args.root, f"tier={args.tier}")
             cols = args.columns.split(",") if args.columns else None
             # streaming read → streaming write; never materialized on the driver
-            ds = rd.read_parquet(src, columns=cols)
+            ds = read_parquet_locked(src, columns=cols)
             if args.format == "parquet":
                 ds.write_parquet(args.out)
             elif args.format == "jsonl":

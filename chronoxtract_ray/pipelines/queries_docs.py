@@ -1008,21 +1008,37 @@ def q_dedup_clusters(sf_dir: str):
     n_edges = edges.count()
     if n_edges == 0:
         final = identity
+        dedup_needed = False
     elif n_edges <= _CC_DRIVER_EDGE_CAP:
         import ray
 
         et = collect_table(edges)  # near-dup-population-sized by construction
         labels = _cc_labels_unionfind(et["doc_a"].to_numpy(), et["doc_b"].to_numpy())
-        lab_ref = ray.put(labels)
+        # broadcast as two SORTED int64 arrays, not a dict: numpy arrays are
+        # zero-copy out of the object store (a dict near the 2M-edge cap
+        # would deserialize hundreds of MB per batch) and the per-batch
+        # lookup vectorizes as searchsorted (r5 review #2)
+        lab_nodes = np.fromiter(labels.keys(), np.int64, len(labels))
+        order = np.argsort(lab_nodes)
+        lab_ref = ray.put(
+            (lab_nodes[order], np.fromiter(labels.values(), np.int64, len(labels))[order])
+        )
 
         def relabel(t: pa.Table) -> pa.Table:
-            lab = ray.get(lab_ref)
+            nodes, labs = ray.get(lab_ref)
             ids = t["doc_id"].to_numpy()
-            out = np.fromiter((lab.get(int(i), int(i)) for i in ids), np.int64, ids.size)
+            if nodes.size == 0:
+                out = ids
+            else:
+                pos = np.clip(np.searchsorted(nodes, ids), 0, nodes.size - 1)
+                hit = nodes[pos] == ids
+                out = np.where(hit, labs[pos], ids)  # absent node = own root
             return pa.table({"node": pa.array(ids, pa.int64()), "label": pa.array(out, pa.int64())})
 
         final = docs_ids.map_batches(relabel, batch_format="pyarrow")
+        dedup_needed = False  # exactly one final-label row per doc_id
     else:
+        dedup_needed = True
 
         def sym(t: pa.Table) -> pa.Table:
             a = t["doc_a"].to_numpy()
@@ -1063,11 +1079,19 @@ def q_dedup_clusters(sf_dir: str):
         labels = mins.map_batches(rename, batch_format="pyarrow")
         final = labels.union(identity)
 
-    t = collect_table(final.groupby("node").min("label"))
+    if dedup_needed:
+        # only the distributed branch duplicates nodes (labels ∪ identity)
+        t = collect_table(final.groupby("node").min("label"))
+        lab_col = t["min(label)"]
+    else:
+        # identity / union-find branches emit exactly one row per doc_id:
+        # collecting directly skips a corpus-wide no-op shuffle (r5 review #1)
+        t = collect_table(final)
+        lab_col = t["label"]
     return pa.table(
         {
             "doc_id": t["node"].cast(pa.int64()),
-            "cluster_id": t["min(label)"].cast(pa.int64()),
+            "cluster_id": lab_col.cast(pa.int64()),
         }
     ).sort_by([("doc_id", "ascending")])
 

@@ -186,15 +186,12 @@ def tier_dataset(root: str, tier: str, columns: list[str] | None = None):
     downstream stages see pure tier rows. Pass ``columns`` to prune the scan
     at storage — a consumer of 2 of the ~48 tier columns should not ship the
     rest out of the row groups."""
-    import ray.data as rd
+    # locked construction: tier reads run concurrently with other component
+    # queries (queries_merged._par) and Ray's path resolution is not
+    # thread-safe in this env (fsspec http probe race)
+    from chronoxtract_ray.stages.util import read_parquet_locked
 
-    from chronoxtract_ray.stages.util import _READ_CONSTRUCT_LOCK
-
-    # same construction lock as read_parquet_clean: Ray's path resolution
-    # is not thread-safe in this env (fsspec http probe race) and tier
-    # reads run concurrently with other component queries (_par)
-    with _READ_CONSTRUCT_LOCK:
-        ds = rd.read_parquet(os.path.join(root, f"tier={tier}"), columns=columns)
+    ds = read_parquet_locked(os.path.join(root, f"tier={tier}"), columns=columns)
 
     def strip(t: pa.Table) -> pa.Table:
         drop = [c for c in ("tier", "part") if c in t.column_names]

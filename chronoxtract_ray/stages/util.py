@@ -14,7 +14,20 @@ __all__ = [
     "round_half_away",
     "file_cache_key",
     "read_parquet_clean",
+    "read_parquet_locked",
 ]
+
+
+def read_parquet_locked(path, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with CONSTRUCTION serialized under the
+    module lock — the one shared entry point for driver-side Ray Data read
+    construction in this env (see read_parquet_clean's docstring for the
+    fsspec http probe race). Use this instead of a bare rd.read_parquet
+    anywhere a read may be constructed from a non-main thread."""
+    import ray.data as rd
+
+    with _READ_CONSTRUCT_LOCK:
+        return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):

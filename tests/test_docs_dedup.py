@@ -211,6 +211,10 @@ def test_dedup_clusters_paths_equivalent(ray_session, monkeypatch):
     monkeypatch.setattr(qd, "_CC_DRIVER_EDGE_CAP", 0)  # force distributed rounds
     dist = qd.q_dedup_clusters(sf).to_pandas()
     pd.testing.assert_frame_equal(fast, dist)
+    # the fixture must actually exercise both CC paths: at least one doc
+    # carries a non-identity label (else this degenerates to identity-vs-
+    # identity and the union-find is never covered)
+    assert (fast.doc_id != fast.cluster_id).any()
     # label of every cluster is its minimum member
     mins = fast.groupby("cluster_id").doc_id.min()
     assert (mins.index.to_numpy() == mins.to_numpy()).all()
