@@ -531,16 +531,18 @@ SELECT event_id, scrubbed, n_email, n_phone, n_number,
 
 def q_multimodal_features(sf_dir: str):
     """Deterministic multimodal decode as a driver query: synthesize one raw
-    media payload per doc (even doc_id → 8×8 PPM image, odd → 256-sample
-    PCM16 WAV; bytes seeded from md5(doc_id) — no external data), then run
-    the REAL actor-pool decode stage (``stages/multimodal.decode_media``,
-    decoder='raw': pure-numpy PPM/WAV codecs, per-actor projection state in
-    ``__init__``) and return pixel/sample-derived feature vectors.
+    media payload per doc (doc_id % 4 == 0 → 8×8 PPM image, % 4 == 2 →
+    the SAME class of image as a COMPRESSED PNG (real stdlib-zlib codec,
+    r5), odd → 256-sample PCM16 WAV; bytes seeded from md5(doc_id) — no
+    external data), then run the REAL actor-pool decode stage
+    (``stages/multimodal.decode_media``, decoder='raw': pure-numpy
+    PPM/PNG/WAV codecs, per-actor projection state in ``__init__``) and
+    return pixel/sample-derived feature vectors.
 
     Rows-only to the driver (pixel math isn't SQL-expressible); the feature
-    kernels' parity vs direct numpy and corrupt-payload tolerance are pinned
-    in tests/test_multimodal.py."""
-    from chronoxtract_ray.stages.multimodal import decode_media, encode_ppm, encode_wav
+    kernels' parity vs direct numpy, PNG↔PPM cross-codec feature equality
+    and corrupt-payload tolerance are pinned in tests/test_multimodal.py."""
+    from chronoxtract_ray.stages.multimodal import decode_media, encode_png, encode_ppm, encode_wav
 
     ds = _docs(sf_dir, columns=("doc_id",))
 
@@ -552,7 +554,7 @@ def q_multimodal_features(sf_dir: str):
             if d % 2 == 0:
                 img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
                 kinds.append("image")
-                payloads.append(encode_ppm(img))
+                payloads.append(encode_ppm(img) if d % 4 == 0 else encode_png(img))
             else:
                 x = (rng.standard_normal(256) * 8000.0).astype(np.int16)
                 kinds.append("audio")

@@ -138,3 +138,107 @@ def test_resize_stage_roundtrip(ray_session):
     assert bool(out.loc["ok", "resize_ok"]) and not bool(out.loc["bad", "resize_ok"])
     assert np.array_equal(decode_ppm(out.loc["ok", "payload"]), img[::2, ::2])
     assert out.loc["bad", "payload"] is None
+
+
+# ---- PNG codec (round 5: promoted from stub to real — stdlib zlib) ----
+
+
+def test_png_roundtrip_all_channel_counts():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (7, 5, c), dtype=np.uint8)
+        out = mm.decode_png(mm.encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+    # 2-d grayscale input round-trips as (h, w, 1)
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    out = mm.decode_png(mm.encode_png(g))
+    assert out.shape == (4, 6, 1) and (out[:, :, 0] == g).all()
+
+
+def _ref_unfilter(rows, bpp):
+    """Independent plain-Python reference of the PNG filter reconstruction
+    (written directly from the spec, no shared code with the engine)."""
+    h = len(rows)
+    out = []
+    for r in range(h):
+        ft, line = rows[r][0], list(rows[r][1:])
+        rec = [0] * len(line)
+        prev = out[r - 1] if r else [0] * len(line)
+        for i in range(len(line)):
+            a = rec[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            rec[i] = (line[i] + pred) % 256
+        out.append(rec)
+    return out
+
+
+def test_png_decodes_every_filter_type():
+    """Hand-build PNG streams using each filter type and compare against an
+    independent spec-reference reconstruction."""
+    import struct
+    import zlib
+
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(9)
+    w, h, c = 4, 6, 3
+    for ft in (0, 1, 2, 3, 4):
+        raw_rows = [bytes([ft]) + rng.integers(0, 256, w * c, dtype=np.uint8).tobytes() for _ in range(h)]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"".join(raw_rows)))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        got = mm.decode_png(payload)
+        want = np.array(_ref_unfilter(raw_rows, c), dtype=np.uint8).reshape(h, w, c)
+        assert (got == want).all(), f"filter {ft}"
+
+
+def test_png_rejects_corruption():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    good = mm.encode_png(np.zeros((3, 3, 3), np.uint8))
+    with pytest.raises(ValueError):
+        mm.decode_png(b"nope" + good)
+    # flip a raster byte inside IDAT -> CRC failure
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        mm.decode_png(good[:30])
+
+
+def test_png_and_ppm_same_pixels_same_features(ray_session):
+    """Cross-codec consistency: the SAME pixels through PNG and PPM produce
+    bit-identical feature vectors from the raw decoder."""
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    dec = mm.MediaDecoder(kind="image", n_features=16, decoder="raw")
+    f_ppm, ok1 = dec._features(mm.encode_ppm(img), "image")
+    f_png, ok2 = dec._features(mm.encode_png(img), "image")
+    assert ok1 and ok2
+    assert (f_ppm == f_png).all()
+    # gray PNG: replicated-channel normalization keeps the feature contract
+    gray = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+    f_gray, ok3 = dec._features(mm.encode_png(gray), "image")
+    assert ok3 and np.isfinite(f_gray).all()
