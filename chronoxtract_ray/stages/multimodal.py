@@ -3,10 +3,10 @@
 Decoder tiers (per round instructions — compressed codecs' libraries are NOT
 in this container):
 
-- ``decoder="raw"`` — REAL decode with pure numpy + stdlib: PPM (P6) and
-  PNG images (full PNG chunk walk with CRC verification, zlib inflate, all
-  five filter types — stdlib zlib, no imaging library) and WAV (RIFF
-  PCM16) audio. Features are computed from the actual pixels/samples
+- ``decoder="raw"`` — REAL decode with pure numpy + stdlib: PPM (P6),
+  PNG (full chunk walk with CRC verification, zlib inflate, all five
+  filter types — stdlib zlib, no imaging library) and 24-bit BMP images,
+  and WAV (RIFF PCM16) audio. Features are computed from the actual pixels/samples
   (channel stats, luminance histogram moments / RMS, zero-crossings,
   spectral centroid and band energies via rFFT). Corrupt or unsupported
   payloads set ``decode_ok=false`` with NaN features instead of killing
@@ -40,6 +40,8 @@ __all__ = [
     "encode_ppm",
     "decode_png",
     "encode_png",
+    "decode_bmp",
+    "encode_bmp",
     "decode_image_any",
     "decode_wav",
     "encode_wav",
@@ -227,10 +229,58 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, channels)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a Windows BMP (BITMAPINFOHEADER, 24-bit uncompressed) →
+    uint8 (h, w, 3) RGB. Handles 4-byte row padding and both bottom-up
+    (positive height) and top-down (negative height) rasters. Raises
+    ValueError on palette/compressed/other-depth variants."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"BMP: unsupported header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, depth = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if planes != 1 or depth != 24 or compression != 0:
+        raise ValueError(f"BMP: unsupported depth={depth} compression={compression}")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("BMP: bad geometry")
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = row_bytes * h
+    raster = payload[data_off : data_off + need]
+    if len(raster) != need:
+        raise ValueError("BMP: truncated raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if h_raw > 0 else img  # bottom-up → top-down
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → 24-bit bottom-up BMP payload."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3)")
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    bgr_bottom_up = img[::-1, :, ::-1]
+    raster = b"".join(bgr_bottom_up[r].tobytes() + b"\x00" * pad for r in range(h))
+    size = 54 + len(raster)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        + raster
+    )
+
+
 def decode_image_any(payload: bytes) -> np.ndarray:
-    """Magic-sniffed image decode → uint8 (h, w, 3) RGB: P6 PPM or PNG
-    (gray and alpha forms normalized to RGB — gray replicated, alpha
-    dropped — so downstream feature math is codec-independent)."""
+    """Magic-sniffed image decode → uint8 (h, w, 3) RGB: P6 PPM, PNG or
+    24-bit BMP (gray and alpha forms normalized to RGB — gray replicated,
+    alpha dropped — so downstream feature math is codec-independent)."""
     if payload.startswith(_PNG_SIG):
         img = decode_png(payload)
         c = img.shape[2]
@@ -240,6 +290,8 @@ def decode_image_any(payload: bytes) -> np.ndarray:
         if c == 1:
             return np.repeat(img, 3, axis=2)
         return img[:, :, :3]  # RGB or RGBA→RGB
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
     return decode_ppm(payload)
 
 

@@ -242,3 +242,22 @@ def test_png_and_ppm_same_pixels_same_features(ray_session):
     gray = rng.integers(0, 256, (5, 5), dtype=np.uint8)
     f_gray, ok3 = dec._features(mm.encode_png(gray), "image")
     assert ok3 and np.isfinite(f_gray).all()
+
+
+def test_bmp_roundtrip_and_padding():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    # widths 5 and 6 exercise nonzero and zero 4-byte row padding
+    for w in (5, 6, 7, 8):
+        img = rng.integers(0, 256, (4, w, 3), dtype=np.uint8)
+        out = mm.decode_bmp(mm.encode_bmp(img))
+        assert out.shape == img.shape and (out == img).all()
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"BMgarbage")
+    # and the sniffer routes BMP to identical features as PPM of same pixels
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    dec = mm.MediaDecoder(kind="image", n_features=16, decoder="raw")
+    f_bmp, ok1 = dec._features(mm.encode_bmp(img), "image")
+    f_ppm, ok2 = dec._features(mm.encode_ppm(img), "image")
+    assert ok1 and ok2 and (f_bmp == f_ppm).all()
