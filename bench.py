@@ -279,7 +279,7 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     """Two fresh processes per parallelism level; best-of-2 per level to damp
     shared-machine noise (same input, page cache warm after run one). Uses a
-    2x-larger input than the plain bench so compute dominates the ~13 s of
+    4x-larger input than the plain bench so compute dominates the ~13 s of
     fixed session/actor setup that would otherwise cap the ratio."""
     # default 400k convs (23.76M turns): the authoritative pair shape —
     # at 100k the small leg's ~17 s wall barely covers actor-pool ramp and

@@ -224,7 +224,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"PNG: unsupported color type {color_type} (palette?)")
     if w <= 0 or h <= 0:
         raise ValueError("PNG: bad geometry")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # normalize to the codec contract (ValueError on malformed input):
+        # a CRC-valid but zlib-invalid IDAT must flag decode_ok=false
+        # upstream, not poison-pill the Ray task (r5 review)
+        raise ValueError(f"PNG: bad deflate stream: {e}") from None
     out = _png_unfilter(raw, h, w * channels, channels)
     return out.reshape(h, w, channels)
 
@@ -471,15 +477,16 @@ def decode_media(ds, kind: str = "image", n_features: int = 16, decoder: str = "
 
 
 def resize_images(ds, out_h: int, out_w: int, batch_size: int = 32, concurrency=(1, 4)):
-    """Real image transform stage: PPM payload → nearest-neighbor resize →
-    PPM payload. Broken payloads pass through with ``resize_ok=false`` and a
-    null output payload (same no-poison-pill policy as decode)."""
+    """Real image transform stage: PPM/PNG/BMP payload (magic-sniffed) →
+    nearest-neighbor resize → PPM payload. Broken payloads pass through
+    with ``resize_ok=false`` and a null output payload (same
+    no-poison-pill policy as decode)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         outs, oks = [], []
         for p in batch["payload"]:
             try:
-                outs.append(encode_ppm(resize_nearest(decode_ppm(p.as_py() or b""), out_h, out_w)))
+                outs.append(encode_ppm(resize_nearest(decode_image_any(p.as_py() or b""), out_h, out_w)))
                 oks.append(True)
             except ValueError:
                 outs.append(None)

@@ -261,3 +261,44 @@ def test_bmp_roundtrip_and_padding():
     f_bmp, ok1 = dec._features(mm.encode_bmp(img), "image")
     f_ppm, ok2 = dec._features(mm.encode_ppm(img), "image")
     assert ok1 and ok2 and (f_bmp == f_ppm).all()
+
+
+def test_png_bad_deflate_flags_not_raises():
+    """A CRC-valid chunk whose IDAT is not a valid zlib stream must flag
+    decode_ok=false, not poison-pill the task (r5 review)."""
+    import struct
+
+    from chronoxtract_ray.stages import multimodal as mm
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payload = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", b"not a zlib stream")  # CRC is valid!
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(payload)
+    dec = mm.MediaDecoder(kind="image", n_features=16, decoder="raw")
+    feats, ok = dec._features(payload, "image")
+    assert not ok and np.isnan(feats).all()
+
+
+def test_resize_images_accepts_png_and_bmp(ray_session):
+    import ray.data as rd
+
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    rows = [
+        {"media_id": "png", "kind": "image", "payload": mm.encode_png(img)},
+        {"media_id": "bmp", "kind": "image", "payload": mm.encode_bmp(img)},
+        {"media_id": "ppm", "kind": "image", "payload": mm.encode_ppm(img)},
+    ]
+    out = mm.resize_images(rd.from_items(rows), 4, 4).take_all()
+    by_id = {r["media_id"]: r for r in out}
+    assert all(by_id[k]["resize_ok"] for k in ("png", "bmp", "ppm"))
+    ref = mm.decode_ppm(by_id["ppm"]["payload"])
+    for k in ("png", "bmp"):
+        assert (mm.decode_ppm(by_id[k]["payload"]) == ref).all()
