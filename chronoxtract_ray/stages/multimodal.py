@@ -5,8 +5,9 @@ in this container):
 
 - ``decoder="raw"`` — REAL decode with pure numpy + stdlib: PPM (P6),
   PNG (full chunk walk with CRC verification, zlib inflate, all five
-  filter types — stdlib zlib, no imaging library) and 24-bit BMP images,
-  and WAV (RIFF PCM16) audio. Features are computed from the actual pixels/samples
+  filter types — stdlib zlib, no imaging library), 24-bit BMP and GIF
+  images (real variable-width LZW with interlace support), and WAV (RIFF
+  PCM16) audio. Features are computed from the actual pixels/samples
   (channel stats, luminance histogram moments / RMS, zero-crossings,
   spectral centroid and band energies via rFFT). Corrupt or unsupported
   payloads set ``decode_ok=false`` with NaN features instead of killing
@@ -42,6 +43,8 @@ __all__ = [
     "encode_png",
     "decode_bmp",
     "encode_bmp",
+    "decode_gif",
+    "encode_gif",
     "decode_image_any",
     "decode_wav",
     "encode_wav",
@@ -283,6 +286,235 @@ def encode_bmp(img: np.ndarray) -> bytes:
     )
 
 
+
+
+# ---- GIF (LZW) ------------------------------------------------------------
+
+_GIF_MAX_CODE = 1 << 12  # LZW code width is capped at 12 bits per the spec
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear/end
+    control codes, KwKwK case, 12-bit cap) → pixel index list."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bitpos, total = 0, len(data) * 8
+
+    def read(width: int):
+        nonlocal bitpos
+        if bitpos + width > total:
+            return None
+        v = 0
+        for k in range(width):
+            v |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += width
+        return v
+
+    table: list = [(i,) for i in range(clear)] + [None, None]
+    width = min_code_size + 1
+    prev = None
+    out: list[int] = []
+    while True:
+        code = read(width)
+        if code is None:
+            raise ValueError("GIF: truncated LZW stream")
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"GIF: bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode, bit-for-bit the inverse of _lzw_decode's
+    width/clear discipline (emits a clear when the table would exceed the
+    12-bit cap)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = acc_bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}
+
+    width = min_code_size + 1
+    emit(clear, width)
+    table = fresh()
+    size = clear + 2  # mirrors the decoder's table length
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        # the encoder registers each new string one code EARLIER than the
+        # decoder reconstructs it, so the width bump fires at 2^width + 1
+        # (the classic LZW early/late-change synchronization)
+        if size == (1 << width) + 1 and width < 12:
+            width += 1
+        emit(table[w], width)
+        table[wk] = size
+        size += 1
+        if size == _GIF_MAX_CODE:
+            if size == (1 << width) + 1 and width < 12:
+                width += 1
+            emit(table[(int(k),)], width)
+            emit(clear, width)
+            table, size, width = fresh(), clear + 2, min_code_size + 1
+            w = ()
+            continue
+        w = (int(k),)
+    if w:
+        if size == (1 << width) + 1 and width < 12:
+            width += 1
+        emit(table[w], width)
+        size += 1
+    if size == (1 << width) + 1 and width < 12:
+        width += 1
+    emit(end, width)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row emission order of a GIF interlaced raster (the four Adam-style
+    passes per the spec)."""
+    return np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    ).astype(np.int64)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST image of a GIF87a/89a → uint8 (h, w, 3) RGB.
+
+    Real decode, pure Python/numpy: logical screen descriptor, global and
+    local color tables, extension-block skipping, full variable-width LZW
+    with clear/end/KwKwK/12-bit-cap semantics, and interlaced rasters.
+    Raises ValueError on malformed input."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated screen descriptor")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("GIF: truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF: truncated image descriptor")
+            w, h = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+                if table.size != 3 * n:
+                    raise ValueError("GIF: truncated local color table")
+                table = table.reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF: image has no color table")
+            if w <= 0 or h <= 0:
+                raise ValueError("GIF: bad geometry")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"GIF: bad LZW minimum code size {min_code}")
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunk = payload[pos + 1 : pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF: truncated data sub-block")
+                chunks.append(chunk)
+                pos += 1 + ln
+            idx = np.array(_lzw_decode(b"".join(chunks), min_code), dtype=np.int64)
+            if idx.size != w * h:
+                raise ValueError(f"GIF: decoded {idx.size} pixels for {w}x{h}")
+            if (idx >= table.shape[0]).any():
+                raise ValueError("GIF: pixel index outside color table")
+            img = table[idx].reshape(h, w, 3)
+            if ipacked & 0x40:  # interlaced: rows arrived in pass order
+                out = np.empty_like(img)
+                out[_gif_interlace_order(h)] = img
+                img = out
+            return img
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b:02x}")
+    raise ValueError("GIF: no image data")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 (h, w, 3) RGB with <= 256 distinct colors → GIF89a payload
+    (global color table, real LZW compression, optional interlacing)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_gif expects (h, w, 3)")
+    colors, inv = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(f"encode_gif: {colors.shape[0]} distinct colors > 256")
+    bits = max(1, int(np.ceil(np.log2(max(colors.shape[0], 2)))))
+    n_table = 1 << bits
+    palette = np.zeros((n_table, 3), np.uint8)
+    palette[: colors.shape[0]] = colors
+    min_code = max(2, bits)
+    idx = inv.reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    data = _lzw_encode(idx.ravel(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image_any(payload: bytes) -> np.ndarray:
     """Magic-sniffed image decode → uint8 (h, w, 3) RGB: P6 PPM, PNG or
     24-bit BMP (gray and alpha forms normalized to RGB — gray replicated,
@@ -298,6 +530,8 @@ def decode_image_any(payload: bytes) -> np.ndarray:
         return img[:, :, :3]  # RGB or RGBA→RGB
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     return decode_ppm(payload)
 
 

@@ -302,3 +302,119 @@ def test_resize_images_accepts_png_and_bmp(ray_session):
     ref = mm.decode_ppm(by_id["ppm"]["payload"])
     for k in ("png", "bmp"):
         assert (mm.decode_ppm(by_id[k]["payload"]) == ref).all()
+
+
+# ---- GIF codec (round 5: real variable-width LZW) ----
+
+
+def test_gif_roundtrip_random_palettes():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(41)
+    for n_colors in (2, 13, 256):
+        palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, (11, 9))
+        img = palette[idx]
+        out = mm.decode_gif(mm.encode_gif(img))
+        assert out.shape == img.shape and (out == img).all(), n_colors
+
+
+def test_gif_repetitive_forces_dict_growth_and_reset():
+    """Long runs force KwKwK entries, width growth and (at size) the 4096
+    dictionary reset — the full LZW state machine."""
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(43)
+    # 160x160 with long runs: dictionary blows past 4096 -> clear+reset path
+    base = np.repeat(rng.integers(0, 4, (160, 20)), 8, axis=1)
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    img = palette[base]
+    out = mm.decode_gif(mm.encode_gif(img))
+    assert (out == img).all()
+    # KwKwK specifically: aaa... pattern emits code == next_code
+    aaa = np.zeros((1, 64), np.int64)
+    img2 = palette[aaa]
+    assert (mm.decode_gif(mm.encode_gif(img2)) == img2).all()
+
+
+def test_gif_interlaced_roundtrip():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(47)
+    palette = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    for h in (1, 2, 5, 8, 13):
+        img = palette[rng.integers(0, 7, (h, 6))]
+        out = mm.decode_gif(mm.encode_gif(img, interlace=True))
+        assert (out == img).all(), f"h={h}"
+
+
+def test_gif_uncompressed_trick_stream():
+    """Independent decoder vector: a hand-built clear-code-heavy stream
+    (the classic 'uncompressed GIF' construction — literals only, clear
+    emitted before the dictionary can grow past one entry) must decode to
+    the literal index sequence without exercising our encoder."""
+    import struct
+
+    from chronoxtract_ray.stages import multimodal as mm
+
+    min_code = 2  # clear=4, end=5, width starts at 3
+    indices = [0, 1, 2, 3, 3, 2, 1, 0, 2, 2]
+    bits = []
+    bits.append((4, 3))  # clear
+    for k in indices:
+        bits.append((k, 3))
+        bits.append((4, 3))  # clear after every literal: table never grows
+    bits.append((5, 3))  # end
+    acc = acc_n = 0
+    data = bytearray()
+    for code, w in bits:
+        acc |= code << acc_n
+        acc_n += w
+        while acc_n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            acc_n -= 8
+    if acc_n:
+        data.append(acc & 0xFF)
+    assert mm._lzw_decode(bytes(data), min_code) == indices
+    # and through the full container: 5x2 image of those indices
+    palette = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]], np.uint8)
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", 5, 2, 0x80 | 0x01, 0, 0)  # gct: 4 entries
+    payload += palette.tobytes()
+    payload += b"\x2c" + struct.pack("<HHHHB", 0, 0, 5, 2, 0)
+    payload.append(min_code)
+    payload.append(len(data))
+    payload += data
+    payload += b"\x00\x3b"
+    img = mm.decode_gif(bytes(payload))
+    assert (img == palette[np.array(indices).reshape(2, 5)]).all()
+
+
+def test_gif_rejects_corruption_and_too_many_colors():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)  # likely 16 colors
+    good = mm.encode_gif(img)
+    with pytest.raises(ValueError):
+        mm.decode_gif(b"JUNK" + good)
+    with pytest.raises(ValueError):
+        mm.decode_gif(good[: len(good) // 2])
+    # >256 distinct colors cannot be palettized
+    i = np.arange(17 * 17, dtype=np.int64)
+    big = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1).reshape(17, 17, 3)
+    with pytest.raises(ValueError):
+        mm.encode_gif(big.astype(np.uint8))
+
+
+def test_gif_features_match_ppm(ray_session):
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(59)
+    palette = rng.integers(0, 256, (30, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 30, (10, 12))]
+    dec = mm.MediaDecoder(kind="image", n_features=16, decoder="raw")
+    f_gif, ok1 = dec._features(mm.encode_gif(img), "image")
+    f_ppm, ok2 = dec._features(mm.encode_ppm(img), "image")
+    assert ok1 and ok2 and (f_gif == f_ppm).all()
