@@ -432,6 +432,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
+            if pos > len(payload):
+                raise ValueError("GIF: truncated extension")
             while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
@@ -453,6 +455,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 raise ValueError("GIF: image has no color table")
             if w <= 0 or h <= 0:
                 raise ValueError("GIF: bad geometry")
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated before LZW data")
             min_code = payload[pos]
             pos += 1
             if not 2 <= min_code <= 11:

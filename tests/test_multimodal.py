@@ -418,3 +418,38 @@ def test_gif_features_match_ppm(ray_session):
     f_gif, ok1 = dec._features(mm.encode_gif(img), "image")
     f_ppm, ok2 = dec._features(mm.encode_ppm(img), "image")
     assert ok1 and ok2 and (f_gif == f_ppm).all()
+
+
+def test_no_codec_ever_escapes_valueerror_on_truncation_or_corruption():
+    """No-poison-pill guarantee across ALL codecs: decoding a payload
+    truncated at ANY offset, or with any single corrupted byte, must either
+    succeed or raise ValueError — never IndexError/struct.error/zlib.error,
+    which would escape the decode stage's catch and kill a Ray task."""
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    pal_img = rng.integers(0, 256, (16, 3), dtype=np.uint8)[rng.integers(0, 16, (6, 7))]
+    wav = mm.encode_wav(8000, (rng.standard_normal(64) * 5000).astype(np.int16))
+    cases = [
+        (mm.decode_ppm, mm.encode_ppm(img)),
+        (mm.decode_png, mm.encode_png(img)),
+        (mm.decode_bmp, mm.encode_bmp(img)),
+        (mm.decode_gif, mm.encode_gif(pal_img)),
+        (lambda p: mm.decode_wav(p)[1], wav),
+        (mm.decode_image_any, mm.encode_png(img)),
+    ]
+    for dec, payload in cases:
+        for cut in range(len(payload)):  # every truncation point
+            try:
+                dec(payload[:cut])
+            except ValueError:
+                pass
+        for _ in range(200):  # random single-byte corruptions
+            b = bytearray(payload)
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= int(rng.integers(1, 256))
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
