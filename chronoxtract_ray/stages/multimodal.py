@@ -6,8 +6,8 @@ in this container):
 - ``decoder="raw"`` — REAL decode with pure numpy + stdlib: PPM (P6),
   PNG (full chunk walk with CRC verification, zlib inflate, all five
   filter types — stdlib zlib, no imaging library), 24-bit BMP and GIF
-  images (real variable-width LZW with interlace support), and WAV (RIFF
-  PCM16) audio. Features are computed from the actual pixels/samples
+  images (real variable-width LZW with interlace support), and WAV audio
+  (PCM16 plus G.711 µ-law/A-law expansion). Features are computed from the actual pixels/samples
   (channel stats, luminance histogram moments / RMS, zero-crossings,
   spectral centroid and band energies via rFFT). Corrupt or unsupported
   payloads set ``decode_ok=false`` with NaN features instead of killing
@@ -48,6 +48,9 @@ __all__ = [
     "decode_image_any",
     "decode_wav",
     "encode_wav",
+    "encode_wav_g711",
+    "linear_to_mulaw",
+    "linear_to_alaw",
     "resize_nearest",
     "MEDIA_SCHEMA",
 ]
@@ -539,12 +542,88 @@ def decode_image_any(payload: bytes) -> np.ndarray:
     return decode_ppm(payload)
 
 
+
+
+# ---- G.711 companded audio (µ-law / A-law) --------------------------------
+
+
+def _mulaw_decode_table() -> np.ndarray:
+    """256-entry µ-law byte → linear int16 table (G.711 canonical form)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """256-entry A-law byte → linear int16 table (G.711 canonical form)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    t = mant << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where((a & 0x80) != 0, t, -t).astype(np.int16)
+
+
+_MULAW_TABLE = _mulaw_decode_table()
+_ALAW_TABLE = _alaw_decode_table()
+def _bit_length(m: np.ndarray) -> np.ndarray:
+    """Vectorized int bit length (exact for the 16-bit magnitudes here)."""
+    return np.where(m > 0, np.floor(np.log2(np.maximum(m, 1))).astype(np.int64) + 1, 0)
+
+
+def linear_to_mulaw(x: np.ndarray) -> np.ndarray:
+    """int16 linear → µ-law bytes (vectorized G.711 compressor, exact
+    inverse of _mulaw_decode_table's form: biased magnitude
+    B = ((mant<<3)+0x84)<<exp, so exp = bitlen(B) - 8 and
+    mant = (B >> (exp+3)) & 0x0F)."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0x00)
+    B = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.clip(_bit_length(B) - 8, 0, 7)
+    mant = (B >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def linear_to_alaw(x: np.ndarray) -> np.ndarray:
+    """int16 linear → A-law bytes (vectorized G.711 compressor, exact
+    inverse of _alaw_decode_table's form: seg = bitlen(m) - 8 with
+    segment-0 magnitudes under 256)."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x >= 0, 0x80, 0x00)
+    m = np.minimum(np.abs(x), 0x7FFF)
+    seg = np.clip(_bit_length(m) - 8, 0, 7)
+    mant = np.where(seg == 0, m >> 4, (m >> (seg + 3)) & 0x0F)
+    return (((sign | (seg << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def encode_wav_g711(sample_rate: int, samples: np.ndarray, law: str = "mulaw") -> bytes:
+    """int16 mono samples → RIFF WAV payload companded to µ-law (format
+    code 7) or A-law (format code 6), 8 bits per sample."""
+    if law == "mulaw":
+        fmt, raw = 7, linear_to_mulaw(samples).tobytes()
+    elif law == "alaw":
+        fmt, raw = 6, linear_to_alaw(samples).tobytes()
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(raw), b"WAVE", b"fmt ", 16, fmt, 1,
+        sample_rate, sample_rate, 1, 8, b"data", len(raw),
+    )
+    return hdr + raw
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a RIFF WAV with 16-bit PCM → (sample_rate, int16 samples).
+    """Decode a RIFF WAV → (sample_rate, int16 samples): 16-bit PCM
+    (format 1) or G.711 companded audio — A-law (format 6) / µ-law
+    (format 7), expanded to linear through the canonical 256-entry tables.
 
     Multi-channel input is downmixed to mono by averaging channels (the
-    standard feature-extraction convention). Raises ValueError on anything
-    that is not plain PCM16."""
+    standard feature-extraction convention). Raises ValueError on any
+    other encoding."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
@@ -554,9 +633,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt != 1 or bits != 16:
+            if not ((fmt == 1 and bits == 16) or (fmt in (6, 7) and bits == 8)):
                 raise ValueError(f"unsupported WAV encoding fmt={fmt} bits={bits}")
         elif cid == b"data":
             data = body
@@ -567,7 +648,12 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         # a corrupt-but-parseable header must flag decode_ok=false, not
         # escape as ZeroDivisionError and kill the task (no-poison-pill)
         raise ValueError(f"invalid WAV header channels={channels} sr={sr}")
-    samples = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))], dtype="<i2")
+    if fmt in (6, 7):
+        table = _ALAW_TABLE if fmt == 6 else _MULAW_TABLE
+        raw = np.frombuffer(data[: len(data) - (len(data) % channels)], dtype=np.uint8)
+        samples = table[raw]
+    else:
+        samples = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))], dtype="<i2")
     if channels > 1:
         samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
     return sr, samples

@@ -453,3 +453,56 @@ def test_no_codec_ever_escapes_valueerror_on_truncation_or_corruption():
                 dec(bytes(b))
             except ValueError:
                 pass
+
+
+# ---- G.711 µ-law / A-law (round 5) ----
+
+
+def test_g711_byte_idempotence_and_known_values():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    all_bytes = np.arange(256, dtype=np.uint8)
+    for dec_table, enc in (
+        (mm._MULAW_TABLE, mm.linear_to_mulaw),
+        (mm._ALAW_TABLE, mm.linear_to_alaw),
+    ):
+        lin = dec_table[all_bytes]
+        # decode(encode(decode(b))) == decode(b): the companding fixpoint
+        assert (dec_table[enc(lin)] == lin).all()
+    # canonical silence codes
+    assert mm._MULAW_TABLE[0xFF] == 0
+    assert mm._ALAW_TABLE[0xD5] == 8  # A-law smallest positive
+    # decode tables are odd-symmetric around zero (sign bit flips sign)
+    assert mm._MULAW_TABLE[0x7F] == -mm._MULAW_TABLE[0xFF]
+    assert mm._ALAW_TABLE[0x55] == -mm._ALAW_TABLE[0xD5]
+
+
+def test_g711_quantization_error_bounded():
+    from chronoxtract_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(67)
+    x = rng.integers(-32768, 32768, 5000).astype(np.int16)
+    for enc, table in ((mm.linear_to_mulaw, mm._MULAW_TABLE), (mm.linear_to_alaw, mm._ALAW_TABLE)):
+        back = table[enc(x)].astype(np.int64)
+        err = np.abs(back - x.astype(np.int64))
+        # logarithmic companding: error scales with magnitude
+        assert (err <= (np.abs(x.astype(np.int64)) >> 4) + 40).all()
+
+
+def test_g711_wav_container_roundtrip(ray_session):
+    from chronoxtract_ray.stages import multimodal as mm
+
+    x = (np.sin(np.arange(400) * 0.07) * 20000).astype(np.int16)
+    for law, table, enc in (
+        ("mulaw", mm._MULAW_TABLE, mm.linear_to_mulaw),
+        ("alaw", mm._ALAW_TABLE, mm.linear_to_alaw),
+    ):
+        sr, got = mm.decode_wav(mm.encode_wav_g711(8000, x, law))
+        assert sr == 8000
+        assert (got == table[enc(x)]).all()
+    with pytest.raises(ValueError):
+        mm.encode_wav_g711(8000, x, "dpcm")
+    # and through the real feature path
+    dec = mm.MediaDecoder(kind="audio", n_features=16, decoder="raw")
+    feats, ok = dec._features(mm.encode_wav_g711(8000, x, "mulaw"), "audio")
+    assert ok and feats[0] == 8000 and feats[1] == 400
