@@ -599,21 +599,30 @@ def linear_to_alaw(x: np.ndarray) -> np.ndarray:
     return (((sign | (seg << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
 
 
+def _wav_header(fmt_code: int, sample_rate: int, bits: int, n_bytes: int, pad: int) -> bytes:
+    """Shared RIFF/fmt/data header for the mono WAV encoders (byte rate and
+    block align derived, not hand-copied; ``pad`` = RIFF word-alignment
+    byte counted in the outer RIFF size but not the data chunk size)."""
+    block = bits // 8
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n_bytes + pad, b"WAVE", b"fmt ", 16, fmt_code, 1,
+        sample_rate, sample_rate * block, block, bits, b"data", n_bytes,
+    )
+
+
 def encode_wav_g711(sample_rate: int, samples: np.ndarray, law: str = "mulaw") -> bytes:
     """int16 mono samples → RIFF WAV payload companded to µ-law (format
-    code 7) or A-law (format code 6), 8 bits per sample."""
+    code 7) or A-law (format code 6), 8 bits per sample. Odd-length data
+    chunks get the RIFF word-alignment pad byte."""
     if law == "mulaw":
         fmt, raw = 7, linear_to_mulaw(samples).tobytes()
     elif law == "alaw":
         fmt, raw = 6, linear_to_alaw(samples).tobytes()
     else:
         raise ValueError(f"unknown companding law {law!r}")
-    hdr = struct.pack(
-        "<4sI4s4sIHHIIHH4sI",
-        b"RIFF", 36 + len(raw), b"WAVE", b"fmt ", 16, fmt, 1,
-        sample_rate, sample_rate, 1, 8, b"data", len(raw),
-    )
-    return hdr + raw
+    pad = len(raw) & 1
+    return _wav_header(fmt, sample_rate, 8, len(raw), pad) + raw + b"\x00" * pad
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -662,12 +671,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
     """int16 mono samples → RIFF WAV PCM16 payload."""
     pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
-    hdr = struct.pack(
-        "<4sI4s4sIHHIIHH4sI",
-        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
-        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
-    )
-    return hdr + pcm
+    return _wav_header(1, sample_rate, 16, len(pcm), 0) + pcm
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

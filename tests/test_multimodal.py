@@ -430,13 +430,15 @@ def test_no_codec_ever_escapes_valueerror_on_truncation_or_corruption():
     rng = np.random.default_rng(61)
     img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
     pal_img = rng.integers(0, 256, (16, 3), dtype=np.uint8)[rng.integers(0, 16, (6, 7))]
-    wav = mm.encode_wav(8000, (rng.standard_normal(64) * 5000).astype(np.int16))
+    snd = (rng.standard_normal(63) * 5000).astype(np.int16)  # odd: pad path
     cases = [
         (mm.decode_ppm, mm.encode_ppm(img)),
         (mm.decode_png, mm.encode_png(img)),
         (mm.decode_bmp, mm.encode_bmp(img)),
         (mm.decode_gif, mm.encode_gif(pal_img)),
-        (lambda p: mm.decode_wav(p)[1], wav),
+        (lambda p: mm.decode_wav(p)[1], mm.encode_wav(8000, snd)),
+        (lambda p: mm.decode_wav(p)[1], mm.encode_wav_g711(8000, snd, "mulaw")),
+        (lambda p: mm.decode_wav(p)[1], mm.encode_wav_g711(8000, snd, "alaw")),
         (mm.decode_image_any, mm.encode_png(img)),
     ]
     for dec, payload in cases:
@@ -489,7 +491,7 @@ def test_g711_quantization_error_bounded():
         assert (err <= (np.abs(x.astype(np.int64)) >> 4) + 40).all()
 
 
-def test_g711_wav_container_roundtrip(ray_session):
+def test_g711_wav_container_roundtrip():
     from chronoxtract_ray.stages import multimodal as mm
 
     x = (np.sin(np.arange(400) * 0.07) * 20000).astype(np.int16)
