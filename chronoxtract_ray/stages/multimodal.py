@@ -15,9 +15,14 @@ in this container):
 - ``decoder="fake"`` — deterministic pseudo-features from payload bytes
   (plumbing tests that don't care about codecs).
 - ``decoder="none"`` — raises NotImplementedError at actor construction: the
-  honest placeholder for the remaining compressed codecs (JPEG/MP3/H.264)
-  whose decoders genuinely need libraries absent here. (PNG graduated to
-  the real tier in round 5 — it only needs stdlib zlib.)
+  honest placeholder for the remaining compressed codecs (JPEG/MP3/H.264).
+  PNG/GIF/BMP graduated to the real tier in round 5 because they can be
+  VALIDATED here (stdlib zlib + hand-built spec-reference streams give
+  encoder-independent vectors); a from-scratch JPEG/MP3 would be
+  implementable in principle but, with no reference codec in this
+  container, only testable by round-tripping our own lossy encoder —
+  which proves self-consistency, not correctness (a wrong zigzag order
+  on both sides cancels). Stubbing beats shipping unvalidatable decode.
 
 Shape notes for scale: binary payloads make rows huge, so run with small
 ``batch_size`` (16-64), keep ``batch_format="pyarrow"`` (binary columns
